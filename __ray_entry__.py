@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module:
+nothing here (or in nexus_forge_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline on /root/testdata/sf0.001
+- ``queries()``    — one callable per implemented operator/pipeline (SURVEY.md §2)
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the oracle-checkable subset
 """
 
 from __future__ import annotations
@@ -18,27 +13,62 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: KG construction over pages synthesized from the
+    sf0.001 documents table (read → extract → mention-detect → link → triples).
+    Falls back to the corpus analysis pipeline while the KG flagship is landing.
+    """
+    import nexus_forge_ray
+    nexus_forge_ray.configure(quiet=True)
+    try:
+        from nexus_forge_ray.pipelines.kg_pipeline import flagship
+        return flagship(SF_SMOKE)
+    except ImportError:
+        from nexus_forge_ray.pipelines import corpus
+        return corpus.doc_quality(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import nexus_forge_ray
+    nexus_forge_ray.configure(quiet=True)
+    from nexus_forge_ray.pipelines import corpus, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # relational operator suite (oracle-checked)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q3_top_revenue_orders": relational.q3_top_revenue_orders,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q_distinct_segments": relational.q_distinct_segments,
+        "q_top_orders": relational.q_top_orders,
+        "q_customer_by_nation": relational.q_customer_by_nation,
+        "q_brand_volume": relational.q_brand_volume,
+        "q_events_hourly": relational.q_events_hourly,
+        "q_user_activity": relational.q_user_activity,
+        # text / dedup / similarity (oracle-checked where SQL-expressible)
+        "doc_token_counts": corpus.doc_token_counts,
+        "doc_fingerprint": corpus.doc_fingerprint,
+        "dedup_exact": corpus.dedup_exact,
+        "similarity_topk": corpus.similarity_topk,
+        # rows-only (non-SQL-expressible: sketches, LSH, heuristic models)
+        "lang_id_pred": corpus.lang_id_pred,
+        "doc_quality": corpus.doc_quality,
+        "minhash_near_dup": corpus.minhash_near_dup,
+        "simhash_signatures": corpus.simhash_signatures,
+        "embedding_near_dup": corpus.embedding_near_dup,
+        "similarity_topk_ivf": corpus.similarity_topk_ivf,
+    }
+    try:
+        from nexus_forge_ray.pipelines import kg_queries
+        q.update(kg_queries.QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nexus_forge_ray.pipelines.oracles import ORACLES
+    return dict(ORACLES)

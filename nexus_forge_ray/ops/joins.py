@@ -1,0 +1,99 @@
+"""Join strategies for Ray Data.
+
+The reference has no relational join operator — every "join" is a lookup
+against broadcast-small state (SURVEY.md §2.4). We generalize:
+
+- `broadcast_join`: small side `ray.put` once; every map_batches task merges
+  its Arrow batch against the in-memory table. No shuffle. This is the right
+  plan whenever one side fits in a worker heap (dimension tables, KBs).
+- `partitioned_join`: both sides large → explicit bucketed hash join: add
+  `bucket = hash(key) % B` to both sides, groupby bucket, pairwise merge per
+  bucket in map_groups. B is the shuffle-parallelism knob; hot keys can be
+  salted by widening B.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from nexus_forge_ray.utils import stable_hash_u64
+
+
+def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on,
+                   how: str = "inner", suffix: str = "_r") -> ray.data.Dataset:
+    """Join a large Dataset against a small pandas table without a shuffle.
+
+    The small side is put in the object store ONCE; each task reads it
+    zero-copy. `on` is a column name or list present in both sides.
+    """
+    small_ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref)
+        return batch.merge(small, on=on, how=how, suffixes=("", suffix))
+
+    return big.map_batches(merge, batch_format="pandas")
+
+
+def semi_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
+    """Keep rows of `big` whose `on` value appears in `keys` (broadcast key set)."""
+    keys_ref = ray.put(frozenset(keys))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        return batch[batch[on].isin(ks)]
+
+    return big.map_batches(filt, batch_format="pandas")
+
+
+def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
+    """Drop rows of `big` whose `on` value appears in `keys` — the reference's
+    deprecated-filter semantics (bluebrain_nexus.py:947-959) generalized."""
+    keys_ref = ray.put(frozenset(keys))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        return batch[~batch[on].isin(ks)]
+
+    return big.map_batches(filt, batch_format="pandas")
+
+
+def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                     num_buckets: int = 32, how: str = "inner") -> ray.data.Dataset:
+    """Bucketed hash join for two large sides.
+
+    Both sides get `__bucket = hash(key) % B` and a side tag, are padded to the
+    shared column superset (union needs consistent schemas), unioned, and each
+    bucket group performs a local pandas merge. One shuffle total (the groupby);
+    co-location is guaranteed because both sides share the bucket fn.
+    """
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    allcols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            for c in allcols:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch = batch[allcols]
+            batch["__bucket"] = (stable_hash_u64(batch[on].astype("string"))
+                                 % num_buckets).astype("int32")
+            batch["__side"] = side
+            return batch
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][lcols]
+        rg = group[group["__side"] == "r"][rcols]
+        return lg.merge(rg, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

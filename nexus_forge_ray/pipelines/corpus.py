@@ -1,0 +1,88 @@
+"""Document/embedding-corpus pipelines (text analysis, dedup, similarity).
+
+Each takes sf_dir and returns a result whose columns match
+`nexus_forge_ray.pipelines.oracles.ORACLES` where an oracle exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from nexus_forge_ray.ops import dedup as dd
+from nexus_forge_ray.ops import similarity as sim
+from nexus_forge_ray.ops import text as tx
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_token_counts(sf_dir: str):
+    ds = tx.token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = tx.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+def dedup_exact(sf_dir: str):
+    return dd.dedup_exact(_docs(sf_dir))
+
+
+def similarity_topk(sf_dir: str):
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 3)]).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = sim.cosine_topk(emb, qdf["vec_id"].tolist(), qmat, k=5)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
+
+
+# ------------------------------------------------ rows-only checked pipelines
+
+def lang_id_pred(sf_dir: str):
+    ds = tx.lang_id(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def doc_quality(sf_dir: str):
+    ds = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio"])
+
+
+def minhash_near_dup(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16)
+    return dd.jaccard_verify_pairs(pairs, _docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.5)
+
+
+def simhash_signatures(sf_dir: str):
+    return dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def embedding_near_dup(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+def similarity_topk_ivf(sf_dir: str):
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 3)]).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(emb, qdf["vec_id"].tolist(), qmat, k=5,
+                       n_centroids=8, nprobe=4)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out

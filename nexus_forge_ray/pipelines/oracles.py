@@ -1,0 +1,103 @@
+"""DuckDB oracle SQL for every oracle-checkable queries() entry.
+
+Column names/aliases MUST match the Ray pipeline outputs exactly — the driver
+sorts columns by name before value-hashing. Float aggregates are rounded the
+same way on both sides.
+"""
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                            as sum_qty,
+               round(sum(l_extendedprice), 2)                       as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)    as sum_disc_price,
+               round(sum(l_quantity) / count(*), 2)                 as avg_qty,
+               round(sum(l_extendedprice) / count(*), 2)            as avg_price,
+               count(*)                                             as count_order
+        from lineitem
+        group by l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        select round(sum(l_extendedprice * l_discount), 2) as revenue
+        from lineitem
+        where l_shipdate >= timestamp '1994-01-01'
+          and l_shipdate <  timestamp '1996-01-01'
+          and l_discount >= 0.02 and l_quantity < 24
+    """,
+    "q3_top_revenue_orders": """
+        select l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               o_orderdate
+        from customer
+        join orders   on c_custkey = o_custkey
+        join lineitem on l_orderkey = o_orderkey
+        where c_mktsegment = 'BUILDING'
+        group by l_orderkey, o_orderdate
+        order by sum(l_extendedprice * (1 - l_discount)) desc, l_orderkey
+        limit 10
+    """,
+    "q5_local_supplier_volume": """
+        select n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from customer, orders, lineitem, supplier, nation, region
+        where c_custkey = o_custkey and l_orderkey = o_orderkey
+          and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+          and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+          and r_name = 'ASIA'
+        group by n_name
+    """,
+    "q_distinct_segments": """
+        select distinct c_mktsegment from customer
+    """,
+    "q_top_orders": """
+        select o_orderkey, o_totalprice from orders
+        order by o_totalprice desc, o_orderkey limit 10
+    """,
+    "q_customer_by_nation": """
+        select n_name, count(*) as n_customers,
+               round(sum(c_acctbal), 2) as total_acctbal
+        from customer join nation on c_nationkey = n_nationkey
+        group by n_name
+    """,
+    "q_brand_volume": """
+        select p_brand, count(*) as n_items, round(sum(l_quantity), 2) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+    """,
+    "q_events_hourly": """
+        select event_type, date_trunc('hour', ts) as window_start,
+               count(*) as n_events, round(sum(value), 2) as sum_value
+        from events group by 1, 2
+    """,
+    "q_user_activity": """
+        select user_id, count(*) as n_events, round(sum(value), 2) as sum_value,
+               round(max(value), 2) as max_value
+        from events group by user_id
+    """,
+    "doc_token_counts": """
+        select doc_id,
+               case when trim(text) = '' then 0
+                    else length(string_split_regex(trim(text), '\\s+')) end
+               ::bigint as n_tokens
+        from documents
+    """,
+    "doc_fingerprint": """
+        select doc_id, md5(text) as fp_md5 from documents
+    """,
+    "dedup_exact": """
+        select doc_id, text, lang, source, n_chars from documents
+        qualify row_number() over (partition by text order by doc_id) = 1
+    """,
+    "similarity_topk": """
+        with q as (select vec_id as query_id, embedding from embeddings where vec_id < 3)
+        select q.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) as score
+        from embeddings e cross join q
+        qualify row_number() over (
+            partition by q.query_id
+            order by list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]) desc, e.vec_id
+        ) <= 5
+    """,
+}

@@ -1,0 +1,280 @@
+"""Relational query pipelines over the driver's TPC-H-ish tables.
+
+Each function takes `sf_dir` and returns a Dataset / pandas DataFrame whose
+column NAMES match the oracle SQL in `__ray_entry__.oracle_sql()` exactly.
+
+Plan shapes (100 TB notes):
+- fact tables (lineitem, orders, events) are only ever read with pruned
+  columns and aggregated via partial-aggregation inside map_batches before
+  the (small) groupby shuffle;
+- dimension tables (region, nation, customer@small-sf, supplier, part) are
+  broadcast via ray.put — never shuffled;
+- the one genuinely large-large join (lineitem ⋈ orders) uses the explicit
+  bucketed hash join from ops.joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from nexus_forge_ray.ops.joins import broadcast_join, partitioned_join, semi_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_pd(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+# --------------------------------------------------------------------- Q1-ish
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with partial pre-aggregation inside map_batches.
+
+    The per-batch combiner emits ≤ |groups| rows per batch, so the groupby
+    shuffle moves O(batches × groups) tiny rows, not the fact table.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(2)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(2)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------- Q6-ish
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """Filter + single global aggregate; predicate applied as an Arrow kernel."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity",
+                                    "l_extendedprice"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01")))),
+            pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                    pc.less(t["l_quantity"], pa.scalar(24.0))),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev": rev})
+
+    total = ds.map_batches(filt, batch_format="pyarrow").sum("rev")
+    return pd.DataFrame({"revenue": [round(total or 0.0, 2)]})
+
+
+# --------------------------------------------------------------------- Q3-ish
+
+def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """customer(filter, broadcast) ⋈ orders(filter) ⋈ lineitem (bucketed) →
+    groupby revenue → global top-10. Only order keys + revenue cross the wire.
+    """
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = semi_join(orders, building["c_custkey"].tolist(), "o_custkey")
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        g = batch.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return g
+
+    line_partial = line.map_batches(revenue, batch_format="pandas")
+    joined = partitioned_join(
+        line_partial.groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")),
+        orders.map_batches(
+            lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas"),
+        on="l_orderkey", num_buckets=16)
+    top = joined.to_pandas()
+    top = top.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    return pd.DataFrame({
+        "l_orderkey": top["l_orderkey"].to_numpy(),
+        "revenue": top["rev"].round(2).to_numpy(),
+        "o_orderdate": top["o_orderdate"].to_numpy(),
+    })
+
+
+# --------------------------------------------------------------------- Q5-ish
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """Six-table join: all dimensions broadcast; lineitem⋈orders bucketed."""
+    nation = _read_pd(sf_dir, "nation")
+    region = _read_pd(sf_dir, "region")
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nations = nation[nation["n_regionkey"].isin(asia)][["n_nationkey", "n_name"]]
+
+    # orders ⋈ customer (broadcast): attach c_nationkey
+    orders = broadcast_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    line = broadcast_join(line, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+                          on="l_suppkey")
+
+    joined = partitioned_join(
+        line,
+        orders.map_batches(lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+                           batch_format="pandas"),
+        on="l_orderkey", num_buckets=16)
+
+    nat_ref_names = dict(zip(nations["n_nationkey"], nations["n_name"]))
+
+    def local_volume(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[(batch["s_nationkey"] == batch["c_nationkey"])
+                  & batch["s_nationkey"].isin(nat_ref_names)]
+        if m.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                                 "rev": pd.Series(dtype="float64")})
+        rev = m["l_extendedprice"] * (1 - m["l_discount"])
+        out = pd.DataFrame({"n_name": m["s_nationkey"].map(nat_ref_names), "rev": rev})
+        return out.groupby("n_name", as_index=False)["rev"].sum()
+
+    partials = joined.map_batches(local_volume, batch_format="pandas")
+    out = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------- misc plans
+
+def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = ds.unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k = per-batch local top-k → tiny driver merge (no full sort)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["o_totalprice", "o_orderkey"],
+                                 ascending=[False, True]).head(10)
+
+    cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def q_customer_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join + grouped aggregate."""
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(
+        cust, nation.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", as_index=False).agg(
+            n_customers=("c_custkey", "size"), total_acctbal=("c_acctbal", "sum"))
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("n_name")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("total_acctbal", alias_name="total_acctbal"))
+           .to_pandas())
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out
+
+
+def q_brand_volume(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ part (broadcast) → per-brand quantity."""
+    part = _read_pd(sf_dir, "part", ["p_partkey", "p_brand"])
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    joined = broadcast_join(
+        line, part.rename(columns={"p_partkey": "l_partkey"}), on="l_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("p_brand")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("sum_qty", alias_name="sum_qty"))
+           .to_pandas())
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type — windowing = truncate + groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+def q_user_activity(sf_dir: str) -> pd.DataFrame:
+    """Per-user event stats: classic partial-agg → groupby pattern."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"),
+            max_value=("value", "max"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"),
+                      Max("max_value", alias_name="max_value"))
+           .to_pandas())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    out["max_value"] = out["max_value"].round(2)
+    return out

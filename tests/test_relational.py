@@ -1,0 +1,32 @@
+"""Oracle-checked relational pipelines vs DuckDB on sf0.001."""
+
+import pytest
+
+from nexus_forge_ray.pipelines import corpus, relational
+from nexus_forge_ray.pipelines.oracles import ORACLES
+
+from .helpers import assert_frames_match
+
+CASES = {
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q3_top_revenue_orders": relational.q3_top_revenue_orders,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q_distinct_segments": relational.q_distinct_segments,
+    "q_top_orders": relational.q_top_orders,
+    "q_customer_by_nation": relational.q_customer_by_nation,
+    "q_brand_volume": relational.q_brand_volume,
+    "q_events_hourly": relational.q_events_hourly,
+    "q_user_activity": relational.q_user_activity,
+    "doc_token_counts": corpus.doc_token_counts,
+    "doc_fingerprint": corpus.doc_fingerprint,
+    "dedup_exact": corpus.dedup_exact,
+    "similarity_topk": corpus.similarity_topk,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_query_matches_oracle(name, duck, sf_dir):
+    got = CASES[name](sf_dir)
+    want = duck.sql(ORACLES[name]).df()
+    assert_frames_match(got, want, tol=1e-4)
