@@ -126,7 +126,7 @@ def _band_rows(df: pd.DataFrame, num_bands: int, id_col: str) -> pd.DataFrame:
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
                             num_bands: int = 16, shingle_size: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
-                            concurrency: int = 2,
+                            concurrency: int | None = None,
                             max_bucket: int = 256) -> ray.data.Dataset:
     """Documents → candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
@@ -135,12 +135,13 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
     `max_bucket` smallest ids (deterministic) — skew/degenerate-content guard
     bounding per-bucket O(n^2) pair generation.
     """
-    sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_size=shingle_size,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pandas", concurrency=concurrency,
-    )
+    hasher_kw = dict(num_perm=num_perm, shingle_size=shingle_size,
+                     text_col=text_col, id_col=id_col)
+    if concurrency is None:
+        sig = ds.map_batches(MinHasher(**hasher_kw), batch_format="pandas")
+    else:
+        sig = ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kw,
+                             batch_format="pandas", concurrency=concurrency)
     bands = sig.map_batches(
         lambda df: _band_rows(df, num_bands, id_col), batch_format="pandas"
     )
@@ -239,8 +240,11 @@ class SimHasher:
 
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
-                       id_col: str = "doc_id", concurrency: int = 2,
+                       id_col: str = "doc_id", concurrency: int | None = None,
                        ) -> ray.data.Dataset:
+    if concurrency is None:
+        return ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+                              batch_format="pandas")
     return ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pandas", concurrency=concurrency,

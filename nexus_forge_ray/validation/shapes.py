@@ -1,0 +1,188 @@
+"""SHACL-style shape validation as vectorized column checks.
+
+Reproduces the constraint kinds the reference's fixtures exercise
+(SURVEY.md §2 T5, FIXTURES.md F4; collectors list at
+kgforge/specializations/models/rdf/service.py:49-63):
+
+- minCount / maxCount      (cardinality; missing/null column counts as 0)
+- datatype                 (xsd string/integer/float/boolean/dateTime subset,
+                            DEFAULT_VALUE map at rdf_model.py:38-63)
+- in                       (sh:in enumeration)
+- pattern                  (sh:pattern regex)
+- minInclusive/maxInclusive(numeric range)
+- class/node               (nested struct must itself conform — checked on
+                            flattened columns)
+- "no focus node" rule     (rdf/service.py:241-266): a row whose type has no
+                            matching shape target fails validation.
+
+Execution: one `map_batches(batch_format="pandas")` pass; each constraint is a
+vectorized mask; the first violated constraint per row becomes the `violation`
+string (reference reports one reason, demo_model.py:165-170). Output columns:
+`valid: bool`, `violation: string ('' when valid)`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_DATETIME_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$")
+
+
+@dataclass
+class PropertyConstraint:
+    path: str                      # column (dots for nested-flattened fields)
+    min_count: int = 0
+    max_count: int | None = None
+    datatype: str | None = None    # xsd local name: string/integer/float/boolean/dateTime/anyURI
+    in_values: list | None = None
+    pattern: str | None = None
+    min_inclusive: float | None = None
+    max_inclusive: float | None = None
+
+    def check(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (ok_mask, per-row violation labels '' where ok)."""
+        n = len(df)
+        if self.path not in df.columns:
+            present = np.zeros(n, dtype=bool)
+            col = pd.Series([None] * n)
+        else:
+            col = df[self.path]
+            present = col.notna().to_numpy()
+            if col.dtype == object:
+                present &= ~(col.astype(str) == "").to_numpy()
+        ok = np.ones(n, dtype=bool)
+        labels = np.full(n, "", dtype=object)
+
+        def apply(kind_ok: np.ndarray, label: str):
+            nonlocal ok
+            newly = ok & ~kind_ok
+            labels[newly] = label
+            ok &= kind_ok
+
+        if self.min_count > 0:
+            apply(present.copy(), f"MinCountConstraint: {self.path}")
+        if self.datatype and present.any():
+            apply(self._datatype_ok(col, present),
+                  f"DatatypeConstraint: {self.path}")
+        if self.in_values is not None and present.any():
+            apply(~present | col.isin(self.in_values).to_numpy(),
+                  f"InConstraint: {self.path}")
+        if self.pattern and present.any():
+            matched = col.astype(str).str.match(self.pattern).fillna(False).to_numpy()
+            apply(~present | matched, f"PatternConstraint: {self.path}")
+        if self.min_inclusive is not None or self.max_inclusive is not None:
+            vals = pd.to_numeric(col, errors="coerce")
+            ok_r = np.ones(n, dtype=bool)
+            if self.min_inclusive is not None:
+                ok_r &= (~present) | (vals >= self.min_inclusive).to_numpy()
+            if self.max_inclusive is not None:
+                ok_r &= (~present) | (vals <= self.max_inclusive).to_numpy()
+            apply(ok_r, f"MinMaxInclusiveConstraint: {self.path}")
+        return ok, labels
+
+    def _datatype_ok(self, col: pd.Series, present: np.ndarray) -> np.ndarray:
+        dt = self.datatype
+        if dt in ("string", "normalizedString", "anyURI"):
+            checked = col.map(lambda v: isinstance(v, str)).to_numpy(dtype=bool)
+        elif dt in ("integer", "int", "long", "short", "byte",
+                    "nonNegativeInteger", "positiveInteger"):
+            if pd.api.types.is_integer_dtype(col):
+                checked = np.ones(len(col), dtype=bool)
+            else:
+                checked = col.map(
+                    lambda v: isinstance(v, (int, np.integer))
+                    and not isinstance(v, bool)).to_numpy(dtype=bool)
+        elif dt in ("float", "double", "decimal"):
+            if pd.api.types.is_float_dtype(col) or pd.api.types.is_integer_dtype(col):
+                checked = np.ones(len(col), dtype=bool)
+            else:
+                checked = col.map(lambda v: isinstance(v, (int, float, np.number))
+                                  and not isinstance(v, bool)).to_numpy(dtype=bool)
+        elif dt == "boolean":
+            if pd.api.types.is_bool_dtype(col):
+                checked = np.ones(len(col), dtype=bool)
+            else:
+                checked = col.map(lambda v: isinstance(v, (bool, np.bool_))
+                                  ).to_numpy(dtype=bool)
+        elif dt in ("dateTime", "date", "time"):
+            if pd.api.types.is_datetime64_any_dtype(col):
+                checked = np.ones(len(col), dtype=bool)
+            else:
+                checked = col.astype(str).str.match(_DATETIME_RE).fillna(False)\
+                    .to_numpy(dtype=bool)
+        else:
+            checked = np.ones(len(col), dtype=bool)
+        return ~present | checked
+
+
+@dataclass
+class Shape:
+    """A target-typed shape: applies to rows whose `type_col` == target_type."""
+    target_type: str
+    constraints: list[PropertyConstraint] = field(default_factory=list)
+
+
+class ShapeValidator:
+    """map_batches stage; shapes compiled once per actor.
+
+    Rows whose type has no shape fail with 'NoShapeForType' (the reference's
+    "no focus node => fail" rule, rdf/service.py:241-266).
+    """
+
+    def __init__(self, shapes: list[Shape], type_col: str = "type",
+                 require_shape: bool = True):
+        self.by_type = {s.target_type: s for s in shapes}
+        self.type_col = type_col
+        self.require_shape = require_shape
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        valid = np.ones(n, dtype=bool)
+        violation = np.full(n, "", dtype=object)
+        types = batch[self.type_col] if self.type_col in batch.columns \
+            else pd.Series([None] * n)
+        for t, idx in batch.groupby(types, dropna=False).groups.items():
+            mask = batch.index.isin(idx)
+            shape = self.by_type.get(t)
+            if shape is None:
+                if self.require_shape:
+                    valid[mask] = False
+                    violation[mask] = f"NoShapeForType: {t}"
+                continue
+            sub = batch.loc[mask]
+            sub_valid = np.ones(len(sub), dtype=bool)
+            sub_viol = np.full(len(sub), "", dtype=object)
+            for c in shape.constraints:
+                ok, labels = c.check(sub)
+                newly_bad = sub_valid & ~ok
+                sub_viol[newly_bad] = labels[newly_bad]
+                sub_valid &= ok
+            valid[mask] = sub_valid
+            violation[mask] = sub_viol
+        out = batch.copy()
+        out["valid"] = valid
+        out["violation"] = violation
+        return out
+
+
+def validate_dataset(ds: ray.data.Dataset, shapes: list[Shape], *,
+                     type_col: str = "type", require_shape: bool = True,
+                     concurrency: int | None = None) -> ray.data.Dataset:
+    """Task mode by default (shape compilation is cheap); actor pool on demand."""
+    if concurrency is None:
+        inst = ShapeValidator(shapes, type_col=type_col,
+                              require_shape=require_shape)
+        return ds.map_batches(inst, batch_format="pandas")
+    return ds.map_batches(
+        ShapeValidator,
+        fn_constructor_kwargs=dict(shapes=shapes, type_col=type_col,
+                                   require_shape=require_shape),
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -1,0 +1,31 @@
+"""KG queries vs DuckDB oracles + rows-only sanity."""
+
+import pytest
+
+from nexus_forge_ray.pipelines import kg_queries
+from nexus_forge_ray.pipelines.oracles import ORACLES
+
+from .helpers import assert_frames_match, to_pandas
+
+ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
+                "kg_validate_customers"]
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_kg_query_matches_oracle(name, duck, sf_dir):
+    got = kg_queries.QUERIES[name](sf_dir)
+    want = duck.sql(ORACLES[name]).df()
+    assert_frames_match(got, want)
+
+
+def test_kg_components_rows(sf_dir):
+    out = to_pandas(kg_queries.kg_components(sf_dir))
+    # every component representative is the min doc_id of its members
+    assert (out.groupby("component")["doc_id"].min()
+            == out["component"].unique()).all() or len(out) == 0
+
+
+def test_kg_assemble_rows(sf_dir):
+    out = to_pandas(kg_queries.kg_assemble(sf_dir))
+    assert (out["n_props"] >= 1).all()
+    assert out["subj"].str.startswith("http://example.org/doc/").all()
