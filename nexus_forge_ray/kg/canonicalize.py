@@ -70,8 +70,10 @@ def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": batch["src"], "label": batch["src"]})
 
-    labels = sym_edges.map_batches(init_labels, batch_format="pandas") \
-        .groupby("node").aggregate(Min("label", alias_name="label"))
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    labels = hash_groupby_agg(
+        sym_edges.map_batches(init_labels, batch_format="pandas"),
+        "node", {"label": ("label", "min")}, num_buckets=num_buckets)
 
     prev_sum = None
     for _ in range(max_iters):
@@ -81,12 +83,15 @@ def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
             lambda df: df.rename(columns={"node": "src"}), batch_format="pandas")
         from nexus_forge_ray.ops.joins import partitioned_join
         msgs = partitioned_join(sym_edges, lab, on="src",
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                lcols=["src", "dst"], rcols=["src", "label"])
         prop = msgs.map_batches(
             lambda df: df[["dst", "label"]].rename(columns={"dst": "node"}),
             batch_format="pandas")
         combined = prop.union(labels)
-        labels = combined.groupby("node").aggregate(Min("label", alias_name="label"))
+        labels = hash_groupby_agg(combined, "node",
+                                  {"label": ("label", "min")},
+                                  num_buckets=num_buckets)
         labels = labels.materialize()  # small: one row per node in the edge set
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
@@ -97,21 +102,169 @@ def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
         batch_format="pandas")
 
 
+def _tiered_candidate_edges(sig: ray.data.Dataset, *, id_col: str,
+                            num_perm: int, num_bands: int) -> ray.data.Dataset:
+    """Exact-signature collapse (tier 1) + banded LSH over representatives
+    (tier 2). Returns candidate edges (id_a, id_b)."""
+    import pyarrow as pa
+
+    from nexus_forge_ray.ops.dedup import (_BAND_MIX, _sig_matrix,
+                                           minhash_candidate_pairs)
+
+    def hash_rows(t: pa.Table) -> pd.DataFrame:
+        ids, m = _sig_matrix(t, id_col)
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(m.shape[1] if m.size else 0):
+            h ^= (m[:, j] + np.uint64(j * 1315423911)) \
+                * _BAND_MIX[j % len(_BAND_MIX)]
+        return pd.DataFrame({
+            id_col: ids, "sig_hash": h,
+            "mh": [r.tobytes() for r in m],
+            "__bkt": (h % np.uint64(64)).astype("int32"),
+        })
+
+    hr = sig.map_batches(hash_rows, batch_format="pyarrow")
+
+    def collapse(group: pd.DataFrame) -> pd.DataFrame:
+        edge_a, edge_b, rep_rows = [], [], []
+        for _, sub in group.groupby("sig_hash", sort=False):
+            ids = np.sort(sub[id_col].unique())
+            rep = ids[0]
+            rep_rows.append((rep, sub["mh"].iloc[0]))
+            if len(ids) > 1:
+                edge_a.append(np.full(len(ids) - 1, rep))
+                edge_b.append(ids[1:])
+        frames = []
+        if edge_a:
+            frames.append(pd.DataFrame({
+                "id_a": np.concatenate(edge_a), "id_b": np.concatenate(edge_b),
+                "mh": b"", "kind": np.int8(0)}))
+        if rep_rows:
+            frames.append(pd.DataFrame({
+                "id_a": [r[0] for r in rep_rows],
+                "id_b": np.int64(0),
+                "mh": [r[1] for r in rep_rows], "kind": np.int8(1)}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "mh": pd.Series(dtype=object),
+                          "kind": pd.Series(dtype="int8")})
+
+    tier1 = hr.groupby("__bkt").map_groups(collapse, batch_format="pandas")
+    tier1 = tier1.materialize()  # consumed twice (edges + reps); ≤ corpus size
+    exact_edges = tier1.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["id_a", "id_b"]],
+        batch_format="pandas")
+    # exact edges are already (representative -> member): no union-find needed
+    # for them — only the (tiny) rep-level LSH edges get merged on the driver
+
+    def rep_sigs(df: pd.DataFrame) -> pa.Table:
+        reps = df[df["kind"] == 1]
+        if not len(reps):
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "minhash": pa.array([], type=pa.list_(pa.uint64(),
+                                                                   num_perm))})
+        m = np.frombuffer(b"".join(reps["mh"]), dtype=np.uint64) \
+            .reshape(len(reps), -1)
+        mh = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), type=pa.uint64()), num_perm)
+        return pa.table({id_col: pa.array(reps["id_a"].to_numpy()),
+                         "minhash": mh})
+
+    reps = tier1.map_batches(rep_sigs, batch_format="pandas")
+    lsh_edges = minhash_candidate_pairs(sig=reps, num_perm=num_perm,
+                                        num_bands=num_bands, id_col=id_col)
+    return exact_edges, lsh_edges
+
+
+def _tiered_components(sig: ray.data.Dataset, *, id_col: str, num_perm: int,
+                       num_bands: int) -> ray.data.Dataset:
+    """(id, component) for every doc in a duplicate cluster — the tier-aware
+    fast path. Only rep-level LSH edges touch the driver (union-find on a set
+    that is ≤ the number of DISTINCT signatures sharing a band — tiny); the
+    member->rep mapping stays distributed (one broadcast dict of merged reps).
+    """
+    import ray as _ray
+    exact_edges, lsh_edges = _tiered_candidate_edges(
+        sig, id_col=id_col, num_perm=num_perm, num_bands=num_bands)
+    lsh_df = lsh_edges.to_pandas()
+    rep_comp = union_find_local(lsh_df) if len(lsh_df) else {}
+    rep_ref = _ray.put(rep_comp)
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rc = _ray.get(rep_ref)
+        comp = df["id_a"].map(lambda r: rc.get(r, r)) if rc else df["id_a"]
+        return pd.DataFrame({id_col: df["id_b"].to_numpy(),
+                             "component": comp.to_numpy()})
+
+    members = exact_edges.map_batches(member_rows, batch_format="pandas")
+    rep_rows = ray.data.from_pandas(pd.DataFrame({
+        id_col: list(rep_comp), "component": list(rep_comp.values())}))         if rep_comp else None
+    return members.union(rep_rows) if rep_rows is not None else members
+
+
 def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.7,
                   num_perm: int = 64, num_bands: int = 16,
-                  concurrency: int = 2) -> ray.data.Dataset:
+                  concurrency: int | None = None, verify: str = "exact",
+                  local_edge_limit: int = 2_000_000) -> ray.data.Dataset:
     """Full canonicalization: MinHash blocking -> Jaccard verify -> components.
     Returns (doc_id, component) for every doc in a near-dup cluster; docs not
     listed are their own canonical representative.
+
+    Component path is chosen by measured edge count: the verified candidate
+    set is ≪ corpus by construction, so when it fits comfortably on the
+    driver (< local_edge_limit) a local union-find is strictly faster than
+    iterated shuffles; above the limit the distributed min-label propagation
+    runs. Both produce identical components (tests assert equality).
     """
     from nexus_forge_ray.ops.dedup import (jaccard_verify_pairs,
-                                           minhash_candidate_pairs)
-    pairs = minhash_candidate_pairs(docs, num_perm=num_perm,
-                                    num_bands=num_bands, text_col=text_col,
-                                    id_col=id_col, concurrency=concurrency)
-    verified = jaccard_verify_pairs(pairs, docs, threshold=threshold,
-                                    text_col=text_col, id_col=id_col)
-    comp = connected_components(verified)
+                                           minhash_candidate_pairs,
+                                           minhash_signatures_ds,
+                                           minhash_verify_pairs)
+    sig = minhash_signatures_ds(docs, num_perm=num_perm, text_col=text_col,
+                                id_col=id_col, concurrency=concurrency)
+    if verify == "minhash":
+        # signatures are consumed twice (banding + verification): checkpoint
+        sig = sig.materialize()
+    if verify == "none":
+        # Two-tier scale path: (1) exact-signature duplicates collapse via ONE
+        # shuffle of (sig_hash, id) — on web corpora the mass of duplicates is
+        # exact or near-exact, so this removes them before any band explosion;
+        # (2) banded LSH runs only over the distinct signature representatives
+        # (b bands × r rows: P(candidate|j) = 1-(1-j^r)^b acts as the
+        # threshold). Candidate edges are stars — sufficient connectivity for
+        # components, O(cluster) not O(cluster^2).
+        return _tiered_components(sig, id_col=id_col, num_perm=num_perm,
+                                  num_bands=num_bands)
+    pairs = minhash_candidate_pairs(sig=sig, num_perm=num_perm,
+                                    num_bands=num_bands, id_col=id_col)
+    if verify == "exact":
+        verified = jaccard_verify_pairs(pairs, docs, threshold=threshold,
+                                        text_col=text_col, id_col=id_col)
+    else:  # "minhash": signature-agreement estimate (bucketed joins)
+        verified = minhash_verify_pairs(pairs, sig, threshold=threshold,
+                                        id_col=id_col)
+    # one execution: stream the candidate edges to the driver, sized-checked.
+    # limit()+count() probes whether the local union-find path is safe without
+    # materializing twice; the edge set is ≪ corpus by construction.
+    import pandas as pd
+    edge_batches, n_edges, overflow = [], 0, False
+    for b in verified.iter_batches(batch_size=65536, batch_format="pandas"):
+        edge_batches.append(b)
+        n_edges += len(b)
+        if n_edges > local_edge_limit:
+            overflow = True
+            break
+    if not overflow:
+        if n_edges == 0:
+            return ray.data.from_pandas(pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "component": pd.Series(dtype="int64")}))
+        edges_df = pd.concat(edge_batches, ignore_index=True)
+        comp = union_find_local(edges_df)
+        out = pd.DataFrame({id_col: list(comp), "component": list(comp.values())})
+        return ray.data.from_pandas(out)
+    comp = connected_components(verified.materialize())
     return comp.map_batches(
         lambda df: df.rename(columns={"node": id_col}), batch_format="pandas")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -117,14 +118,26 @@ def explode_dataset(ds: ray.data.Dataset, *, record_col: str | None = None,
 def assemble_resources(triples_ds: ray.data.Dataset) -> ray.data.Dataset:
     """Inverse of explode (framing, rdf.py:100-140): groupby(subj) -> one
     record per subject with predicates as keys (lists for multi-valued)."""
-    def build(group: pd.DataFrame) -> pd.DataFrame:
-        rec: dict[str, Any] = {"id": group["subj"].iloc[0]}
-        for pred, sub in group.groupby("pred"):
-            vals = sub["obj"].tolist()
-            rec[pred] = vals[0] if len(vals) == 1 else sorted(vals)
-        return pd.DataFrame({"subj": [rec["id"]], "record": [rec]})
+    from nexus_forge_ray.utils import stable_hash_u64
 
-    return triples_ds.groupby("subj").map_groups(build, batch_format="pandas")
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["subj"]) % np.uint64(32)).astype("int32")
+        return df
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        subjects, records = [], []
+        for subj, g in group.groupby("subj", sort=False):
+            rec: dict[str, Any] = {"id": subj}
+            for pred, sub in g.groupby("pred", sort=False):
+                vals = sub["obj"].tolist()
+                rec[pred] = vals[0] if len(vals) == 1 else sorted(vals)
+            subjects.append(subj)
+            records.append(rec)
+        return pd.DataFrame({"subj": subjects, "record": records})
+
+    return triples_ds.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(build, batch_format="pandas")
 
 
 def sort_and_write(triples_ds: ray.data.Dataset, out_dir: str,

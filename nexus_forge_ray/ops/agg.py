@@ -1,0 +1,96 @@
+"""Bucketed high-cardinality aggregation/dedup.
+
+Ray Data's sort-based `groupby(key).aggregate(...)` and `map_groups` pay
+per-group dispatch overhead (~ms/group) — fine for dozens of groups, fatal
+for millions. These helpers shuffle by `hash(key) % num_buckets` (tens of
+groups regardless of key cardinality) and run ONE vectorized pandas
+aggregation per bucket. The partial/combiner stage still runs per batch
+before the shuffle, so the exchange moves pre-aggregated rows only.
+
+Supported hows: sum, min, max, count, first (associative / re-aggregable).
+Mean is expressed by the caller as sum+count partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.utils import stable_hash_u64
+
+_PARTIAL_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "size",
+                "first": "first"}
+_FINAL_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
+              "first": "first"}
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for k in keys:
+        h ^= stable_hash_u64(df[k])
+    return (h % np.uint64(num_buckets)).astype("int32")
+
+
+def hash_groupby_agg(ds: ray.data.Dataset, keys: str | list[str],
+                     aggs: dict[str, tuple[str, str]],
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """groupby(keys).agg(aggs) with bucketed shuffle.
+
+    aggs: out_name -> (source_col, how); how in sum/min/max/count/first.
+    Output columns: keys + list(aggs).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        spec = {name: (col, _PARTIAL_HOW[how]) for name, (col, how) in aggs.items()}
+        g = batch.groupby(keys, as_index=False).agg(**spec)
+        g["__bucket"] = _bucket_of(g, keys, num_buckets)
+        return g
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        spec = {name: (name, _FINAL_HOW[how]) for name, (_, how) in aggs.items()}
+        return group.groupby(keys, as_index=False).agg(**spec)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def distinct_rows(ds: ray.data.Dataset, keys: str | list[str],
+                  num_buckets: int = 32,
+                  keep_cols: list[str] | None = None) -> ray.data.Dataset:
+    """DISTINCT on keys (first occurrence, deterministic only if rows equal)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.drop_duplicates(subset=keys)
+        if keep_cols is not None:
+            b = b[list(dict.fromkeys(keys + keep_cols))]
+        b = b.copy()
+        b["__bucket"] = _bucket_of(b, keys, num_buckets)
+        return b
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=keys).drop(columns="__bucket")
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def min_by_rows(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Keep the row with minimal order_col per key group (deterministic)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(order_col, kind="mergesort") \
+            .drop_duplicates(subset=keys).copy()
+        b["__bucket"] = _bucket_of(b, keys, num_buckets)
+        return b
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort") \
+            .drop_duplicates(subset=keys).drop(columns="__bucket")
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__bucket").map_groups(final, batch_format="pandas")

@@ -34,21 +34,26 @@ def with_content_hash(ds: ray.data.Dataset, text_col: str = "text",
 
 def dedup_exact(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the minimum-id row per identical text. Hash-partitioned: the groupby
-    key is a 64-bit content hash. Semantics = reference's id-collision rule
-    (first writer wins, demo_store.py:232-239) made deterministic by min(id).
-    """
-    hashed = with_content_hash(ds, text_col)
-
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # hash collision guard: within a hash bucket, dedup on the full text
-        return group.sort_values(id_col).groupby(text_col, as_index=False).first()
-
-    out = hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    """Keep the minimum-id row per identical text. Bucketed: the shuffle key is
+    hash(text) % B (tens of groups, vectorized drop_duplicates per bucket).
+    Semantics = reference's id-collision rule (first writer wins,
+    demo_store.py:232-239) made deterministic by min(id)."""
+    from nexus_forge_ray.ops.agg import min_by_rows
+    return min_by_rows(ds, text_col, id_col)
 
 
 # ---------------------------------------------------------------- MinHash-LSH
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1] — vectorized per-segment arange."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    seg_starts = np.cumsum(counts)[:-1]
+    out[seg_starts] = 1 - counts[:-1]
+    return np.cumsum(out)
 
 class MinHasher:
     """Per-batch MinHash signatures over word shingles — an actor-pool stage.
@@ -75,45 +80,127 @@ class MinHasher:
             return [" ".join(toks)] if toks else [""]
         return [" ".join(toks[i:i + self.k]) for i in range(len(toks) - self.k + 1)]
 
+    # odd multipliers for positional mixing of the rolling shingle hash
+    _MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
+
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix."""
-        all_shingles: list[str] = []
-        offsets = [0]
-        for t in texts:
-            sh = set(self._shingles(t or ""))
-            all_shingles.extend(sh)
-            offsets.append(len(all_shingles))
-        base = stable_hash_u64(all_shingles).astype(np.uint64)
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        a, b = self.a, self.b
-        for i in range(len(texts)):
-            h = base[offsets[i]:offsets[i + 1]]
-            if len(h) == 0:
-                sigs[i] = 0
-                continue
-            # (k, n) universal hashes, min over shingles — all numpy
-            perm = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE_61
-            sigs[i] = perm.min(axis=1)
+        """(n_docs, num_perm) uint64 signature matrix — fully vectorized.
+
+        Shingle hashes are rolling combinations of per-token SipHashes (no
+        shingle strings are ever built): token explode + hash are pandas/numpy
+        C paths; window mixing, the (num_perm, n_shingles) universal-hash
+        matrix and the per-doc min (np.minimum.reduceat) are pure numpy.
+        MinHash over the shingle MULTISET equals MinHash over the set, so no
+        per-doc dedup is needed.
+        """
+        n = len(texts)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if n == 0:
+            return sigs
+        s = pd.Series(texts, dtype=object).fillna("")
+        tok_lists = s.str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return sigs
+        flat = tok_lists.explode().dropna()
+        th = stable_hash_u64(flat).astype(np.uint64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        starts, ends = offsets[:-1], offsets[1:]
+        k = self.k  # FIXED window size: a doc's signature must not depend on
+        # which batch it lands in (determinism across blocks/cluster)
+
+        # shingle value per window-start position; one value per doc for docs
+        # shorter than k (position-mixed whole-doc hash)
+        doc_has = lens > 0
+        n_windows = np.where(lens >= k, lens - k + 1, np.where(lens > 0, 1, 0))
+        m = len(th) - k + 1
+        if m > 0:
+            win = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                win ^= (th[j:j + m] * self._MIX[j % len(self._MIX)])
+        else:
+            win = np.zeros(0, dtype=np.uint64)
+        # short docs: mix of all their tokens (boundary-safe, batch-independent)
+        short = doc_has & (lens < k)
+        if short.any():
+            pos = _ranges(lens[doc_has])  # position within each nonempty doc
+            mixed_all = th * self._MIX[pos % len(self._MIX)]
+            short_vals = np.bitwise_xor.reduceat(
+                mixed_all, starts[doc_has] - 0)  # per nonempty doc
+        reps = n_windows[doc_has]
+        base_idx = np.repeat(starts[doc_has], reps) + _ranges(reps)
+        sh = win[np.minimum(base_idx, max(0, m - 1))] if m > 0 else \
+            np.zeros(int(reps.sum()), dtype=np.uint64)
+        if short.any():
+            # overwrite the single window of each short doc with its whole-doc mix
+            seg_starts_all = np.zeros(len(reps), dtype=np.int64)
+            np.cumsum(reps[:-1], out=seg_starts_all[1:])
+            short_in_has = short[doc_has]
+            sh[seg_starts_all[short_in_has]] = short_vals[short_in_has]
+        # universal hashes per permutation, per-doc segment min.
+        # One reused 1-D buffer per permutation keeps the working set cache-
+        # resident: a (num_perm, n_shingles) matrix would churn hundreds of MB
+        # of uint64 temporaries per batch and turn the stage memory-bandwidth-
+        # bound (no speedup past a few workers). Hashing is multiply-add mod
+        # 2^64 (multiply-shift family) — no division in the hot loop.
+        seg_starts = np.zeros(int(doc_has.sum()), dtype=np.int64)
+        np.cumsum(reps[:-1], out=seg_starts[1:])
+        buf = np.empty_like(sh)
+        out = np.empty((len(seg_starts), self.num_perm), dtype=np.uint64)
+        for i in range(self.num_perm):
+            np.multiply(sh, self.a[i] | np.uint64(1), out=buf)  # odd multiplier
+            buf += self.b[i]
+            out[:, i] = np.minimum.reduceat(buf, seg_starts)
+        sigs[doc_has] = out
         return sigs
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
         sigs = self.signatures(batch[self.text_col].tolist())
-        return pd.DataFrame({
-            self.id_col: batch[self.id_col].to_numpy(),
-            "minhash": list(sigs),
-        })
+        # fixed_size_list<uint64> Arrow column: zero-copy block serialization
+        # (a pandas object-column of ndarrays forces per-row pickling)
+        mh = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm)
+        return pa.table({self.id_col: pa.array(batch[self.id_col].to_numpy()),
+                         "minhash": mh})
 
 
-def _band_rows(df: pd.DataFrame, num_bands: int, id_col: str) -> pd.DataFrame:
-    """Explode signatures into (band_id, band_hash, id) rows — the LSH shuffle key."""
-    sigs = np.stack(df["minhash"].to_numpy())  # (n, k)
-    n, k = sigs.shape
-    rows_per_band = k // num_bands
+def _sig_matrix(batch: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (ids, (n,k) signature matrix) from an Arrow signature batch."""
+    col = batch["minhash"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return (batch[id_col].to_numpy(zero_copy_only=False),
+            flat.reshape(n, -1) if n else flat.reshape(0, 0))
+
+
+_BAND_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0xD6E8FEB86659FD93,
+                      0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63,
+                      0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53], dtype=np.uint64)
+
+
+def _band_rows(batch: pa.Table, num_bands: int, id_col: str) -> pd.DataFrame:
+    """Explode signatures into (band_id, band_hash, id) rows — the LSH shuffle
+    key. Band hash = vectorized positional mix over the band's rows (no
+    per-row bytes building)."""
+    ids, sigs = _sig_matrix(batch, id_col)
+    n, k = sigs.shape if sigs.size else (0, 0)
+    if n == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "band_id": pd.Series(dtype="int32"),
+                             "band_hash": pd.Series(dtype="uint64")})
+    rows_per_band = max(1, k // num_bands)
     out_ids, out_band, out_hash = [], [], []
     for b in range(num_bands):
         chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-        bh = stable_hash_u64([chunk[i].tobytes() for i in range(n)]).astype(np.uint64)
-        out_ids.append(df[id_col].to_numpy())
+        bh = np.full(n, np.uint64(b) * np.uint64(0x9E3779B97F4A7C15),
+                     dtype=np.uint64)
+        for j in range(chunk.shape[1]):
+            bh ^= (chunk[:, j] + np.uint64(j + 1)) * _BAND_MIX[j % len(_BAND_MIX)]
+        out_ids.append(ids)
         out_band.append(np.full(n, b, dtype=np.int32))
         out_hash.append(bh)
     return pd.DataFrame({
@@ -123,45 +210,83 @@ def _band_rows(df: pd.DataFrame, num_bands: int, id_col: str) -> pd.DataFrame:
     })
 
 
-def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 64,
+def minhash_signatures_ds(ds: ray.data.Dataset, *, num_perm: int = 64,
+                          shingle_size: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          concurrency: int | None = None) -> ray.data.Dataset:
+    """(id, minhash list<uint64>) signature dataset."""
+    hasher_kw = dict(num_perm=num_perm, shingle_size=shingle_size,
+                     text_col=text_col, id_col=id_col)
+    if concurrency is None:
+        return ds.map_batches(MinHasher(**hasher_kw), batch_format="pandas")
+    return ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kw,
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def minhash_candidate_pairs(ds: ray.data.Dataset | None = None, *,
+                            sig: ray.data.Dataset | None = None,
+                            num_perm: int = 64,
                             num_bands: int = 16, shingle_size: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
                             concurrency: int | None = None,
-                            max_bucket: int = 256) -> ray.data.Dataset:
+                            max_bucket: int = 256,
+                            pair_mode: str = "star") -> ray.data.Dataset:
     """Documents → candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     Shuffle key = (band_id, band_hash): two docs sharing any band land in the
     same group. Buckets larger than `max_bucket` are truncated to the
-    `max_bucket` smallest ids (deterministic) — skew/degenerate-content guard
-    bounding per-bucket O(n^2) pair generation.
+    `max_bucket` smallest ids (deterministic) — skew/degenerate-content guard.
+
+    pair_mode:
+    - "star" (default, the scale path): per bucket emit (min_id, other) edges
+      only — O(n) per bucket, sufficient connectivity for connected-components
+      canonicalization. A bucket of k exact replicas emits k-1 edges instead
+      of k(k-2)/2; without this, big duplicate clusters explode quadratically.
+    - "all": every pair in the bucket — O(n^2); use when the *pair list
+      itself* is the product (near-dup pair reports on small corpora).
+
+    Pass `sig` (a minhash_signatures_ds result) to reuse precomputed
+    signatures; otherwise they are computed from `ds`.
     """
-    hasher_kw = dict(num_perm=num_perm, shingle_size=shingle_size,
-                     text_col=text_col, id_col=id_col)
-    if concurrency is None:
-        sig = ds.map_batches(MinHasher(**hasher_kw), batch_format="pandas")
-    else:
-        sig = ds.map_batches(MinHasher, fn_constructor_kwargs=hasher_kw,
-                             batch_format="pandas", concurrency=concurrency)
+    if sig is None:
+        sig = minhash_signatures_ds(ds, num_perm=num_perm,
+                                    shingle_size=shingle_size,
+                                    text_col=text_col, id_col=id_col,
+                                    concurrency=concurrency)
     bands = sig.map_batches(
-        lambda df: _band_rows(df, num_bands, id_col), batch_format="pandas"
+        lambda t: _band_rows(t, num_bands, id_col), batch_format="pyarrow"
     )
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (df["band_hash"] % np.uint64(64)).astype("int32")
+        return df
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        out_a, out_b = [], []
+        for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(sub[id_col].unique())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                ids = ids[:max_bucket]
+            if pair_mode == "star":
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    cand = bands.map_batches(add_bkt, batch_format="pandas")         .groupby("__bkt").map_groups(pairs, batch_format="pandas")
     # distinct pairs (a doc pair can share several bands)
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from nexus_forge_ray.ops.agg import distinct_rows
+    return distinct_rows(cand, ["id_a", "id_b"], num_buckets=16)
 
 
 def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
@@ -175,34 +300,89 @@ def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
     """
     import ray as _ray
 
+    pairs_ds = pairs_ds.materialize()  # read twice below (id set + verify map)
     id_pairs = pairs_ds.to_pandas()  # candidate pairs are the small output, OK
     needed = set(id_pairs["id_a"]).union(id_pairs["id_b"])
-    sub = docs_ds.map_batches(
-        lambda df: df[df[id_col].isin(needed)][[id_col, text_col]],
-        batch_format="pandas",
-    ).to_pandas()
-    texts_ref = _ray.put(dict(zip(sub[id_col], sub[text_col])))
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = _ray.get(texts_ref)
-
-        def shingles(t: str) -> set:
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[id_col].isin(needed)]
+        sets = []
+        for t in sub[text_col]:
             toks = (t or "").split()
             if len(toks) <= shingle_size:
-                return {" ".join(toks)}
-            return {" ".join(toks[i:i + shingle_size])
-                    for i in range(len(toks) - shingle_size + 1)}
+                sets.append(frozenset({" ".join(toks)}))
+            else:
+                sets.append(frozenset(
+                    " ".join(toks[i:i + shingle_size])
+                    for i in range(len(toks) - shingle_size + 1)))
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(), "sh": sets})
 
+    # shingle each candidate doc ONCE (distributed), then broadcast the sets;
+    # a pair-verify without this recomputes sets O(cluster_size) times per doc
+    sub = docs_ds.map_batches(shingle_rows, batch_format="pandas").to_pandas()
+    sets_ref = _ray.put(dict(zip(sub[id_col], sub["sh"])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = _ray.get(sets_ref)
+        empty = frozenset()
         jac = np.empty(len(batch))
         for i, (a, b) in enumerate(zip(batch["id_a"], batch["id_b"])):
-            sa, sb = shingles(texts.get(a, "")), shingles(texts.get(b, ""))
-            inter = len(sa & sb)
+            sa, sb = sets.get(a, empty), sets.get(b, empty)
             union = len(sa | sb)
-            jac[i] = inter / union if union else 0.0
+            jac[i] = len(sa & sb) / union if union else 0.0
+        batch = batch.copy()
         batch["jaccard"] = np.round(jac, 4)
         return batch[batch["jaccard"] >= threshold]
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+def minhash_verify_pairs(pairs_ds: ray.data.Dataset, sig_ds: ray.data.Dataset,
+                         *, threshold: float = 0.7, id_col: str = "doc_id",
+                         num_buckets: int = 32) -> ray.data.Dataset:
+    """Verify pairs by MinHash signature agreement (unbiased Jaccard estimate,
+    std ≈ sqrt(j(1-j)/k)).
+
+    Fully distributed: two bucketed hash joins attach the signatures of both
+    endpoints to every pair; the agreement fraction is one vectorized numpy
+    comparison per bucket. No driver-side collection — scales to signature
+    sets far beyond driver memory.
+    """
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    def sig_as(side: str):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            ids, m = _sig_matrix(t, id_col)
+            # signatures travel as fixed-width bytes: Arrow binary columns
+            # survive shuffles + null padding (object ndarrays don't)
+            return pd.DataFrame({f"id_{side}": ids,
+                                 f"mh_{side}": [r.tobytes() for r in m]})
+        return fn
+
+    sig_a = sig_ds.map_batches(sig_as("a"), batch_format="pyarrow")
+    sig_b = sig_ds.map_batches(sig_as("b"), batch_format="pyarrow")
+    j1 = partitioned_join(pairs_ds, sig_a, on="id_a", num_buckets=num_buckets,
+                          lcols=["id_a", "id_b"], rcols=["id_a", "mh_a"])
+    j2 = partitioned_join(j1, sig_b, on="id_b", num_buckets=num_buckets,
+                          lcols=["id_a", "id_b", "mh_a"],
+                          rcols=["id_b", "mh_b"])
+
+    def agree(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        ma = np.frombuffer(b"".join(batch["mh_a"]), dtype=np.uint64) \
+            .reshape(len(batch), -1)
+        mb = np.frombuffer(b"".join(batch["mh_b"]), dtype=np.uint64) \
+            .reshape(len(batch), -1)
+        sim = (ma == mb).mean(axis=1)
+        out = pd.DataFrame({"id_a": batch["id_a"].to_numpy(),
+                            "id_b": batch["id_b"].to_numpy(),
+                            "jaccard": np.round(sim, 4)})
+        return out[out["jaccard"] >= threshold]
+
+    return j2.map_batches(agree, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- SimHash
@@ -299,9 +479,17 @@ def embedding_near_dup_pairs(emb_ds: ray.data.Dataset, *, threshold: float = 0.9
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
                              "cosine": np.round(sims[ia, ib][keep].astype(np.float64), 4)})
 
-    pairs = buckets.groupby(["bucket_set", "bucket"]).map_groups(
-        pairwise, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = ((df["bucket_set"].to_numpy() * 257 + df["bucket"].to_numpy())
+                       % 64).astype("int32")
+        return df
+
+    def pairwise_groups(group: pd.DataFrame) -> pd.DataFrame:
+        frames = [pairwise(sub) for _, sub in
+                  group.groupby(["bucket_set", "bucket"], sort=False)]
+        return pd.concat(frames, ignore_index=True) if frames else pairwise(group)
+
+    pairs = buckets.map_batches(add_bkt, batch_format="pandas")         .groupby("__bkt").map_groups(pairwise_groups, batch_format="pandas")
+    from nexus_forge_ray.ops.agg import distinct_rows
+    return distinct_rows(pairs, ["id_a", "id_b"], num_buckets=16)

@@ -62,16 +62,21 @@ def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
 
 
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
-                     num_buckets: int = 32, how: str = "inner") -> ray.data.Dataset:
+                     num_buckets: int = 32, how: str = "inner",
+                     lcols: list[str] | None = None,
+                     rcols: list[str] | None = None) -> ray.data.Dataset:
     """Bucketed hash join for two large sides.
 
     Both sides get `__bucket = hash(key) % B` and a side tag, are padded to the
     shared column superset (union needs consistent schemas), unioned, and each
     bucket group performs a local pandas merge. One shuffle total (the groupby);
     co-location is guaranteed because both sides share the bucket fn.
+
+    Pass lcols/rcols when known: `.schema()` on a not-yet-executed aggregate
+    triggers a full execution that the union would then REDO (lazy recompute).
     """
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+    rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
     allcols = lcols + [c for c in rcols if c not in lcols]
 
     def tag(side: str):

@@ -61,7 +61,8 @@ def doc_quality(sf_dir: str):
 
 def minhash_near_dup(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16)
+    pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16,
+                                       pair_mode="all")
     return dd.jaccard_verify_pairs(pairs, _docs(sf_dir, ["doc_id", "text"]),
                                    threshold=0.5)
 

@@ -74,7 +74,45 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
     validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype",
                                  concurrency=concurrency)
     valid_pages = validated.map_batches(
-        lambda df: df[df["valid"]], batch_format="pandas")
+        lambda df: df[df["valid"]].drop(
+            columns=["html", "warc_ts", "valid", "violation"]),
+        batch_format="pandas")
+    # The cleaned page set feeds several downstream branches (canonicalization,
+    # doc triples, mention detection); without a checkpoint each branch would
+    # lazily re-execute synth+extract+validate. Materialize once — html is
+    # dropped first so the pinned working set is text-sized; the object store
+    # spills to disk if it outgrows memory. At beyond-RAM scale substitute a
+    # Parquet checkpoint (write once, read per branch).
+    valid_pages = valid_pages.materialize()
+
+    # --- canonicalization FIRST: near-dup pages collapse to one canonical
+    # representative BEFORE any triple generation (dedup-then-process). This
+    # replaces a post-hoc subject rewrite + global triple distinct (two full
+    # shuffles over the triple set) with one broadcast filter over pages.
+    if canonicalize:
+        # 8 bands × 8 rows over 64 perms: P(candidate | j) = 1-(1-j^8)^8 —
+        # steep S-curve with midpoint ≈ 0.74, >0.98 at j=0.9, <0.03 at j=0.5;
+        # the band structure itself enforces the near-dup threshold (no
+        # verification pass, no extra shuffle)
+        comp = canonical_map(valid_pages, text_col="text", id_col="page_nid",
+                             threshold=0.9, concurrency=concurrency,
+                             num_perm=64, num_bands=8, verify="none")
+        comp_df = comp.to_pandas()  # near-dup members only: small by design
+        dup_nids = comp_df.loc[comp_df["page_nid"] != comp_df["component"],
+                               "page_nid"].to_numpy()
+        if len(dup_nids):
+            dup_ref = ray.put(np.sort(dup_nids))
+
+            def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
+                dups = ray.get(dup_ref)  # sorted; membership via searchsorted
+                v = batch["page_nid"].to_numpy()
+                pos = np.minimum(np.searchsorted(dups, v), len(dups) - 1)
+                return batch[dups[pos] != v]
+
+            # lazy: the filter re-runs per consuming branch over the already-
+            # materialized page checkpoint — cheaper than another barrier
+            valid_pages = valid_pages.map_batches(drop_dups,
+                                                  batch_format="pandas")
 
     # --- document triples via the mapping engine (compiled rule tree) --------
     from nexus_forge_ray.mapping.mapper import map_dataset
@@ -98,31 +136,6 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
 
     m_triples = resolved.map_batches(mention_triples, batch_format="pandas")
     triples = doc_triples.union(m_triples)
-
-    # --- canonicalization: near-dup pages share one canonical subject --------
-    if canonicalize:
-        comp = canonical_map(valid_pages, text_col="text", id_col="page_nid",
-                             threshold=0.9, concurrency=concurrency)
-        comp_df = comp.to_pandas()  # near-dup members only: small by design
-        remap = {KB.DOC_BASE + str(nid): KB.DOC_BASE + str(c)
-                 for nid, c in zip(comp_df["page_nid"], comp_df["component"])
-                 if nid != c}
-        if remap:
-            remap_ref = ray.put(remap)
-
-            def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
-                m = ray.get(remap_ref)
-                batch = batch.copy()
-                batch["subj"] = batch["subj"].map(lambda s: m.get(s, s))
-                mask = batch["obj_is_iri"].astype(bool)
-                batch.loc[mask, "obj"] = batch.loc[mask, "obj"].map(
-                    lambda s: m.get(s, s))
-                return batch
-
-            triples = triples.map_batches(rewrite, batch_format="pandas")
-            # canonical merge can duplicate triples -> distinct
-            triples = triples.groupby(["subj", "pred", "obj"]).map_groups(
-                lambda g: g.head(1), batch_format="pandas")
 
     if out_dir:
         return sort_and_write(triples, out_dir)

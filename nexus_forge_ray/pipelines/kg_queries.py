@@ -60,8 +60,8 @@ def kg_triples(sf_dir: str):
 def kg_resolve_exact(sf_dir: str):
     """Distinct corpus tokens resolved EXACT against the KB (label/acronym)."""
     mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
-    uniq = mentions.groupby("mention").map_groups(
-        lambda g: g.head(1)[["mention"]], batch_format="pandas")
+    from nexus_forge_ray.ops.agg import distinct_rows
+    uniq = distinct_rows(mentions, "mention", keep_cols=[], num_buckets=8)
     resolved = resolve_dataset(uniq, KB.DEFAULT_KB, mention_col="mention",
                                strategy="EXACT_MATCH")
     return resolved.map_batches(

@@ -114,13 +114,16 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         g = batch.groupby("l_orderkey", as_index=False)["rev"].sum()
         return g
 
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
     line_partial = line.map_batches(revenue, batch_format="pandas")
     joined = partitioned_join(
-        line_partial.groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")),
+        hash_groupby_agg(line_partial, "l_orderkey", {"rev": ("rev", "sum")}),
         orders.map_batches(
             lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
             batch_format="pandas"),
-        on="l_orderkey", num_buckets=16)
+        on="l_orderkey", num_buckets=16,
+        lcols=["l_orderkey", "rev"],
+        rcols=["l_orderkey", "o_custkey", "o_orderdate"])
     top = joined.to_pandas()
     top = top.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
     return pd.DataFrame({
@@ -156,7 +159,10 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         line,
         orders.map_batches(lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
                            batch_format="pandas"),
-        on="l_orderkey", num_buckets=16)
+        on="l_orderkey", num_buckets=16,
+        lcols=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "s_nationkey"],
+        rcols=["l_orderkey", "o_custkey", "c_nationkey"])
 
     nat_ref_names = dict(zip(nations["n_nationkey"], nations["n_name"]))
 
@@ -244,16 +250,18 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type — windowing = truncate + groupby."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h")
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["event_type", "window_start"])
-           .aggregate(Sum("n_events", alias_name="n_events"),
-                      Sum("sum_value", alias_name="sum_value"))
-           .to_pandas())
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df
+
+    out = hash_groupby_agg(
+        ds.map_batches(windowed, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out
@@ -263,17 +271,11 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
     """Per-user event stats: classic partial-agg → groupby pattern."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"),
-            max_value=("value", "max"))
-
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("user_id")
-           .aggregate(Sum("n_events", alias_name="n_events"),
-                      Sum("sum_value", alias_name="sum_value"),
-                      Max("max_value", alias_name="max_value"))
-           .to_pandas())
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    out = hash_groupby_agg(
+        ds, "user_id",
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum"),
+         "max_value": ("value", "max")}, num_buckets=16).to_pandas()
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     out["max_value"] = out["max_value"].round(2)

@@ -238,9 +238,9 @@ class ParquetStore:
             batch["deprecated"] = False
             return batch
 
+        from nexus_forge_ray.ops.agg import distinct_rows
         stamped = ds.map_batches(stamp, batch_format="pandas")
-        deduped = stamped.groupby(id_col).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
+        deduped = distinct_rows(stamped, id_col)
         if num_partitions:
             deduped = deduped.repartition(num_partitions)
         deduped.write_parquet(out_dir)

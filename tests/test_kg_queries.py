@@ -21,8 +21,8 @@ def test_kg_query_matches_oracle(name, duck, sf_dir):
 def test_kg_components_rows(sf_dir):
     out = to_pandas(kg_queries.kg_components(sf_dir))
     # every component representative is the min doc_id of its members
-    assert (out.groupby("component")["doc_id"].min()
-            == out["component"].unique()).all() or len(out) == 0
+    mins = out.groupby("component")["doc_id"].min()
+    assert all(comp == m for comp, m in mins.items())
 
 
 def test_kg_assemble_rows(sf_dir):
