@@ -1,0 +1,160 @@
+"""Record codecs: JSON-LD compact/expand, DataFrame flatten/deflatten, literal
+type sniffing.
+
+Reference semantics:
+- as_jsonld/from_jsonld (kgforge/core/conversions/rdf.py:61-97,489-527):
+  compacted form uses context terms (`id`/`type` aliases of `@id`/`@type`);
+  expanded form rewrites every term to its IRI; from_jsonld strips `@`-keys.
+- as/from_dataframe (kgforge/core/conversions/dataframe.py:25-108): nested
+  dicts flatten to dotted columns; `na` replaces missing; deflatten inverts.
+- _parse_type (kgforge/core/commons/parser.py:19-44): classify a literal as
+  datetime (ISO-8601 regex) / number / boolean / literal.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.kg.triples import RDF_TYPE, expand_term
+
+LD_KEYS = {"id": "@id", "type": "@type", "list": "@list", "set": "@set",
+           "value": "@value"}
+
+_ISO_DT = re.compile(
+    r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$")
+_NUM = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def parse_type(value: Any) -> str:
+    """datetime / number / boolean / literal (parser.py:19-44)."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float, np.number)):
+        return "number"
+    s = str(value)
+    if s.lower() in ("true", "false"):
+        return "boolean"
+    if _ISO_DT.match(s):
+        return "datetime"
+    if _NUM.match(s):
+        return "number"
+    return "literal"
+
+
+# ------------------------------------------------------------------ JSON-LD
+
+def as_jsonld(record: dict, context: dict[str, str],
+              form: str = "compacted",
+              default_ns: str = "http://example.org/vocab/") -> dict:
+    """Record -> JSON-LD. compacted: @id/@type + @context; expanded: every
+    property key becomes its IRI, literal values wrapped as {"@value": v}."""
+    if form == "compacted":
+        out: dict = {"@context": dict(context)}
+        for k, v in record.items():
+            if k in ("id", "@id"):
+                out["@id"] = v
+            elif k in ("type", "@type"):
+                out["@type"] = v
+            else:
+                out[k] = v
+        return out
+    out = {}
+    for k, v in record.items():
+        if k in ("id", "@id"):
+            out["@id"] = v
+        elif k in ("type", "@type"):
+            out["@type"] = [expand_term(str(t), context, default_ns)
+                            for t in (v if isinstance(v, list) else [v])]
+        else:
+            iri = expand_term(k, context, default_ns)
+            vals = v if isinstance(v, list) else [v]
+            out[iri] = [
+                as_jsonld(x, context, "expanded", default_ns)
+                if isinstance(x, dict) else {"@value": x}
+                for x in vals
+            ]
+    return out
+
+
+def from_jsonld(doc: dict) -> dict:
+    """JSON-LD -> plain record: strip @context, @id/@type -> id/type, unwrap
+    @value wrappers (rdf.py:489-527 semantics)."""
+    out: dict = {}
+    for k, v in doc.items():
+        if k == "@context":
+            continue
+        if k == "@id":
+            out["id"] = v
+        elif k == "@type":
+            out["type"] = v[0] if isinstance(v, list) and len(v) == 1 else v
+        else:
+            key = k
+            if isinstance(v, list):
+                vals = [from_jsonld(x) if isinstance(x, dict) and "@value" not in x
+                        else (x.get("@value") if isinstance(x, dict) else x)
+                        for x in v]
+                out[key] = vals[0] if len(vals) == 1 else vals
+            elif isinstance(v, dict):
+                out[key] = v.get("@value") if "@value" in v else from_jsonld(v)
+            else:
+                out[key] = v
+    return out
+
+
+# ---------------------------------------------------------------- DataFrame
+
+def flatten_record(record: dict, prefix: str = "", sep: str = ".") -> dict:
+    """Nested dict -> dotted flat dict (dataframe.py:38-48)."""
+    out: dict = {}
+    for k, v in record.items():
+        key = f"{prefix}{sep}{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_record(v, key, sep))
+        else:
+            out[key] = v
+    return out
+
+
+def deflatten_record(flat: dict, sep: str = ".", na=None) -> dict:
+    """Dotted flat dict -> nested dict, dropping na values (dataframe.py:69-108)."""
+    out: dict = {}
+    for k, v in flat.items():
+        if v is na or (isinstance(v, float) and pd.isna(v)):
+            continue
+        parts = k.split(sep)
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+def records_to_dataframe(records: list[dict], na=None) -> pd.DataFrame:
+    rows = [flatten_record(r) for r in records]
+    df = pd.DataFrame(rows)
+    if na is not None:
+        df = df.fillna(na)
+    return df
+
+
+def dataframe_to_records(df: pd.DataFrame, na=None) -> list[dict]:
+    return [deflatten_record(row, na=na) for row in df.to_dict("records")]
+
+
+def jsonld_expand_dataset(ds: ray.data.Dataset, context: dict[str, str], *,
+                          record_col: str = "record",
+                          default_ns: str = "http://example.org/vocab/",
+                          ) -> ray.data.Dataset:
+    """Batch JSON-LD expansion — broadcast context in the task closure."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        docs = [as_jsonld(r if isinstance(r, dict) else {}, context,
+                          "expanded", default_ns)
+                for r in batch[record_col]]
+        return pd.DataFrame({record_col: docs})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -88,6 +88,40 @@ ORACLES: dict[str, str] = {
         select doc_id, text, lang, source, n_chars from documents
         qualify row_number() over (partition by text order by doc_id) = 1
     """,
+    "q_events_sessions": """
+        with e as (
+            select user_id, ts, value,
+                   case when lag(ts) over (partition by user_id order by ts)
+                             is null
+                        or ts - lag(ts) over (partition by user_id order by ts)
+                             > interval 30 minute
+                        then 1 else 0 end as new_s
+            from events),
+        s as (
+            select user_id, ts, value,
+                   sum(new_s) over (partition by user_id order by ts
+                                    rows unbounded preceding) as session_id
+            from e)
+        select user_id, session_id, count(*) as n_events,
+               round(sum(value), 2) as sum_value
+        from s group by user_id, session_id
+    """,
+    "q_customers_no_orders": """
+        select c_custkey, c_name from customer
+        where not exists (select 1 from orders
+                          where o_custkey = c_custkey
+                            and o_totalprice > 300000)
+    """,
+    "q_order_priority_count": """
+        select o_orderpriority, count(*) as n_orders
+        from orders
+        where exists (
+            select 1 from lineitem
+            where l_orderkey = o_orderkey
+            group by l_orderkey
+            having max(l_shipdate) > o_orderdate + interval 60 day)
+        group by o_orderpriority
+    """,
     "kg_mentions": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents)

@@ -280,3 +280,73 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["sum_value"].round(2)
     out["max_value"] = out["max_value"].round(2)
     return out
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: per-user sessions split at >30-min gaps (stream-shaped
+    op; Ray Data has no watermarks, so the input is treated as a partitioned
+    log: bucket by user hash, sort within user, cumulative session ids).
+    Session ids are 1-based in event-time order — matches the SQL window
+    formulation exactly.
+    """
+    from nexus_forge_ray.utils import stable_hash_u64
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["user_id"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = g.groupby("user_id")["ts"].diff()
+        new_session = gap.isna() | (gap > pd.Timedelta(minutes=30))
+        g["session_id"] = new_session.groupby(g["user_id"]).cumsum().astype("int64")
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return ds.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(sessionize, batch_format="pandas")
+
+
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join (broadcast key set): customers without any big order."""
+    from nexus_forge_ray.ops.joins import anti_join
+    orders = _read_pd(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.loc[orders["o_totalprice"] > 300000, "o_custkey"].unique()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = anti_join(cust, big.tolist(), "c_custkey").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype=object)})
+    return out[["c_custkey", "c_name"]]
+
+
+def q_order_priority_count(sf_dir: str) -> pd.DataFrame:
+    """Semi join + grouped count: priorities of orders that have lineitems
+    shipped late (l_shipdate > o_orderdate + 60 days)."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    line = _read_pd(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    late_keys = line.groupby("l_orderkey")["l_shipdate"].max()
+
+    import ray as _ray
+    ref = _ray.put(late_keys)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lk = _ray.get(ref)
+        mx = df["o_orderkey"].map(lk)
+        keep = mx.notna() & (mx > df["o_orderdate"] + pd.Timedelta(days=60))
+        return df[keep]
+
+    flagged = orders.map_batches(flag, batch_format="pandas")
+    out = hash_groupby_agg(flagged, "o_orderpriority",
+                           {"n_orders": ("o_orderkey", "count")},
+                           num_buckets=4).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out

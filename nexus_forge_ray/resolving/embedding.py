@@ -80,18 +80,91 @@ class EmbeddingLinker:
 
     @staticmethod
     def rank_candidates(candidates: list[dict], strategy: ResolvingStrategy,
-                        threshold: float = 0.3) -> list[dict] | None:
-        """entity_linking_service.py:34-52 with is_distance=True."""
+                        threshold: float = 0.3,
+                        is_distance: bool = True) -> list[dict] | None:
+        """entity_linking_service.py:34-52: distance scores rank ascending
+        with `score <= threshold`; similarity scores (is_distance=False, the
+        Elastic dense-vector variant) rank descending with `score >=
+        threshold` and EXACT means score == 1."""
         if not candidates:
             return None
+        exact_score = 0 if is_distance else 1
+        keep = (lambda s: s <= threshold) if is_distance \
+            else (lambda s: s >= threshold)
         if strategy == ResolvingStrategy.EXACT_MATCH:
-            zeros = [c for c in candidates if c["score"] == 0]
-            return [zeros[0]] if zeros else None
-        ordered = sorted(candidates, key=lambda c: (c["score"], c["id"]))
+            exact = [c for c in candidates if c["score"] == exact_score]
+            return [exact[0]] if exact else None
+        ordered = sorted(candidates,
+                         key=lambda c: (c["score"] if is_distance
+                                        else -c["score"], c["id"]))
         if strategy == ResolvingStrategy.BEST_MATCH:
             chosen = ordered[0]
-            return [chosen] if chosen["score"] <= threshold else None
-        return [c for c in ordered if c["score"] <= threshold] or None
+            return [chosen] if keep(chosen["score"]) else None
+        return [c for c in ordered if keep(c["score"])] or None
+
+
+class SimilarityLinker(EmbeddingLinker):
+    """Dense-vector cosine SIMILARITY linker — EntityLinkerElastic semantics
+    (entity_linking_elastic_service.py:36-136, score-script cosine at
+    es_query_builder.py:171-179): scores ascend toward 1, is_distance=False.
+    """
+
+    def generate_candidates(self, mentions, limit: int = 5):
+        out = super().generate_candidates(mentions, limit)
+        for cands in out.values():
+            for c in cands:
+                c["score"] = round(1.0 - c["score"], 12)  # distance -> cosine
+            cands.sort(key=lambda c: (-c["score"], c["id"]))
+        return out
+
+    @staticmethod
+    def rank_candidates(candidates, strategy, threshold: float = 0.7):
+        return EmbeddingLinker.rank_candidates(candidates, strategy, threshold,
+                                               is_distance=False)
+
+
+class ResolverScopes:
+    """Named resolver scopes/targets — the forge.resolve(scope, resolver,
+    target) selection surface (forge.py:431-461, resolver.py:142-158).
+
+    Each target = (KB entries, resolve_with_properties). Built-in property
+    sets mirror the reference's resolvers:
+    - ontology: label/notation/prefLabel/altLabel (ontology_resolver.py:47)
+    - agent:    name/givenName/familyName (agent_resolver.py property set)
+    - default:  label/acronym (demo_resolver.py:51)
+    """
+
+    PROPERTY_SETS = {
+        "ontology": ["label", "notation", "prefLabel", "altLabel"],
+        "agent": ["name", "givenName", "familyName"],
+        "default": ["label", "acronym"],
+    }
+
+    def __init__(self):
+        self.targets: dict[str, object] = {}
+
+    def register(self, target: str, entries: list[dict],
+                 kind: str = "default", resolve_with_properties=None):
+        from nexus_forge_ray.resolving.dictionary import DictionaryResolver
+        props = resolve_with_properties or self.PROPERTY_SETS.get(
+            kind, self.PROPERTY_SETS["default"])
+        self.targets[target] = DictionaryResolver(entries, props)
+        return self
+
+    def resolve(self, text, target: str | None = None, **kw):
+        """Unknown target -> ValueError (demo_resolver.py:81-86); no target ->
+        first hit across all targets in registration order."""
+        if target is not None:
+            if target not in self.targets:
+                raise ValueError(
+                    f"Unknown target value: {target}. Supported targets are: "
+                    f"{list(self.targets)}")
+            return self.targets[target].resolve(text, **kw)
+        for res in self.targets.values():
+            hit = res.resolve(text, **kw)
+            if hit is not None:
+                return hit
+        return None
 
 
 class LinkerActor:

@@ -199,6 +199,41 @@ class ParquetStore:
                 "metadata": {"version": int(row["version"]),
                              "deprecated": bool(row["deprecated"])}}
 
+    # ------------------------------------------------------------------ search
+
+    def search(self, *filters, include_deprecated: bool = False) -> list[dict]:
+        """Find current records matching all Filters (demo_store.py find,
+        :299-301) with the implicit deprecated==False filter
+        (bluebrain_nexus.py:947-959). Filters may be Filter objects or dicts."""
+        import json as _json
+
+        from nexus_forge_ray.core.conversions import flatten_record
+        from nexus_forge_ray.core.filters import (Filter, apply_filters_frame,
+                                                  filters_from_dict)
+        flist = []
+        for f in filters:
+            if isinstance(f, dict):
+                flist.extend(filters_from_dict(f))
+            else:
+                flist.append(f)
+        if self._records.empty:
+            return []
+        datas = [flatten_record(_json.loads(d)) for d in self._records["data"]]
+        frame = pd.DataFrame(datas)
+        frame["deprecated"] = self._records["deprecated"].to_numpy()
+        frame["_version"] = self._records["version"].to_numpy()
+        if not include_deprecated:
+            frame = frame[~frame["deprecated"].astype(bool)]
+        hit = apply_filters_frame(frame.drop(columns=["deprecated"]), flist)
+        out = []
+        for i in hit.index:
+            out.append({"data": _json.loads(self._records["data"].iloc[i]),
+                        "metadata": {
+                            "version": int(self._records["version"].iloc[i]),
+                            "deprecated": bool(
+                                self._records["deprecated"].iloc[i])}})
+        return out
+
     # ------------------------------------------------------------------ freeze
 
     VERSIONED_ID_TEMPLATE = "{id}?_version={version}"

@@ -22,6 +22,9 @@ CASES = {
     "doc_fingerprint": corpus.doc_fingerprint,
     "dedup_exact": corpus.dedup_exact,
     "similarity_topk": corpus.similarity_topk,
+    "q_events_sessions": relational.q_events_sessions,
+    "q_customers_no_orders": relational.q_customers_no_orders,
+    "q_order_priority_count": relational.q_order_priority_count,
 }
 
 
