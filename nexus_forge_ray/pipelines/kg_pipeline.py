@@ -65,10 +65,15 @@ def _add_page_keys(batch: pd.DataFrame) -> pd.DataFrame:
 
 def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
              concurrency: int | None = None, canonicalize: bool = True,
+             shard: tuple[int, int] | None = None,
              ) -> ray.data.Dataset | str:
     """Run the full DAG. Returns the triple Dataset, or the output dir when
-    out_dir is given (sorted partitioned Parquet written)."""
-    pages = extract_text(synth_pages(sf_dir, replicate=replicate))
+    out_dir is given (sorted partitioned Parquet written).
+
+    shard=(n, i) restricts the run to documents with doc_id % n == i — the
+    unit of resumable execution (pipelines.sharded).
+    """
+    pages = extract_text(synth_pages(sf_dir, replicate=replicate, shard=shard))
     pages = pages.map_batches(_add_page_keys, batch_format="pandas")
 
     validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype",

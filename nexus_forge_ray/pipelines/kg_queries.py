@@ -77,6 +77,24 @@ def kg_validate_customers(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+def kg_actions_summary(sf_dir: str):
+    """Actions report counting (actions.py:46-59): count x (operation,
+    succeeded, error) over the validation stage's outcomes."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    out = kg_validate_customers(sf_dir)
+
+    def as_actions(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"operation": "validate",
+                             "succeeded": df["valid"].astype(bool),
+                             "error": df["violation"].astype(str)})
+
+    acts = out.map_batches(as_actions, batch_format="pandas")
+    agg = hash_groupby_agg(acts, ["operation", "succeeded", "error"],
+                           {"n": ("operation", "count")}, num_buckets=4)
+    return agg.map_batches(lambda df: df.assign(n=df["n"].astype("int64")),
+                           batch_format="pandas")
+
+
 # ----------------------------------------------------------------- rows-only
 
 def kg_components(sf_dir: str):
@@ -107,6 +125,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_validate_customers": kg_validate_customers,
+    "kg_actions_summary": kg_actions_summary,
     "kg_components": kg_components,
     "kg_assemble": kg_assemble,
     "kg_flagship": kg_flagship,

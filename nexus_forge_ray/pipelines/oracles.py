@@ -170,6 +170,23 @@ ORACLES: dict[str, str] = {
                     else '' end as violation
         from customer
     """,
+    "kg_actions_summary": """
+        with v as (
+            select case when c_name is null or c_name = '' then false
+                        when c_mktsegment not in
+                             ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+                             then false
+                        when c_acctbal < 0 then false else true end as succeeded,
+                   case when c_name is null or c_name = '' then 'MinCountConstraint: c_name'
+                        when c_mktsegment not in
+                             ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+                             then 'InConstraint: c_mktsegment'
+                        when c_acctbal < 0 then 'MinMaxInclusiveConstraint: c_acctbal'
+                        else '' end as error
+            from customer)
+        select 'validate' as operation, succeeded, error, count(*) as n
+        from v group by 1, 2, 3
+    """,
     "similarity_topk": """
         with q as (select vec_id as query_id, embedding from embeddings where vec_id < 3)
         select q.query_id, e.vec_id,

@@ -51,11 +51,18 @@ def synth_pages_batch(batch: pd.DataFrame, replica: int = 0) -> pd.DataFrame:
 
 
 def synth_pages(sf_dir: str, replicate: int = 1,
-                drop_text: bool = True) -> ray.data.Dataset:
+                drop_text: bool = True,
+                shard: tuple[int, int] | None = None) -> ray.data.Dataset:
     """documents.parquet -> page Dataset. With drop_text=True the pipeline
-    must recover text from html (proving the extract stage)."""
+    must recover text from html (proving the extract stage).
+    shard=(n, i) keeps documents with doc_id % n == i (resumable sharding)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
+    if shard is not None:
+        n_shards, idx = shard
+        docs = docs.map_batches(
+            lambda df: df[df["doc_id"] % n_shards == idx],
+            batch_format="pandas")
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
         frames = [synth_pages_batch(batch, r) for r in range(replicate)]
