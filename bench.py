@@ -120,7 +120,11 @@ def run_scaling() -> dict:
     """
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_cpus = lo_cpus * 4
-    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "1"))
+    # scaling children get a heavier workload than the plain bench so compute
+    # dominates the fixed per-stage orchestration floor (~10 s)
+    os.environ.setdefault("GRAFT_REPLICATE",
+                          os.environ.get("GRAFT_SCALE_REPLICATE", "400"))
     lo_runs, hi_runs = [], []
     for _ in range(trials):
         lo_runs.append(run_child(lo_cpus))

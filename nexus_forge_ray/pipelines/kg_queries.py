@@ -69,6 +69,40 @@ def kg_resolve_exact(sf_dir: str):
         batch_format="pandas")
 
 
+def kg_resolve_fuzzy(sf_dir: str):
+    """Fuzzy (BEST_MATCH) resolution with explicit scores: distinct corpus
+    tokens (len>=4) -> best substring-containment candidate, score =
+    len(label) - len(mention) (demo_resolver.py:68-79 semantics; ties broken
+    by (score, entity_id) — documented deterministic order)."""
+    import numpy as np
+    from nexus_forge_ray.ops.agg import distinct_rows
+    from nexus_forge_ray.resolving.dictionary import DictionaryResolver
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        ex = ex[ex.str.len() >= 4]
+        return pd.DataFrame({"mention": ex.unique()})
+
+    toks = _docs(sf_dir, ["text"]).map_batches(tokens, batch_format="pandas")
+    uniq = distinct_rows(toks, "mention", num_buckets=8)
+    resolver = DictionaryResolver(KB.DEFAULT_KB)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m in df["mention"]:
+            cands = resolver.resolve_with_score(m)
+            if not cands:
+                continue
+            cands.sort(key=lambda c: (c["score"], c["id"]))
+            c = cands[0]
+            rows.append((m, c["id"], c["score"]))
+        return pd.DataFrame(rows, columns=["mention", "entity_id", "score"])             if rows else pd.DataFrame({"mention": pd.Series(dtype=object),
+                                       "entity_id": pd.Series(dtype=object),
+                                       "score": pd.Series(dtype="int64")})
+
+    return uniq.map_batches(best, batch_format="pandas")
+
+
 def kg_validate_customers(sf_dir: str):
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
     cust = cust.map_batches(
@@ -124,6 +158,7 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
     "kg_resolve_exact": kg_resolve_exact,
+    "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,
     "kg_actions_summary": kg_actions_summary,
     "kg_components": kg_components,

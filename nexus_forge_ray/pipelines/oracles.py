@@ -155,6 +155,31 @@ ORACLES: dict[str, str] = {
         where tok in ('spark','table','join','sort','merge','filter',
                       'window','customer','vector','stream','query','hash')
     """,
+    "kg_resolve_fuzzy": """
+        with toks as (select distinct unnest(string_split(text, ' ')) as mention
+                      from documents),
+        kb(entity_id, label) as (
+            values ('http://example.org/entity/spark','spark'),
+                  ('http://example.org/entity/table','table'),
+                  ('http://example.org/entity/join','join'),
+                  ('http://example.org/entity/sort','sort'),
+                  ('http://example.org/entity/merge','merge'),
+                  ('http://example.org/entity/filter','filter'),
+                  ('http://example.org/entity/window','window'),
+                  ('http://example.org/entity/customer','customer'),
+                  ('http://example.org/entity/vector','vector'),
+                  ('http://example.org/entity/stream','stream'),
+                  ('http://example.org/entity/query','query'),
+                  ('http://example.org/entity/hash','hash')),
+        cand as (
+            select mention, entity_id,
+                   (length(label) - length(mention))::bigint as score
+            from toks join kb on position(mention in label) > 0
+            where length(mention) >= 4)
+        select mention, entity_id, score from cand
+        qualify row_number() over (partition by mention
+                                   order by score, entity_id) = 1
+    """,
     "kg_validate_customers": """
         select c_custkey,
                case when c_name is null or c_name = '' then false
