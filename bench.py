@@ -124,15 +124,21 @@ def run_scaling() -> dict:
     # scaling children get a heavier workload than the plain bench so compute
     # dominates the fixed per-stage orchestration floor (~10 s)
     os.environ.setdefault("GRAFT_REPLICATE",
-                          os.environ.get("GRAFT_SCALE_REPLICATE", "400"))
-    lo_runs, hi_runs = [], []
+                          os.environ.get("GRAFT_SCALE_REPLICATE", "200"))
+    lo_runs, hi_runs, ratios = [], [], []
     for _ in range(trials):
+        # paired: lo and hi run back-to-back so each pair samples similar
+        # host conditions; the per-pair ratio is robust to slow drift
         lo_runs.append(run_child(lo_cpus))
         hi_runs.append(run_child(hi_cpus))
+        ratios.append(lo_runs[-1]["value"] / hi_runs[-1]["value"])
+    ratios.sort()
+    median_ratio = ratios[len(ratios) // 2] if len(ratios) % 2 else \
+        (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    eff = median_ratio / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),

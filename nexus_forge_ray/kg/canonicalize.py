@@ -203,6 +203,110 @@ def _tiered_components(sig: ray.data.Dataset, *, id_col: str, num_perm: int,
     return members.union(rep_rows) if rep_rows is not None else members
 
 
+def components_from_compact(sig_rows: ray.data.Dataset, *,
+                            id_col: str = "page_nid",
+                            num_bands: int = 8) -> ray.data.Dataset:
+    """Two-tier components over COMPACT signature rows
+    (id, sig_hash, b0..b7) — the fused flagship path (kg/fused.py):
+    tier 1 groups by sig_hash (exact collapse, star edges, one shuffle of
+    ~80 B/doc); tier 2 explodes the representatives' 8 precomputed band
+    hashes and groups by band. Returns (id, component) for duplicate-cluster
+    members; union-find runs only on rep-level band edges.
+    """
+    import ray as _ray
+
+    bcols = [f"b{i}" for i in range(num_bands)]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (df["sig_hash"] % np.uint64(64)).astype("int32")
+        return df
+
+    def collapse(group: pd.DataFrame) -> pd.DataFrame:
+        edge_a, edge_b, reps = [], [], []
+        for _, sub in group.groupby("sig_hash", sort=False):
+            ids = np.sort(sub[id_col].unique())
+            reps.append(sub.iloc[0:1].assign(**{id_col: ids[0]}))
+            if len(ids) > 1:
+                edge_a.append(np.full(len(ids) - 1, ids[0]))
+                edge_b.append(ids[1:])
+        frames = []
+        if edge_a:
+            e = pd.DataFrame({"id_a": np.concatenate(edge_a),
+                              "id_b": np.concatenate(edge_b)})
+            e["kind"] = np.int8(0)
+            for c in bcols:
+                e[c] = np.uint64(0)
+            frames.append(e[["kind", "id_a", "id_b"] + bcols])
+        if reps:
+            r = pd.concat(reps, ignore_index=True)
+            rr = pd.DataFrame({"kind": np.int8(1),
+                               "id_a": r[id_col].to_numpy(),
+                               "id_b": np.int64(0)})
+            for c in bcols:
+                rr[c] = r[c].to_numpy()
+            frames.append(rr)
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"kind": pd.Series(dtype="int8"),
+                          "id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          **{c: pd.Series(dtype="uint64") for c in bcols}})
+
+    tier1 = sig_rows.map_batches(bucket, batch_format="pandas") \
+        .groupby("__bkt").map_groups(collapse, batch_format="pandas")
+    tier1 = tier1.materialize()
+
+    # tier 2: explode rep band hashes -> star edges per band bucket
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        reps = df[df["kind"] == 1]
+        if not len(reps):
+            return pd.DataFrame({"rid": pd.Series(dtype="int64"),
+                                 "band_hash": pd.Series(dtype="uint64"),
+                                 "__bkt": pd.Series(dtype="int32")})
+        parts = []
+        for c in bcols:
+            bh = reps[c].to_numpy(dtype=np.uint64)
+            parts.append(pd.DataFrame({"rid": reps["id_a"].to_numpy(),
+                                       "band_hash": bh}))
+        out = pd.concat(parts, ignore_index=True)
+        out["__bkt"] = (out["band_hash"] % np.uint64(64)).astype("int32")
+        return out
+
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in group.groupby("band_hash", sort=False):
+            ids = np.sort(sub["rid"].unique())
+            if len(ids) > 1:
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    lsh_edges = tier1.map_batches(band_rows, batch_format="pandas") \
+        .groupby("__bkt").map_groups(band_pairs, batch_format="pandas")
+    lsh_df = lsh_edges.to_pandas()
+    rep_comp = union_find_local(lsh_df) if len(lsh_df) else {}
+    rep_ref = _ray.put(rep_comp)
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == 0]
+        rc = _ray.get(rep_ref)
+        comp = e["id_a"].map(lambda r: rc.get(r, r)) if rc \
+            else e["id_a"]
+        return pd.DataFrame({id_col: e["id_b"].to_numpy(),
+                             "component": np.asarray(comp, dtype=np.int64)})
+
+    members = tier1.map_batches(member_rows, batch_format="pandas")
+    if rep_comp:
+        rep_rows = ray.data.from_pandas(pd.DataFrame(
+            {id_col: list(rep_comp), "component": list(rep_comp.values())}))
+        return members.union(rep_rows)
+    return members
+
+
 def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.7,
                   num_perm: int = 64, num_bands: int = 16,

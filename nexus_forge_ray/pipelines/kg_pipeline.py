@@ -22,11 +22,7 @@ import ray
 import ray.data
 
 from nexus_forge_ray.kg import kb as KB
-from nexus_forge_ray.kg.canonicalize import canonical_map
-from nexus_forge_ray.kg.mentions import detect_mentions
-from nexus_forge_ray.kg.triples import explode_dataset, sort_and_write
-from nexus_forge_ray.mapping.mapper import RuleContext
-from nexus_forge_ray.resolving.dictionary import resolve_dataset
+from nexus_forge_ray.kg.triples import sort_and_write
 from nexus_forge_ray.sources.pages import extract_text, synth_pages
 from nexus_forge_ray.utils import stable_hash_u64
 from nexus_forge_ray.validation.shapes import (PropertyConstraint, Shape,
@@ -82,27 +78,40 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
         lambda df: df[df["valid"]].drop(
             columns=["html", "warc_ts", "valid", "violation"]),
         batch_format="pandas")
-    # The cleaned page set feeds several downstream branches (canonicalization,
-    # doc triples, mention detection); without a checkpoint each branch would
-    # lazily re-execute synth+extract+validate. Materialize once — html is
-    # dropped first so the pinned working set is text-sized; the object store
-    # spills to disk if it outgrows memory. At beyond-RAM scale substitute a
-    # Parquet checkpoint (write once, read per branch).
-    valid_pages = valid_pages.materialize()
 
-    # --- canonicalization FIRST: near-dup pages collapse to one canonical
-    # representative BEFORE any triple generation (dedup-then-process). This
-    # replaces a post-hoc subject rewrite + global triple distinct (two full
-    # shuffles over the triple set) with one broadcast filter over pages.
+    # ONE fused pass: synth -> extract -> validate -> mention-detect ->
+    # resolve -> map -> triple-explode -> MinHash banding, all inside a single
+    # fused task chain (Ray fuses the lazy map_batches). The only checkpoint
+    # is the compact tagged feature union (~80 B/page signature rows + triple
+    # rows) -- page text never enters the object store.
+    from nexus_forge_ray.kg.fused import PageFeatures
+    feats = valid_pages.map_batches(
+        PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
+                     num_perm=64, num_bands=8),
+        batch_format="pandas")
+    feats = feats.materialize()
+
+    triples = feats.map_batches(
+        lambda df: df.loc[df["kind"] == 1,
+                          ["page_nid", "subj", "pred", "obj", "obj_is_iri",
+                           "obj_datatype"]],
+        batch_format="pandas")
+
+    # --- canonicalization: near-dup pages collapse to one representative
+    # (dedup-then-process): two-tier components over the compact signature
+    # rows (8 bands x 8 rows over 64 perms: P(candidate|j) = 1-(1-j^8)^8,
+    # steep S-curve, >0.98 at j=0.9, <0.03 at j=0.5), then a broadcast dup
+    # filter over the triple rows.
     if canonicalize:
-        # 8 bands × 8 rows over 64 perms: P(candidate | j) = 1-(1-j^8)^8 —
-        # steep S-curve with midpoint ≈ 0.74, >0.98 at j=0.9, <0.03 at j=0.5;
-        # the band structure itself enforces the near-dup threshold (no
-        # verification pass, no extra shuffle)
-        comp = canonical_map(valid_pages, text_col="text", id_col="page_nid",
-                             threshold=0.9, concurrency=concurrency,
-                             num_perm=64, num_bands=8, verify="none")
-        comp_df = comp.to_pandas()  # near-dup members only: small by design
+        from nexus_forge_ray.kg.canonicalize import components_from_compact
+        sig_rows = feats.map_batches(
+            lambda df: df.loc[df["kind"] == 0,
+                              ["page_nid", "sig_hash"]
+                              + [f"b{i}" for i in range(8)]],
+            batch_format="pandas")
+        comp = components_from_compact(sig_rows, id_col="page_nid",
+                                       num_bands=8)
+        comp_df = comp.to_pandas()
         dup_nids = comp_df.loc[comp_df["page_nid"] != comp_df["component"],
                                "page_nid"].to_numpy()
         if len(dup_nids):
@@ -114,34 +123,9 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
                 pos = np.minimum(np.searchsorted(dups, v), len(dups) - 1)
                 return batch[dups[pos] != v]
 
-            # lazy: the filter re-runs per consuming branch over the already-
-            # materialized page checkpoint — cheaper than another barrier
-            valid_pages = valid_pages.map_batches(drop_dups,
-                                                  batch_format="pandas")
+            triples = triples.map_batches(drop_dups, batch_format="pandas")
 
-    # --- document triples via the mapping engine (compiled rule tree) --------
-    from nexus_forge_ray.mapping.mapper import map_dataset
-    mapped = map_dataset(valid_pages, PAGE_MAPPING, forge=RuleContext(),
-                         nas=(None, ""), concurrency=concurrency)
-    doc_triples = explode_dataset(mapped, record_col="mapped", context=CONTEXT)
-
-    # --- mention detection + entity resolution -------------------------------
-    mentions = detect_mentions(valid_pages, KB.KB_TERMS, id_col="page_iri",
-                               text_col="text")
-    resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
-                               strategy="EXACT_MATCH", concurrency=concurrency)
-
-    def mention_triples(batch: pd.DataFrame) -> pd.DataFrame:
-        hit = batch.dropna(subset=["entity_id"])
-        return pd.DataFrame({
-            "subj": hit["page_iri"], "pred": KB.PRED_MENTIONS,
-            "obj": hit["entity_id"],
-            "obj_is_iri": True, "obj_datatype": None,
-        })
-
-    m_triples = resolved.map_batches(mention_triples, batch_format="pandas")
-    triples = doc_triples.union(m_triples)
-
+    triples = triples.drop_columns(["page_nid"])
     if out_dir:
         return sort_and_write(triples, out_dir)
     return triples
