@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity (oracle-checked where SQL-expressible)
         "doc_token_counts": corpus.doc_token_counts,
         "doc_fingerprint": corpus.doc_fingerprint,
+        "doc_quality_sql": corpus.doc_quality_sql,
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
         # rows-only (non-SQL-expressible: sketches, LSH, heuristic models)

@@ -69,15 +69,18 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     chars = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
     batch = batch.append_column("n_chars_m", n_chars)
     batch = batch.append_column("n_tokens", n_tokens)
+    # round ties toward +inf to match SQL ROUND on these positive ratios (ties are real here:
+    # ratios with power-of-two denominators hit exact .5 boundaries)
+    r4 = dict(ndigits=4, round_mode="half_towards_infinity")
     batch = batch.append_column(
-        "mean_token_len", pc.round(pc.divide(pc.cast(n_chars, pa.float64()), tok), 4)
-    )
+        "mean_token_len",
+        pc.round(pc.divide(pc.cast(n_chars, pa.float64()), tok), **r4))
     batch = batch.append_column(
-        "punct_ratio", pc.round(pc.divide(pc.cast(n_punct, pa.float64()), chars), 4)
-    )
+        "punct_ratio",
+        pc.round(pc.divide(pc.cast(n_punct, pa.float64()), chars), **r4))
     batch = batch.append_column(
-        "stopword_ratio", pc.round(pc.divide(pc.cast(n_stop, pa.float64()), tok), 4)
-    )
+        "stopword_ratio",
+        pc.round(pc.divide(pc.cast(n_stop, pa.float64()), tok), **r4))
     return batch
 
 

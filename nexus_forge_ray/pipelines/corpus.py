@@ -53,6 +53,14 @@ def lang_id_pred(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def doc_quality_sql(sf_dir: str):
+    """Oracle-checkable quality stats subset (token count, mean token length,
+    punctuation ratio) — rounding mirrored in the SQL."""
+    ds = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens", "mean_token_len",
+                              "punct_ratio"])
+
+
 def doc_quality(sf_dir: str):
     ds = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
     return ds.select_columns(

@@ -81,6 +81,22 @@ ORACLES: dict[str, str] = {
                ::bigint as n_tokens
         from documents
     """,
+    "doc_quality_sql": """
+        with t as (
+            select doc_id, text,
+                   case when trim(text) = '' then 0
+                        else length(string_split_regex(trim(text), '\\s+')) end
+                   ::bigint as n_tokens,
+                   length(text)::bigint as n_chars,
+                   (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::bigint
+                   as n_punct
+            from documents)
+        select doc_id, n_tokens,
+               round(n_chars / greatest(n_tokens, 1)::double, 4) as mean_token_len,
+               round(n_punct / greatest(n_chars, 1)::double, 4) as punct_ratio
+        from t
+    """,
     "doc_fingerprint": """
         select doc_id, md5(text) as fp_md5 from documents
     """,

@@ -20,6 +20,7 @@ CASES = {
     "q_user_activity": relational.q_user_activity,
     "doc_token_counts": corpus.doc_token_counts,
     "doc_fingerprint": corpus.doc_fingerprint,
+    "doc_quality_sql": corpus.doc_quality_sql,
     "dedup_exact": corpus.dedup_exact,
     "similarity_topk": corpus.similarity_topk,
     "q_events_sessions": relational.q_events_sessions,
