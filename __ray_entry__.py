@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_brand_volume": relational.q_brand_volume,
         "q_events_hourly": relational.q_events_hourly,
         "q_user_activity": relational.q_user_activity,
+        "q_events_stats": relational.q_events_stats,
         "q_events_sessions": relational.q_events_sessions,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,

@@ -104,6 +104,12 @@ ORACLES: dict[str, str] = {
         select doc_id, text, lang, source, n_chars from documents
         qualify row_number() over (partition by text order by doc_id) = 1
     """,
+    "q_events_stats": """
+        select event_type, count(*) as n_events,
+               round(avg(value), 2) as avg_value,
+               round(stddev_samp(value), 2) as std_value
+        from events group by event_type
+    """,
     "q_events_sessions": """
         with e as (
             select user_id, ts, value,

@@ -282,6 +282,34 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_events_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type mean/stddev via re-aggregable partials (sum, sumsq,
+    count) — the distributed-moments pattern; stddev_samp formula matches
+    SQL's."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_sq"] = df["value"] ** 2
+        return df
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"), "event_type",
+        {"s": ("value", "sum"), "ss": ("value_sq", "sum"),
+         "n": ("value", "count")}, num_buckets=4).to_pandas()
+    n = agg["n"].astype(float)
+    mean = agg["s"] / n
+    var = (agg["ss"] - agg["s"] ** 2 / n) / (n - 1)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_events": agg["n"].astype("int64"),
+        "avg_value": mean.round(2),
+        "std_value": np.sqrt(var.clip(lower=0)).round(2),
+    })
+    return out
+
+
 def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization: per-user sessions split at >30-min gaps (stream-shaped
     op; Ray Data has no watermarks, so the input is treated as a partitioned

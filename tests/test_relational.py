@@ -23,6 +23,7 @@ CASES = {
     "doc_quality_sql": corpus.doc_quality_sql,
     "dedup_exact": corpus.dedup_exact,
     "similarity_topk": corpus.similarity_topk,
+    "q_events_stats": relational.q_events_stats,
     "q_events_sessions": relational.q_events_sessions,
     "q_customers_no_orders": relational.q_customers_no_orders,
     "q_order_priority_count": relational.q_order_priority_count,
