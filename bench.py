@@ -22,7 +22,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # pages per document (deterministic replicas) — scales the flagship workload
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "10"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))
 
 
 def run_bench() -> dict:
