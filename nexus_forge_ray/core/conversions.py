@@ -46,6 +46,39 @@ def parse_type(value: Any) -> str:
     return "literal"
 
 
+def merge_contexts(*contexts) -> dict:
+    """Union of JSON-LD contexts without duplicates (rdf.py:533-591): later
+    term definitions win; string/list context entries merge in order."""
+    out: dict = {}
+    for ctx in contexts:
+        if ctx is None:
+            continue
+        if isinstance(ctx, str):
+            out.setdefault("@vocab", ctx)
+        elif isinstance(ctx, list):
+            merged = merge_contexts(*ctx)
+            out.update(merged)
+        else:
+            out.update(ctx)
+    return out
+
+
+def rewrite_uri(uri: str, base: str, new_base: str) -> str:
+    """URI rewriting (bluebrain_nexus.py:1249-1301 semantics, simplified):
+    swap a base prefix, preserving the remainder verbatim."""
+    if uri.startswith(base):
+        return new_base.rstrip("/") + "/" + uri[len(base):].lstrip("/")
+    return uri
+
+
+def as_term(iri: str) -> str:
+    """IRI -> local name (kgforge/specializations/models/rdf/utils.py:17-28):
+    the fragment after '#' or the last path segment."""
+    if "#" in iri:
+        return iri.rsplit("#", 1)[1]
+    return iri.rstrip("/").rsplit("/", 1)[-1]
+
+
 # ------------------------------------------------------------------ JSON-LD
 
 def as_jsonld(record: dict, context: dict[str, str],

@@ -273,9 +273,25 @@ class ParquetStore:
             batch["deprecated"] = False
             return batch
 
-        from nexus_forge_ray.ops.agg import distinct_rows
-        stamped = ds.map_batches(stamp, batch_format="pandas")
-        deduped = distinct_rows(stamped, id_col)
+        from nexus_forge_ray.ops.agg import min_by_rows
+        from nexus_forge_ray.utils import stable_hash_u64
+
+        def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            # deterministic duplicate winner: min row-content hash per id
+            # (the reference's "first writer wins" is arrival-order-dependent;
+            # a total order keeps replays byte-identical)
+            h = np.zeros(len(batch), dtype="uint64")
+            for c in sorted(batch.columns):
+                h ^= stable_hash_u64(batch[c].astype(str))
+            batch["__row_fp"] = h
+            return batch
+
+        import numpy as np
+        stamped = ds.map_batches(stamp, batch_format="pandas") \
+            .map_batches(fingerprint, batch_format="pandas")
+        deduped = min_by_rows(stamped, id_col, "__row_fp") \
+            .drop_columns(["__row_fp"])
         if num_partitions:
             deduped = deduped.repartition(num_partitions)
         deduped.write_parquet(out_dir)
