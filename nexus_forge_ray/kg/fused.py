@@ -58,8 +58,9 @@ class PageFeatures:
         self.num_bands = num_bands
         self.rows_per_band = max(1, num_perm // num_bands)
 
-    def _signature_rows(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = self.hasher.signatures(batch["text"].tolist())  # (n, num_perm)
+    def _signature_rows(self, batch: pd.DataFrame,
+                        tok_lists=None) -> pd.DataFrame:
+        sigs = self.hasher.signatures(batch["text"].tolist(), tok_lists)
         n = len(batch)
         out = {"kind": np.zeros(n, dtype=np.int8),
                "page_nid": batch["page_nid"].to_numpy()}
@@ -72,33 +73,96 @@ class PageFeatures:
         # per-band hashes (tier-2 LSH over representatives)
         for b in range(self.num_bands):
             chunk = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
-            bh = np.full(n, np.uint64(b) * np.uint64(0x9E3779B97F4A7C15),
+            bh = np.full(n, (b * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF,
                          dtype=np.uint64)
             for j in range(chunk.shape[1]):
                 bh ^= (chunk[:, j] + np.uint64(j + 1)) \
                     * _BAND_MIX[j % len(_BAND_MIX)]
             out[f"b{b}"] = bh
         df = pd.DataFrame(out)
-        df["subj"] = None
-        df["pred"] = None
-        df["obj"] = None
+        # "" placeholders (not None): object columns holding None make every
+        # downstream pandas concat run per-value NA checks (profiled hotspot)
+        df["subj"] = ""
+        df["pred"] = ""
+        df["obj"] = ""
         df["obj_is_iri"] = False
-        df["obj_datatype"] = None
+        df["obj_datatype"] = ""
         return df[FEATURE_COLUMNS]
 
-    def _triple_rows(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _doc_triples_vectorized(self, batch: pd.DataFrame, plan: dict):
+        """Simple flat mapping -> columnar triple arrays (no per-record eval).
+        Mirrors explode_record for flat records: id key -> subject; type key ->
+        rdf:type IRI; other keys -> literal/IRI objects by value shape."""
+        from nexus_forge_ray.kg.triples import RDF_TYPE, _literal, expand_term
+        n = len(batch)
+        if "id" in plan and plan["id"][0] == "col":
+            subj = batch[plan["id"][1]].astype(str)
+        else:
+            subj = pd.Series([plan.get("id", ("lit", ""))[1]] * n)
+        out = []
+        nids = batch["page_nid"].to_numpy()
+        for key, (kind, val) in plan.items():
+            if key == "id":
+                continue
+            if key == "type":
+                vals = batch[val].astype(str) if kind == "col" \
+                    else pd.Series([val] * n)
+                obj = vals.map(lambda t: expand_term(
+                    str(t), self.context, "http://example.org/vocab/"))
+                out.append(pd.DataFrame({
+                    "subj": subj, "pred": RDF_TYPE, "obj": obj,
+                    "obj_is_iri": True, "obj_datatype": "",
+                    "page_nid": nids}))
+                continue
+            pred = expand_term(key, self.context, "http://example.org/vocab/")
+            vals = batch[val] if kind == "col" else pd.Series([val] * n,
+                                                              index=batch.index)
+            if vals.dtype == object:  # string column: vectorized literal rules
+                sv = vals.astype(str)
+                is_iri = sv.str.startswith(
+                    ("http://", "https://", "urn:")).to_numpy()
+                from nexus_forge_ray.kg.triples import XSD_STRING
+                keep_mask = vals.notna().to_numpy()
+                out.append(pd.DataFrame({
+                    "subj": subj.to_numpy()[keep_mask],
+                    "pred": pred,
+                    "obj": sv.to_numpy()[keep_mask],
+                    "obj_is_iri": is_iri[keep_mask],
+                    "obj_datatype": np.where(is_iri[keep_mask], "",
+                                             XSD_STRING),
+                    "page_nid": nids[keep_mask]}))
+                continue
+            lit = [(None if v is None else _literal(v)) for v in vals]
+            keep = [i for i, x in enumerate(lit) if x is not None]
+            out.append(pd.DataFrame({
+                "subj": subj.iloc[keep].to_numpy(),
+                "pred": pred,
+                "obj": [lit[i][0] for i in keep],
+                "obj_is_iri": [lit[i][1] for i in keep],
+                "obj_datatype": [lit[i][2] or "" for i in keep],
+                "page_nid": nids[keep]}))
+        return out
+
+    def _triple_rows(self, batch: pd.DataFrame,
+                     tok_lists=None) -> pd.DataFrame:
         subjs, preds, objs, iris, dts, nids = [], [], [], [], [], []
-        # document triples via the mapping engine (compiled rules)
-        for rec, nid in zip(batch.to_dict("records"),
-                            batch["page_nid"].to_numpy()):
-            mapped = self.mapper.map_record(rec)
-            for s, p, o, is_iri, dt in explode_record(mapped, self.context):
-                subjs.append(s); preds.append(p); objs.append(o)
-                iris.append(is_iri); dts.append(dt); nids.append(nid)
+        plan = self.mapper.compiled.simple_plan()
+        vec_frames = None
+        if plan is not None:
+            vec_frames = self._doc_triples_vectorized(batch, plan)
+        else:
+            # document triples via the mapping engine (per-record eval path)
+            for rec, nid in zip(batch.to_dict("records"),
+                                batch["page_nid"].to_numpy()):
+                mapped = self.mapper.map_record(rec)
+                for s, p, o, is_iri, dt in explode_record(mapped, self.context):
+                    subjs.append(s); preds.append(p); objs.append(o)
+                    iris.append(is_iri); dts.append(dt or ""); nids.append(nid)
         # mention triples: vectorized token match + broadcast-KB resolve
-        s2 = batch[["page_nid", "page_iri", "text"]].copy()
-        s2["token"] = s2["text"].str.split(" ")
-        ex = s2[["page_nid", "page_iri", "token"]].explode("token")
+        s2 = batch[["page_nid", "page_iri"]].copy()
+        s2["token"] = tok_lists if tok_lists is not None \
+            else batch["text"].str.split()
+        ex = s2.explode("token")
         hits = ex[ex["token"].isin(self.terms)].drop_duplicates(
             subset=["page_nid", "token"])
         # resolve each UNIQUE mention once per batch, then a vectorized map
@@ -116,20 +180,29 @@ class PageFeatures:
         iris.extend([True] * len(resolved))
         dts.extend([None] * len(resolved))
         nids.extend(resolved["page_nid"].tolist())
-        n = len(subjs)
-        df = pd.DataFrame({
-            "kind": np.ones(n, dtype=np.int8),
-            "page_nid": np.asarray(nids, dtype=np.int64),
-            "sig_hash": np.zeros(n, dtype=np.uint64),
-            **{f"b{i}": np.zeros(n, dtype=np.uint64) for i in range(8)},
-            "subj": subjs, "pred": preds, "obj": objs,
-            "obj_is_iri": np.asarray(iris, dtype=bool),
-            "obj_datatype": dts,
-        })
+        frames = []
+        if vec_frames:
+            frames.extend(vec_frames)
+        if subjs:
+            frames.append(pd.DataFrame({
+                "subj": subjs, "pred": preds, "obj": objs,
+                "obj_is_iri": np.asarray(iris, dtype=bool),
+                "obj_datatype": dts,
+                "page_nid": np.asarray(nids, dtype=np.int64)}))
+        if not frames:
+            return _empty_features()
+        df = pd.concat(frames, ignore_index=True)
+        n = len(df)
+        df["kind"] = np.ones(n, dtype=np.int8)
+        df["sig_hash"] = np.zeros(n, dtype=np.uint64)
+        for i in range(8):
+            df[f"b{i}"] = np.zeros(n, dtype=np.uint64)
         return df[FEATURE_COLUMNS]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return _empty_features()
-        return pd.concat([self._signature_rows(batch),
-                          self._triple_rows(batch)], ignore_index=True)
+        tok_lists = batch["text"].str.split()  # tokenize ONCE per batch
+        return pd.concat([self._signature_rows(batch, tok_lists),
+                          self._triple_rows(batch, tok_lists)],
+                         ignore_index=True)

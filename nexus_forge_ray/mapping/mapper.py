@@ -95,6 +95,34 @@ class CompiledMapping:
                 return ("lit", None, node)
         return ("val", None, node)
 
+    def simple_plan(self) -> dict[str, tuple[str, Any]] | None:
+        """Vectorizable plan for FLAT rule trees whose every leaf is either a
+        pure column reference (`x.field`) or a literal: {out_key: ("col",
+        name) | ("lit", value)}. Returns None when any rule is nested or uses
+        arbitrary expressions — callers then fall back to per-record eval.
+        """
+        plan: dict[str, tuple[str, Any]] = {}
+        for k, v in self.compiled.items():
+            if isinstance(v, (dict, list)):
+                return None
+            kind, _, raw = v
+            if kind in ("lit", "val"):
+                plan[k] = ("lit", raw)
+            else:
+                m = _SIMPLE_REF.match(raw)
+                if m:
+                    plan[k] = ("col", m.group(1))
+                else:
+                    # a literal-looking leaf whose eval would NameError
+                    try:
+                        eval(compile(raw, "<rule>", "eval"), {}, {})
+                        return None  # evaluable without x: not a plain literal
+                    except (NameError, TypeError):
+                        plan[k] = ("lit", raw)
+                    except Exception:
+                        return None
+        return plan
+
     def apply(self, record: dict, forge: RuleContext, nas: tuple = (None,)) -> dict:
         variables = {"forge": forge, "x": wrap(record)}
         out = self._apply(self.compiled, variables)

@@ -84,7 +84,7 @@ class MinHasher:
     _MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
                      0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
 
-    def signatures(self, texts) -> np.ndarray:
+    def signatures(self, texts, tok_lists=None) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix — fully vectorized.
 
         Shingle hashes are rolling combinations of per-token SipHashes (no
@@ -98,8 +98,9 @@ class MinHasher:
         sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
         if n == 0:
             return sigs
-        s = pd.Series(texts, dtype=object).fillna("")
-        tok_lists = s.str.split()
+        if tok_lists is None:
+            s = pd.Series(texts, dtype=object).fillna("")
+            tok_lists = s.str.split()
         lens = tok_lists.map(len).to_numpy(dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
@@ -196,7 +197,7 @@ def _band_rows(batch: pa.Table, num_bands: int, id_col: str) -> pd.DataFrame:
     out_ids, out_band, out_hash = [], [], []
     for b in range(num_bands):
         chunk = sigs[:, b * rows_per_band:(b + 1) * rows_per_band]
-        bh = np.full(n, np.uint64(b) * np.uint64(0x9E3779B97F4A7C15),
+        bh = np.full(n, (b * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF,
                      dtype=np.uint64)
         for j in range(chunk.shape[1]):
             bh ^= (chunk[:, j] + np.uint64(j + 1)) * _BAND_MIX[j % len(_BAND_MIX)]

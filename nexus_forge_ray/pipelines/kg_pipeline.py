@@ -85,10 +85,12 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
     # is the compact tagged feature union (~80 B/page signature rows + triple
     # rows) -- page text never enters the object store.
     from nexus_forge_ray.kg.fused import PageFeatures
+    # batch_size=None: one batch per block — full blocks amortize per-call
+    # overhead without cross-block bundling (which would collapse parallelism)
     feats = valid_pages.map_batches(
         PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
                      num_perm=64, num_bands=8),
-        batch_format="pandas")
+        batch_format="pandas", batch_size=None)
     feats = feats.materialize()
 
     triples = feats.map_batches(
