@@ -7,8 +7,9 @@ ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON
 line: {"metric", "value" (headline sec), "unit", "queries": {name: sec},
 "sf", "num_cpus", "docs_per_s", "triples_per_s"}.
 
---scaling: run the headline pipeline twice in fresh processes (num_cpus=8 and
-32) on the same input, print both throughputs + scaling efficiency.
+--scaling: run the headline pipeline at N and 4N CPUs (default 2 vs 8) in
+fresh processes on the same input, paired interleaved trials, print both
+throughputs + scaling efficiency (median per-pair ratio / 4).
 """
 
 from __future__ import annotations
