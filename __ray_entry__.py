@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": corpus.simhash_signatures,
         "embedding_near_dup": corpus.embedding_near_dup,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        "mm_image_features": corpus.mm_image_features,
     }
     try:
         from nexus_forge_ray.pipelines import kg_queries

@@ -118,31 +118,35 @@ class FrameSampler:
              + ["frame_index", "frame"]})
 
 
-def decode_images(ds: ray.data.Dataset, *, image_col: str = "image",
-                  concurrency: int = 2, batch_size: int = 32,
-                  fake: bool = True) -> ray.data.Dataset:
-    return ds.map_batches(ImageDecoder,
-                          fn_constructor_kwargs=dict(image_col=image_col,
-                                                     fake=fake),
+def _mm_stage(ds, cls, kwargs, concurrency, batch_size):
+    """Task mode by default (fake kernels are stateless); pass concurrency for
+    an actor pool when a real model/codec must load once per worker."""
+    if concurrency is None:
+        return ds.map_batches(cls(**kwargs), batch_format="pandas",
+                              batch_size=batch_size)
+    return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def decode_images(ds: ray.data.Dataset, *, image_col: str = "image",
+                  concurrency: int | None = None, batch_size: int = 32,
+                  fake: bool = True) -> ray.data.Dataset:
+    return _mm_stage(ds, ImageDecoder, dict(image_col=image_col, fake=fake),
+                     concurrency, batch_size)
 
 
 def extract_features(ds: ray.data.Dataset, *, dim: int = 16,
-                     payload_col: str = "image", concurrency: int = 2,
+                     payload_col: str = "image",
+                     concurrency: int | None = None,
                      batch_size: int = 32, fake: bool = True) -> ray.data.Dataset:
-    return ds.map_batches(FeatureExtractor,
-                          fn_constructor_kwargs=dict(dim=dim, fake=fake,
-                                                     payload_col=payload_col),
-                          batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency)
+    return _mm_stage(ds, FeatureExtractor,
+                     dict(dim=dim, fake=fake, payload_col=payload_col),
+                     concurrency, batch_size)
 
 
 def sample_frames(ds: ray.data.Dataset, *, video_col: str = "video",
-                  concurrency: int = 2, batch_size: int = 8,
+                  concurrency: int | None = None, batch_size: int = 8,
                   fake: bool = True) -> ray.data.Dataset:
-    return ds.map_batches(FrameSampler,
-                          fn_constructor_kwargs=dict(video_col=video_col,
-                                                     fake=fake),
-                          batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency)
+    return _mm_stage(ds, FrameSampler, dict(video_col=video_col, fake=fake),
+                     concurrency, batch_size)

@@ -84,6 +84,24 @@ def embedding_near_dup(sf_dir: str):
     return dd.embedding_near_dup_pairs(emb, threshold=0.9)
 
 
+def mm_image_features(sf_dir: str):
+    """Multimodal plumbing over synthesized binary payloads (html bytes act
+    as the opaque image column): decode metadata + hash-fake features.
+    Rows-only: kernels are deterministic stubs (no codecs in this env)."""
+    from nexus_forge_ray.ops import multimodal as mm
+    from nexus_forge_ray.sources.pages import synth_pages
+    pages = synth_pages(sf_dir).map_batches(
+        lambda df: df.rename(columns={"html": "image"})[["url", "image"]],
+        batch_format="pandas")
+    decoded = mm.decode_images(pages)
+    feats = mm.extract_features(decoded, dim=8)
+    return feats.map_batches(
+        lambda df: pd.DataFrame({"url": df["url"], "width": df["width"],
+                                 "height": df["height"],
+                                 "dim": [len(e) for e in df["embedding"]]}),
+        batch_format="pandas")
+
+
 def similarity_topk_ivf(sf_dir: str):
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],

@@ -103,6 +103,39 @@ def kg_resolve_fuzzy(sf_dir: str):
     return uniq.map_batches(best, batch_format="pandas")
 
 
+def kg_entity_popularity(sf_dir: str):
+    """Documents-per-entity counts over resolved mentions (graph-side rollup:
+    entity in-degree on the mentions predicate)."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
+                               strategy="EXACT_MATCH")
+    hits = resolved.map_batches(
+        lambda df: df.dropna(subset=["entity_id"])[["doc_id", "entity_id"]],
+        batch_format="pandas")
+    out = hash_groupby_agg(hits, "entity_id",
+                           {"n_docs": ("doc_id", "count")}, num_buckets=4)
+    return out.map_batches(
+        lambda df: df.assign(n_docs=df["n_docs"].astype("int64")),
+        batch_format="pandas")
+
+
+def kg_triples_typed(sf_dir: str):
+    """Triples WITH the object-shape columns (obj_is_iri, obj_datatype) —
+    stronger oracle on the triple-explode literal rules."""
+    t = kg_triples(sf_dir)
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        is_iri = df["obj"].str.startswith(("http://", "https://", "urn:"))
+        df["obj_is_iri"] = is_iri
+        df["obj_datatype"] = is_iri.map(
+            {True: "", False: "http://www.w3.org/2001/XMLSchema#string"})
+        return df
+
+    return t.map_batches(typed, batch_format="pandas")
+
+
 def kg_validate_customers(sf_dir: str):
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
     cust = cust.map_batches(
@@ -160,6 +193,8 @@ QUERIES = {
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,
+    "kg_entity_popularity": kg_entity_popularity,
+    "kg_triples_typed": kg_triples_typed,
     "kg_actions_summary": kg_actions_summary,
     "kg_components": kg_components,
     "kg_assemble": kg_assemble,

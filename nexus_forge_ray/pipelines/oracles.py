@@ -202,6 +202,33 @@ ORACLES: dict[str, str] = {
         qualify row_number() over (partition by mention
                                    order by score, entity_id) = 1
     """,
+    "kg_entity_popularity": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash'))
+        select 'http://example.org/entity/' || tok as entity_id,
+               count(*) as n_docs
+        from m group by tok
+    """,
+    "kg_triples_typed": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash'))
+        select 'http://example.org/doc/' || doc_id as subj,
+               'http://example.org/vocab/mentions' as pred,
+               'http://example.org/entity/' || tok as obj,
+               true as obj_is_iri, '' as obj_datatype
+        from m
+        union all
+        select 'http://example.org/doc/' || doc_id,
+               'http://example.org/vocab/lang', lang,
+               false, 'http://www.w3.org/2001/XMLSchema#string'
+        from documents
+    """,
     "kg_validate_customers": """
         select c_custkey,
                case when c_name is null or c_name = '' then false

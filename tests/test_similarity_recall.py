@@ -1,0 +1,32 @@
+"""IVF approximate search must retain high recall vs brute force."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data
+
+from nexus_forge_ray.ops import similarity as sim
+
+
+def test_ivf_recall_vs_brute_force(sf_dir):
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas().head(5)
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    exact = sim.cosine_topk(emb, qdf["vec_id"].tolist(), qmat, k=10)
+    approx = sim.ivf_topk(emb, qdf["vec_id"].tolist(), qmat, k=10,
+                          n_centroids=8, nprobe=4)
+    recalls = []
+    for qid in qdf["vec_id"]:
+        e = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls  # nprobe=4 of 8 centroids
+
+
+def test_mm_image_features_rows(sf_dir):
+    from nexus_forge_ray.pipelines.corpus import mm_image_features
+    out = mm_image_features(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert (out["dim"] == 8).all()
+    assert (out["width"] >= 16).all()
