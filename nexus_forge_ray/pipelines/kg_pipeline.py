@@ -62,6 +62,7 @@ def _add_page_keys(batch: pd.DataFrame) -> pd.DataFrame:
 def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
              concurrency: int | None = None, canonicalize: bool = True,
              shard: tuple[int, int] | None = None,
+             write_sigs: bool = False,
              ) -> ray.data.Dataset | str:
     """Run the full DAG. Returns the triple Dataset, or the output dir when
     out_dir is given (sorted partitioned Parquet written).
@@ -99,6 +100,16 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
                            "obj_datatype"]],
         batch_format="pandas")
 
+    if write_sigs and out_dir:
+        # persist compact signature rows alongside the shard output so a
+        # later GLOBAL canonicalization phase can merge near-dups that cross
+        # shard boundaries (pipelines.sharded.global_canonicalize)
+        feats.map_batches(
+            lambda df: df.loc[df["kind"] == 0,
+                              ["page_nid", "sig_hash"]
+                              + [f"b{i}" for i in range(8)]],
+            batch_format="pandas").write_parquet(f"{out_dir}/_sigs")
+
     # --- canonicalization: near-dup pages collapse to one representative
     # (dedup-then-process): two-tier components over the compact signature
     # rows (8 bands x 8 rows over 64 perms: P(candidate|j) = 1-(1-j^8)^8,
@@ -114,8 +125,13 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
         comp = components_from_compact(sig_rows, id_col="page_nid",
                                        num_bands=8)
         comp_df = comp.to_pandas()
-        dup_nids = comp_df.loc[comp_df["page_nid"] != comp_df["component"],
-                               "page_nid"].to_numpy()
+        # a fully-empty Dataset loses its column names through to_pandas
+        if "page_nid" not in comp_df.columns:
+            dup_nids = np.array([], dtype="int64")
+        else:
+            dup_nids = comp_df.loc[
+                comp_df["page_nid"] != comp_df["component"],
+                "page_nid"].to_numpy()
         if len(dup_nids):
             dup_ref = ray.put(np.sort(dup_nids))
 

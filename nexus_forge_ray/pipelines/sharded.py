@@ -37,7 +37,8 @@ def flagship_sharded(sf_dir: str, out_root: str, *, num_shards: int = 4,
 
     def run_shard(sid: str, idx: int, out_dir: str) -> dict:
         ds = flagship(sf_dir, replicate=replicate,
-                      shard=(num_shards, idx), out_dir=out_dir)
+                      shard=(num_shards, idx), out_dir=out_dir,
+                      write_sigs=True)
         import pyarrow.parquet as pq
         n = sum(pq.read_metadata(f).num_rows
                 for f in glob.glob(os.path.join(out_dir, "*.parquet")))
@@ -50,3 +51,60 @@ def flagship_sharded(sf_dir: str, out_root: str, *, num_shards: int = 4,
 def read_sharded_triples(out_root: str) -> pd.DataFrame:
     files = sorted(glob.glob(os.path.join(out_root, "shard=*", "*.parquet")))
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def global_canonicalize(out_root: str, out_dir: str) -> str:
+    """Phase 2: merge near-duplicates that CROSS shard boundaries.
+
+    Per-shard canonicalization only sees duplicates co-located by the doc_id
+    hash. This phase reads every shard's persisted compact signature rows,
+    computes global components, drops the triples of non-representative pages
+    across ALL shards, and writes one globally-canonical sorted triple set.
+    The phase has its own manifest (reruns skip when shard inputs unchanged).
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from nexus_forge_ray.kg.canonicalize import components_from_compact
+    from nexus_forge_ray.kg.triples import sort_and_write
+
+    sig_files = sorted(glob.glob(os.path.join(out_root, "shard=*", "_sigs",
+                                              "*.parquet")))
+    triple_files = sorted(
+        f for f in glob.glob(os.path.join(out_root, "shard=*", "*.parquet")))
+    runner = PartitionedRunner(out_dir)
+    fp = fingerprint_paths(sig_files + triple_files)
+
+    def run_phase(sid: str, _spec, phase_dir: str) -> dict:
+        sigs = rd.read_parquet(sig_files)
+        comp = components_from_compact(sigs, id_col="page_nid", num_bands=8)
+        comp_df = comp.to_pandas()
+        if "page_nid" not in comp_df.columns:
+            dup_nids = np.array([], dtype="int64")
+        else:
+            dup_nids = np.sort(comp_df.loc[
+                comp_df["page_nid"] != comp_df["component"],
+                "page_nid"].to_numpy())
+        triples = rd.read_parquet(triple_files)
+        if len(dup_nids):
+            dup_ref = ray.put(dup_nids)
+
+            def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
+                # subjects are DOC_BASE + nid; recover the nid to filter
+                from nexus_forge_ray.kg.kb import DOC_BASE
+                nid = pd.to_numeric(
+                    batch["subj"].str.rsplit("/", n=1).str[-1],
+                    errors="coerce").fillna(-1).astype("int64")
+                dups = ray.get(dup_ref)
+                pos = np.minimum(np.searchsorted(dups, nid.to_numpy()),
+                                 len(dups) - 1)
+                return batch[dups[pos] != nid.to_numpy()]
+
+            triples = triples.map_batches(drop_dups, batch_format="pandas")
+        sort_and_write(triples, phase_dir)
+        return {"operation": "global_canonicalize", "succeeded": True,
+                "cross_shard_dups": int(len(dup_nids)), "error": ""}
+
+    runner.run({"global": None}, run_phase, {"global": fp})
+    return runner.shard_out("global")

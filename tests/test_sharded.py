@@ -35,7 +35,8 @@ def test_sharded_kill_rerun_byte_identical(sf_dir, tmp_path):
     os.remove(os.path.join(crashed_dir, "_manifests", "001.json"))
     shard1 = os.path.join(crashed_dir, "shard=001")
     for f in os.listdir(shard1):
-        os.remove(os.path.join(shard1, f))
+        p = os.path.join(shard1, f)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     with open(os.path.join(shard1, "partial.parquet"), "w") as f:
         f.write("garbage from a killed run")
 
@@ -65,3 +66,42 @@ def test_shards_partition_docs_disjointly(sf_dir, tmp_path):
     import json
     m = json.load(open(os.path.join(out, "_manifests", "000.json")))
     assert m["committed"] and m["counters"]["triples"] > 0
+
+
+def test_global_canonicalize_merges_cross_shard_dups(tmp_path):
+    """Docs with identical text but doc_ids hashing to DIFFERENT shards are
+    only merged by the global phase."""
+    import pandas as pd
+    from nexus_forge_ray.pipelines.sharded import (flagship_sharded,
+                                                   global_canonicalize)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],   # % 2 -> shards 0,1,0,1
+        "text": ["spark table join sort merge filter window customer"] * 2
+        + ["vector stream query hash spark table unique one",
+           "totally different content that stands alone here"],
+        "lang": ["en"] * 4,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    out = str(tmp_path / "run")
+    flagship_sharded(str(sf), out, num_shards=2)
+    per_shard = pd.concat(
+        [pd.read_parquet(f) for f in
+         __import__("glob").glob(os.path.join(out, "shard=*", "*.parquet"))],
+        ignore_index=True)
+    # docs 0 and 1 are exact dups in different shards: per-shard output keeps both
+    subs = per_shard["subj"].nunique()
+
+    final_dir = global_canonicalize(out, str(tmp_path / "canonical"))
+    merged = pd.concat([pd.read_parquet(f) for f in
+                        __import__("glob").glob(os.path.join(final_dir,
+                                                             "*.parquet"))],
+                       ignore_index=True)
+    assert merged["subj"].nunique() == subs - 1  # one cross-shard dup merged
+    # rerun skips (manifest committed)
+    from nexus_forge_ray.state.lineage import PartitionManifest
+    m = PartitionManifest.load(os.path.join(str(tmp_path / "canonical"),
+                                            "_manifests"), "global")
+    assert m.committed and m.counters["cross_shard_dups"] >= 1
