@@ -102,8 +102,15 @@ class LangIdModel:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.langs = sorted(STOPWORDS)
+        # \b is ASCII-only in RE2: for languages whose stopwords contain
+        # non-ASCII word characters (zh), count plain substrings instead —
+        # CJK stopwords are single hanzi that appear unsegmented in text.
         self.patterns = {
-            lang: r"\b(" + "|".join(sorted(words)) + r")\b"
+            lang: (
+                r"\b(" + "|".join(sorted(words)) + r")\b"
+                if all(w.isascii() for w in words)
+                else "(" + "|".join(sorted(words)) + ")"
+            )
             for lang, words in STOPWORDS.items()
         }
 

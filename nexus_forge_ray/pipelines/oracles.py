@@ -122,7 +122,7 @@ ORACLES: dict[str, str] = {
         s as (
             select user_id, ts, value,
                    sum(new_s) over (partition by user_id order by ts
-                                    rows unbounded preceding) as session_id
+                                    rows unbounded preceding)::bigint as session_id
             from e)
         select user_id, session_id, count(*) as n_events,
                round(sum(value), 2) as sum_value
@@ -196,7 +196,7 @@ ORACLES: dict[str, str] = {
         cand as (
             select mention, entity_id,
                    (length(label) - length(mention))::bigint as score
-            from toks join kb on position(mention in label) > 0
+            from toks join kb on position(lower(mention) in lower(label)) > 0
             where length(mention) >= 4)
         select mention, entity_id, score from cand
         qualify row_number() over (partition by mention

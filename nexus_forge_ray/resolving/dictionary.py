@@ -131,7 +131,13 @@ class ResolverActor:
             if r is None:
                 hits[m] = (None, None)
             else:
-                basis = str(r.get(self.resolver.props[0], r.get("label", "")))
+                # score basis = first PRESENT resolve property (the reference's
+                # _dist, demo_resolver.py:109-110) — NOT props[0]-with-fallback
+                basis = next(
+                    (str(r[p]) for p in self.resolver.props
+                     if p in r and r[p] is not None),
+                    str(r.get("label", "")),
+                )
                 hits[m] = (r.get("id"), float(len(basis) - len(str(m))))
         batch = batch.copy()
         batch["entity_id"] = batch[self.mention_col].map(lambda m: hits[m][0])

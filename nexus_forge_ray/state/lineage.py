@@ -65,7 +65,7 @@ def fingerprint_paths(paths: list[str]) -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
