@@ -58,12 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_sql": corpus.doc_quality_sql,
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
-        # rows-only (non-SQL-expressible: sketches, LSH, heuristic models)
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,
-        "simhash_signatures": corpus.simhash_signatures,
         "embedding_near_dup": corpus.embedding_near_dup,
+        # rows-only (justifications in pipelines/oracles.py docstring)
+        "simhash_signatures": corpus.simhash_signatures,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "mm_image_features": corpus.mm_image_features,
     }

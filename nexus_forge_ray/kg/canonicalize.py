@@ -310,11 +310,17 @@ def components_from_compact(sig_rows: ray.data.Dataset, *,
 def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", threshold: float = 0.7,
                   num_perm: int = 64, num_bands: int = 16,
-                  concurrency: int | None = None, verify: str = "exact",
+                  concurrency: int | None = None, verify: str = "minhash",
                   local_edge_limit: int = 2_000_000) -> ray.data.Dataset:
-    """Full canonicalization: MinHash blocking -> Jaccard verify -> components.
+    """Full canonicalization: MinHash blocking -> verify -> components.
     Returns (doc_id, component) for every doc in a near-dup cluster; docs not
     listed are their own canonical representative.
+
+    verify="minhash" (default): signature-agreement estimate via fully
+    distributed bucketed joins — the scale path (nothing O(corpus) on the
+    driver). verify="exact": true n-gram Jaccard; collects candidate docs'
+    shingle sets — keep for small-corpus reports only. verify="none": two-tier
+    blocking only (exact collapse + rep-level LSH).
 
     Component path is chosen by measured edge count: the verified candidate
     set is ≪ corpus by construction, so when it fits comfortably on the

@@ -401,23 +401,42 @@ class SimHasher:
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> np.uint64:
-        toks = (text or "").split()
-        if not toks:
-            return np.uint64(0)
-        uniq, counts = np.unique(toks, return_counts=True)
-        h = stable_hash_u64(uniq).astype(np.uint64)
-        bitmat = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                  & np.uint64(1)).astype(np.int64)
-        votes = ((bitmat * 2 - 1) * counts[:, None]).sum(axis=0)
-        return np.uint64(((votes > 0).astype(np.uint64) * self.bits).sum())
+        """Single-doc helper (tests); batches go through the vectorized path."""
+        out = self.simhash_batch(pd.Series([text], dtype=object))
+        return np.uint64(out[0])
+
+    def simhash_batch(self, texts: pd.Series) -> np.ndarray:
+        """Vectorized over the whole batch: one token explode + one SipHash
+        pass, per-doc per-bit vote sums via np.add.reduceat — no per-row loop.
+        A token occurring c times contributes c votes, identical to the
+        unique+counts weighting."""
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out
+        tok_lists = texts.fillna("").astype(str).str.split()
+        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+        nonzero = lens > 0
+        if not nonzero.any():
+            return out
+        flat = tok_lists.explode().dropna()
+        th = stable_hash_u64(flat).astype(np.uint64)
+        # (n_tokens, 64) 0/1 bit matrix; int8 keeps the working set small
+        bitmat = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                  & np.uint64(1)).astype(np.int8)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        starts = offsets[:-1][nonzero]
+        ones = np.add.reduceat(bitmat, starts, axis=0).astype(np.int64)
+        votes = 2 * ones - lens[nonzero][:, None]  # (+1/-1 vote sums)
+        out[nonzero] = ((votes > 0).astype(np.uint64) * self.bits).sum(axis=1)
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
+        return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
-            "simhash": np.array([self.simhash(t) for t in batch[self.text_col]],
-                                dtype=np.uint64),
+            "simhash": self.simhash_batch(batch[self.text_col]),
         })
-        return out
 
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
@@ -434,51 +453,45 @@ def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
 
 # ------------------------------------------------- embedding cosine near-dup
 
+def _unit_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    from nexus_forge_ray.utils import list_column_to_matrix
+    mat = list_column_to_matrix(batch[vec_col])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def embedding_near_dup_pairs(emb_ds: ray.data.Dataset, *, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              num_buckets: int = 8, seed: int = 42,
+                             max_bucket: int = 1024,
                              ) -> ray.data.Dataset:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Scale path: random-hyperplane LSH buckets (SimHash on the embedding) so the
-    all-pairs comparison happens per bucket, not globally. A pair is emitted if
-    the two vectors share a bucket under any of the hyperplane sets and cosine
-    ≥ threshold; dedup across bucket sets by groupby(id_a, id_b).
+    Scale path: random-hyperplane LSH — each vector gets an 8-bit signature
+    under `num_buckets` independent hyperplane sets; two vectors sharing any
+    bucket become a candidate pair. The LSH shuffle carries ONLY
+    (id, bucket_set, bucket) rows (3 ints) — vectors never ride it (shipping
+    the unit vector once per bucket set would inflate the exchange
+    `num_buckets`× the corpus embedding volume). Candidate pairs are deduped,
+    then verified by cosine with the unit vectors attached via two bucketed
+    hash joins (float32 bytes), mirroring minhash_verify_pairs.
     """
-    from nexus_forge_ray.utils import list_column_to_matrix
+    emb_ds = emb_ds.materialize()  # consumed 3x: buckets + both join sides
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
-        mat = list_column_to_matrix(batch[vec_col])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
+        unit = _unit_matrix(batch, vec_col)
         rng = np.random.RandomState(seed)
-        out_frames = []
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_frames = []
         for bs in range(num_buckets):
             planes = rng.standard_normal((unit.shape[1], 8))
             sig = (unit @ planes > 0) @ (1 << np.arange(8))
             out_frames.append(pd.DataFrame({
-                id_col: ids, "bucket_set": bs, "bucket": sig.astype(np.int64),
-                "_unit": list(unit.astype(np.float32)),
-            }))
+                id_col: ids, "bucket_set": bs, "bucket": sig.astype(np.int64)}))
         return pd.concat(out_frames, ignore_index=True)
 
     buckets = emb_ds.map_batches(bucketize, batch_format="pyarrow")
-
-    def pairwise(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        mat = np.stack(g["_unit"].to_numpy())
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sims[ia, ib] >= threshold
-        ids = g[id_col].to_numpy()
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "cosine": np.round(sims[ia, ib][keep].astype(np.float64), 4)})
 
     def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -487,10 +500,62 @@ def embedding_near_dup_pairs(emb_ds: ray.data.Dataset, *, threshold: float = 0.9
         return df
 
     def pairwise_groups(group: pd.DataFrame) -> pd.DataFrame:
-        frames = [pairwise(sub) for _, sub in
-                  group.groupby(["bucket_set", "bucket"], sort=False)]
-        return pd.concat(frames, ignore_index=True) if frames else pairwise(group)
+        out_a, out_b = [], []
+        for _, sub in group.groupby(["bucket_set", "bucket"], sort=False):
+            ids = np.sort(sub[id_col].unique())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:  # degenerate-bucket guard
+                ids = ids[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    pairs = buckets.map_batches(add_bkt, batch_format="pandas")         .groupby("__bkt").map_groups(pairwise_groups, batch_format="pandas")
+    cand = buckets.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(pairwise_groups, batch_format="pandas")
     from nexus_forge_ray.ops.agg import distinct_rows
-    return distinct_rows(pairs, ["id_a", "id_b"], num_buckets=16)
+    cand = distinct_rows(cand, ["id_a", "id_b"], num_buckets=16)
+
+    # cosine verify: two bucketed joins attach unit vectors (as fixed-width
+    # float32 bytes) to each endpoint — vectors travel once per candidate pair
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    def unit_rows(side: str):
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            unit = _unit_matrix(batch, vec_col).astype(np.float32)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({f"id_{side}": ids,
+                                 f"u_{side}": [r.tobytes() for r in unit]})
+        return fn
+
+    j1 = partitioned_join(cand, emb_ds.map_batches(unit_rows("a"),
+                                                   batch_format="pyarrow"),
+                          on="id_a", num_buckets=16,
+                          lcols=["id_a", "id_b"], rcols=["id_a", "u_a"])
+    j2 = partitioned_join(j1, emb_ds.map_batches(unit_rows("b"),
+                                                 batch_format="pyarrow"),
+                          on="id_b", num_buckets=16,
+                          lcols=["id_a", "id_b", "u_a"], rcols=["id_b", "u_b"])
+
+    def cosine(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ma = np.frombuffer(b"".join(batch["u_a"]), dtype=np.float32) \
+            .reshape(len(batch), -1)
+        mb = np.frombuffer(b"".join(batch["u_b"]), dtype=np.float32) \
+            .reshape(len(batch), -1)
+        sims = (ma * mb).sum(axis=1)
+        # join padding widens the id columns to object — restore int64
+        out = pd.DataFrame({"id_a": batch["id_a"].to_numpy().astype("int64"),
+                            "id_b": batch["id_b"].to_numpy().astype("int64"),
+                            "cosine": np.round(sims.astype(np.float64), 4)})
+        return out[sims >= threshold]
+
+    return j2.map_batches(cosine, batch_format="pandas")

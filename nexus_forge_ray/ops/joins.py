@@ -61,6 +61,46 @@ def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
     return big.map_batches(filt, batch_format="pandas")
 
 
+def partitioned_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
+                          on: str, num_buckets: int = 32,
+                          lcols: list[str] | None = None) -> ray.data.Dataset:
+    """Bucketed anti-join: drop `left` rows whose `on` value appears in
+    `right_keys` (a Dataset whose `on` column is the key set).
+
+    Unlike `anti_join`, the key set never touches the driver — both sides
+    shuffle ONCE by `hash(key) % B` and each bucket filters locally. This is
+    the scale path when the key set is O(corpus) (e.g. near-duplicate page
+    ids on a web corpus, 30-50% of pages).
+    """
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
+                                for c in lcols})
+            out["__bucket"] = (stable_hash_u64(batch[on])
+                               % np.uint64(num_buckets)).astype("int32") \
+                if len(batch) else np.array([], dtype="int32")
+            out["__side"] = side
+            return out
+        return fn
+
+    lt = left.map_batches(tag("l", lcols), batch_format="pandas")
+    rt = right_keys.map_batches(tag("r", [on]), batch_format="pandas")
+    both = lt.union(rt)
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"]
+        drop = group.loc[group["__side"] == "r", on]
+        out = lg.loc[~lg[on].isin(set(drop)), lcols]
+        # the None-padded union widens dtypes to object; surviving rows are
+        # all left-side, so soft inference restores the original dtypes
+        return out.infer_objects()
+
+    return both.groupby("__bucket").map_groups(filter_bucket,
+                                               batch_format="pandas")
+
+
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      num_buckets: int = 32, how: str = "inner",
                      lcols: list[str] | None = None,

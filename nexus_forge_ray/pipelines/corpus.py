@@ -80,8 +80,21 @@ def simhash_signatures(sf_dir: str):
 
 
 def embedding_near_dup(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return dd.embedding_near_dup_pairs(emb, threshold=0.9)
+    """The driver fixture has no near-dup vectors (max pairwise cosine ≈ 0.51),
+    so the query constructs deterministic exact duplicates (vec_id + 10000,
+    same embedding). Identical vectors always share every hyperplane-LSH
+    bucket, so recall is exact and the brute-force cross-join SQL oracle
+    matches the engine output pair-for-pair."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def with_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.copy()
+        d["vec_id"] = d["vec_id"] + 10000
+        return pd.concat([batch, d], ignore_index=True)
+
+    aug = emb.map_batches(with_dups, batch_format="pandas")
+    return dd.embedding_near_dup_pairs(aug, threshold=0.95)
 
 
 def mm_image_features(sf_dir: str):

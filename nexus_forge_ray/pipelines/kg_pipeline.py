@@ -59,10 +59,52 @@ def _add_page_keys(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def _dup_key_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-representative members of each component -> key rows to drop."""
+    if "page_nid" not in df.columns:  # fully-empty block loses column names
+        return pd.DataFrame({"page_nid": pd.Series(dtype="int64")})
+    return df.loc[df["page_nid"] != df["component"], ["page_nid"]]
+
+
+def drop_dup_triples(triples: ray.data.Dataset, dup_keys: ray.data.Dataset,
+                     *, broadcast_limit: int = 5_000_000,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Drop triples of non-representative pages. Bounded hybrid plan:
+
+    - dup count <= broadcast_limit (~40 MB of int64 ids): sorted-array
+      broadcast probe — no extra all-to-all (the triples shuffle again for
+      the (subj, pred) sort anyway), driver memory hard-bounded by the limit.
+    - above the limit (web corpora: 30-50% of pages are near-dups, the key
+      set is O(corpus)): bucketed anti-join — the key set never touches the
+      driver, both sides shuffle once by hash(page_nid).
+    """
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
+    dup_keys = dup_keys.materialize()  # small: one row per duplicate page
+    n_dup = dup_keys.count()
+    if n_dup == 0:
+        return triples
+    if n_dup > broadcast_limit:
+        return partitioned_anti_join(
+            triples, dup_keys, on="page_nid", num_buckets=num_buckets,
+            lcols=["page_nid", "subj", "pred", "obj", "obj_is_iri",
+                   "obj_datatype"])
+    dup_nids = np.sort(dup_keys.to_pandas()["page_nid"].to_numpy())
+    dup_ref = ray.put(dup_nids)
+
+    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        dups = ray.get(dup_ref)  # sorted; membership via searchsorted
+        v = batch["page_nid"].to_numpy()
+        pos = np.minimum(np.searchsorted(dups, v), len(dups) - 1)
+        return batch[dups[pos] != v]
+
+    return triples.map_batches(drop_dups, batch_format="pandas")
+
+
 def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
              concurrency: int | None = None, canonicalize: bool = True,
              shard: tuple[int, int] | None = None,
              write_sigs: bool = False,
+             dup_broadcast_limit: int = 5_000_000,
              ) -> ray.data.Dataset | str:
     """Run the full DAG. Returns the triple Dataset, or the output dir when
     out_dir is given (sorted partitioned Parquet written).
@@ -124,24 +166,9 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
             batch_format="pandas")
         comp = components_from_compact(sig_rows, id_col="page_nid",
                                        num_bands=8)
-        comp_df = comp.to_pandas()
-        # a fully-empty Dataset loses its column names through to_pandas
-        if "page_nid" not in comp_df.columns:
-            dup_nids = np.array([], dtype="int64")
-        else:
-            dup_nids = comp_df.loc[
-                comp_df["page_nid"] != comp_df["component"],
-                "page_nid"].to_numpy()
-        if len(dup_nids):
-            dup_ref = ray.put(np.sort(dup_nids))
-
-            def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-                dups = ray.get(dup_ref)  # sorted; membership via searchsorted
-                v = batch["page_nid"].to_numpy()
-                pos = np.minimum(np.searchsorted(dups, v), len(dups) - 1)
-                return batch[dups[pos] != v]
-
-            triples = triples.map_batches(drop_dups, batch_format="pandas")
+        dup_keys = comp.map_batches(_dup_key_rows, batch_format="pandas")
+        triples = drop_dup_triples(triples, dup_keys,
+                                   broadcast_limit=dup_broadcast_limit)
 
     triples = triples.drop_columns(["page_nid"])
     if out_dir:

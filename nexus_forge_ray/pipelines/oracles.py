@@ -3,6 +3,74 @@
 Column names/aliases MUST match the Ray pipeline outputs exactly — the driver
 sorts columns by name before value-hashing. Float aggregates are rounded the
 same way on both sides.
+
+Remaining no-oracle queries (each with its justification):
+- simhash_signatures: the fingerprint is a per-token SipHash bit-vote; SQL has
+  no SipHash-1-3 — covered by a vectorized-vs-naive identity test instead.
+- similarity_topk_ivf: approximate by design (IVF probe subset); gated by a
+  recall-vs-brute-force test (tests/test_similarity_recall.py), while the
+  exact variant similarity_topk IS oracle-checked.
+- mm_image_features: decode kernels are honest stubs (no codecs in this env);
+  only plumbing (schema/actor pool) is real, rows-only is the right check.
+- kg_assemble: nested record assembly (list/struct values per subject) has no
+  stable SQL value-hash representation; covered by the explode→assemble→
+  explode fixpoint round-trip test (tests/test_triples.py).
+- kg_flagship: end-to-end DAG including near-dup canonicalization; gated by
+  the triple precision/recall harness (P=1.0, R>=0.95 vs an independent
+  pandas oracle, tests/test_precision_recall.py) rather than SQL.
+"""
+
+from nexus_forge_ray.ops.text import STOPWORDS
+
+
+def _lang_pattern(words: frozenset[str]) -> str:
+    """Mirror ops.text.LangIdModel's per-language regex exactly."""
+    ws = "|".join(sorted(words))
+    if all(w.isascii() for w in words):
+        return r"\b(" + ws + r")\b"
+    return "(" + ws + ")"
+
+
+_LANGS = sorted(STOPWORDS)
+_LANG_COUNTS = ",\n                   ".join(
+    f"len(regexp_extract_all(text, '{_lang_pattern(STOPWORDS[lang])}'))"
+    f"::bigint as c_{lang}" for lang in _LANGS)
+# argmax with first-of-sorted-langs tie-break == numpy argmax over sorted cols
+_LANG_ARGMAX = ("case when greatest("
+                + ", ".join(f"c_{lang}" for lang in _LANGS) + ") = 0 then 'und'\n")
+for _i, _lang in enumerate(_LANGS[:-1]):
+    _rest = ", ".join(f"c_{l}" for l in _LANGS[_i + 1:])
+    _g = f"greatest({_rest})" if "," in _rest else _rest
+    _LANG_ARGMAX += f"                    when c_{_lang} >= {_g} then '{_lang}'\n"
+_LANG_ARGMAX += f"                    else '{_LANGS[-1]}' end"
+
+_EN_STOP_PATTERN = _lang_pattern(STOPWORDS["en"])
+
+# true 3-gram shingle sets per doc (docs of <= 3 tokens shingle to the whole
+# text, mirroring MinHasher._shingles) — shared by the near-dup oracles
+_SHINGLE_PAIRS = """
+        t as (select doc_id, string_split(text, ' ') as toks from documents),
+        idx as (select doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+                       as i
+                from t),
+        sh0 as (select doc_id,
+                       case when len(toks) <= 3 then array_to_string(toks, ' ')
+                            else toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       end as sh
+                from idx),
+        ds as (select distinct doc_id, sh from sh0),
+        sizes as (select doc_id, count(*) as n from ds group by 1),
+        pair_int as (select x.doc_id as id_a, y.doc_id as id_b,
+                            count(*) as inter
+                     from ds x join ds y on x.sh = y.sh
+                                        and x.doc_id < y.doc_id
+                     group by 1, 2),
+        jpairs as (select id_a, id_b,
+                          inter::double / (sa.n + sb.n - inter) as j
+                   from pair_int
+                   join sizes sa on id_a = sa.doc_id
+                   join sizes sb on id_b = sb.doc_id)
 """
 
 ORACLES: dict[str, str] = {
@@ -260,6 +328,67 @@ ORACLES: dict[str, str] = {
             from customer)
         select 'validate' as operation, succeeded, error, count(*) as n
         from v group by 1, 2, 3
+    """,
+    "lang_id_pred": f"""
+        with c as (
+            select doc_id,
+                   {_LANG_COUNTS}
+            from documents)
+        select doc_id,
+               {_LANG_ARGMAX} as lang_pred
+        from c
+    """,
+    "doc_quality": f"""
+        with t as (
+            select doc_id, text,
+                   case when trim(text) = '' then 0
+                        else length(string_split_regex(trim(text), '\\s+')) end
+                   ::bigint as n_tokens,
+                   length(text)::bigint as n_chars,
+                   (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?''"\\(\\)\\[\\]\\{{\\}}-]', '', 'g')))::bigint
+                   as n_punct,
+                   len(regexp_extract_all(text, '{_EN_STOP_PATTERN}'))::bigint
+                   as n_stop
+            from documents)
+        select doc_id, n_tokens,
+               round(n_chars / greatest(n_tokens, 1)::double, 4) as mean_token_len,
+               round(n_punct / greatest(n_chars, 1)::double, 4) as punct_ratio,
+               round(n_stop / greatest(n_tokens, 1)::double, 4) as stopword_ratio
+        from t
+    """,
+    "minhash_near_dup": f"""
+        with {_SHINGLE_PAIRS}
+        select id_a, id_b, round(j, 4) as jaccard
+        from jpairs where j >= 0.5
+    """,
+    "kg_components": f"""
+        with recursive {_SHINGLE_PAIRS},
+        sym as (select id_a as a, id_b as b from jpairs where j >= 0.5
+                union
+                select id_b, id_a from jpairs where j >= 0.5
+                union
+                select id_a, id_a from jpairs where j >= 0.5
+                union
+                select id_b, id_b from jpairs where j >= 0.5),
+        reach(a, b) as (
+            select a, b from sym
+            union
+            select r.a, s.b from reach r join sym s on r.b = s.a)
+        select a as doc_id, min(b) as component
+        from reach group by a
+    """,
+    "embedding_near_dup": """
+        with all_v as (
+            select vec_id, embedding from embeddings
+            union all
+            select vec_id + 10000 as vec_id, embedding from embeddings)
+        select a.vec_id as id_a, b.vec_id as id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) as cosine
+        from all_v a join all_v b on a.vec_id < b.vec_id
+        where list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.95
     """,
     "similarity_topk": """
         with q as (select vec_id as query_id, embedding from embeddings where vec_id < 3)

@@ -101,8 +101,13 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """customer(filter, broadcast) ⋈ orders(filter) ⋈ lineitem (bucketed) →
     groupby revenue → global top-10. Only order keys + revenue cross the wire.
     """
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+    # BUILDING key set computed DISTRIBUTED (filter + project inside
+    # map_batches); only the filtered key column reaches the driver, which is
+    # then broadcast once for the semi join.
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas").to_pandas()
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = semi_join(orders, building["c_custkey"].tolist(), "o_custkey")
@@ -139,16 +144,21 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """Six-table join: all dimensions broadcast; lineitem⋈orders bucketed."""
     nation = _read_pd(sf_dir, "nation")
     region = _read_pd(sf_dir, "region")
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     supp = _read_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
     asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
     nations = nation[nation["n_regionkey"].isin(asia)][["n_nationkey", "n_name"]]
 
-    # orders ⋈ customer (broadcast): attach c_nationkey
-    orders = broadcast_join(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    # orders ⋈ customer: both quasi-facts at scale → bucketed hash join
+    # (customer never touches the driver); attaches c_nationkey.
+    orders = partitioned_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas"),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        on="c_custkey", num_buckets=16,
+        lcols=["o_orderkey", "c_custkey"],
+        rcols=["c_custkey", "c_nationkey"])
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -162,7 +172,7 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
         on="l_orderkey", num_buckets=16,
         lcols=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                "s_nationkey"],
-        rcols=["l_orderkey", "o_custkey", "c_nationkey"])
+        rcols=["l_orderkey", "c_nationkey"])
 
     nat_ref_names = dict(zip(nations["n_nationkey"], nations["n_name"]))
 
@@ -342,10 +352,20 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
 
 
 def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join (broadcast key set): customers without any big order."""
+    """Anti join (broadcast key set): customers without any big order.
+
+    The big-order key set is computed DISTRIBUTED — filter + per-batch dedup
+    inside map_batches, bucketed distinct — so only the final (small) key set
+    is collected and broadcast; the orders fact table never hits the driver.
+    """
+    from nexus_forge_ray.ops.agg import distinct_rows
     from nexus_forge_ray.ops.joins import anti_join
-    orders = _read_pd(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    big = orders.loc[orders["o_totalprice"] > 300000, "o_custkey"].unique()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = distinct_rows(
+        orders.map_batches(
+            lambda df: df.loc[df["o_totalprice"] > 300000, ["o_custkey"]],
+            batch_format="pandas"),
+        "o_custkey", num_buckets=8).to_pandas()["o_custkey"]
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     out = anti_join(cust, big.tolist(), "c_custkey").to_pandas()
     if out.empty:
@@ -355,24 +375,30 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q_order_priority_count(sf_dir: str) -> pd.DataFrame:
-    """Semi join + grouped count: priorities of orders that have lineitems
-    shipped late (l_shipdate > o_orderdate + 60 days)."""
+    """Grouped semi condition, fully distributed: per-order max(l_shipdate)
+    via bucketed partial aggregation, bucketed hash join against orders, then
+    a late-shipment filter and a tiny priority groupby. The lineitem fact
+    table never touches the driver."""
     from nexus_forge_ray.ops.agg import hash_groupby_agg
-    line = _read_pd(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
-    late_keys = line.groupby("l_orderkey")["l_shipdate"].max()
+    max_ship = hash_groupby_agg(
+        line, "l_orderkey", {"max_ship": ("l_shipdate", "max")},
+        num_buckets=16)
+    joined = partitioned_join(
+        max_ship.map_batches(
+            lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas"),
+        orders, on="o_orderkey", num_buckets=16,
+        lcols=["o_orderkey", "max_ship"],
+        rcols=["o_orderkey", "o_orderdate", "o_orderpriority"])
 
-    import ray as _ray
-    ref = _ray.put(late_keys)
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        mx = pd.to_datetime(df["max_ship"])  # union padding can widen dtype
+        return df[mx > df["o_orderdate"] + pd.Timedelta(days=60)]
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        lk = _ray.get(ref)
-        mx = df["o_orderkey"].map(lk)
-        keep = mx.notna() & (mx > df["o_orderdate"] + pd.Timedelta(days=60))
-        return df[keep]
-
-    flagged = orders.map_batches(flag, batch_format="pandas")
+    flagged = joined.map_batches(late, batch_format="pandas")
     out = hash_groupby_agg(flagged, "o_orderpriority",
                            {"n_orders": ("o_orderkey", "count")},
                            num_buckets=4).to_pandas()

@@ -62,8 +62,6 @@ def global_canonicalize(out_root: str, out_dir: str) -> str:
     across ALL shards, and writes one globally-canonical sorted triple set.
     The phase has its own manifest (reruns skip when shard inputs unchanged).
     """
-    import numpy as np
-    import ray
     import ray.data as rd
 
     from nexus_forge_ray.kg.canonicalize import components_from_compact
@@ -77,34 +75,30 @@ def global_canonicalize(out_root: str, out_dir: str) -> str:
     fp = fingerprint_paths(sig_files + triple_files)
 
     def run_phase(sid: str, _spec, phase_dir: str) -> dict:
+        from nexus_forge_ray.pipelines.kg_pipeline import (_dup_key_rows,
+                                                           drop_dup_triples)
         sigs = rd.read_parquet(sig_files)
         comp = components_from_compact(sigs, id_col="page_nid", num_bands=8)
-        comp_df = comp.to_pandas()
-        if "page_nid" not in comp_df.columns:
-            dup_nids = np.array([], dtype="int64")
-        else:
-            dup_nids = np.sort(comp_df.loc[
-                comp_df["page_nid"] != comp_df["component"],
-                "page_nid"].to_numpy())
-        triples = rd.read_parquet(triple_files)
-        if len(dup_nids):
-            dup_ref = ray.put(dup_nids)
+        dup_keys = comp.map_batches(_dup_key_rows,
+                                    batch_format="pandas").materialize()
+        n_dup = dup_keys.count()
 
-            def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-                # subjects are DOC_BASE + nid; recover the nid to filter
-                from nexus_forge_ray.kg.kb import DOC_BASE
-                nid = pd.to_numeric(
-                    batch["subj"].str.rsplit("/", n=1).str[-1],
-                    errors="coerce").fillna(-1).astype("int64")
-                dups = ray.get(dup_ref)
-                pos = np.minimum(np.searchsorted(dups, nid.to_numpy()),
-                                 len(dups) - 1)
-                return batch[dups[pos] != nid.to_numpy()]
+        def add_nid(batch: pd.DataFrame) -> pd.DataFrame:
+            # subjects are DOC_BASE + nid; recover the nid as the filter key
+            batch = batch.copy()
+            batch["page_nid"] = pd.to_numeric(
+                batch["subj"].str.rsplit("/", n=1).str[-1],
+                errors="coerce").fillna(-1).astype("int64")
+            return batch
 
-            triples = triples.map_batches(drop_dups, batch_format="pandas")
+        triples = rd.read_parquet(triple_files) \
+            .map_batches(add_nid, batch_format="pandas")
+        triples = drop_dup_triples(triples, dup_keys) \
+            .map_batches(lambda df: df.drop(columns="page_nid"),
+                         batch_format="pandas")
         sort_and_write(triples, phase_dir)
         return {"operation": "global_canonicalize", "succeeded": True,
-                "cross_shard_dups": int(len(dup_nids)), "error": ""}
+                "cross_shard_dups": int(n_dup), "error": ""}
 
     runner.run({"global": None}, run_phase, {"global": fp})
     return runner.shard_out("global")

@@ -35,6 +35,14 @@ def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Zero-copy-ish conversion of a fixed-width list<float> column to (n, d) ndarray."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):  # e.g. Ray's ArrowTensorType
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.stack(arr) if arr.dtype == object else np.asarray(arr)
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        off = col.offset * d  # sliced arrays don't start at 0
+        return vals[off: off + len(col) * d].reshape(len(col), d)
     if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
         offsets = col.offsets.to_numpy()
         widths = np.diff(offsets)

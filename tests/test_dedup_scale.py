@@ -1,0 +1,82 @@
+"""Scale-path equivalence tests: bucketed anti-join dup drop vs broadcast,
+embedding LSH near-dup (vectors off the shuffle), vectorized SimHash."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.ops.dedup import SimHasher, embedding_near_dup_pairs
+from nexus_forge_ray.ops.joins import partitioned_anti_join
+from nexus_forge_ray.utils import stable_hash_u64
+
+
+def test_partitioned_anti_join_matches_local():
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "v": np.arange(100) * 2})
+    drop = pd.DataFrame({"k": np.array([3, 7, 7, 50, 99, 1000],
+                                       dtype=np.int64)})
+    out = partitioned_anti_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(drop),
+        on="k", num_buckets=8, lcols=["k", "v"]).to_pandas()
+    want = left[~left["k"].isin(set(drop["k"]))]
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("k").reset_index(drop=True))
+
+
+def test_partitioned_anti_join_empty_right():
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64")})
+    out = partitioned_anti_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(empty),
+        on="k", num_buckets=4, lcols=["k"]).to_pandas()
+    assert sorted(out["k"]) == list(range(10))
+
+
+def test_flagship_anti_join_path_matches_broadcast(sf_dir):
+    """dup_broadcast_limit=0 forces the bucketed anti-join; the surviving
+    triple set must be identical to the (default) broadcast-probe path."""
+    from nexus_forge_ray.pipelines.kg_pipeline import flagship
+    a = flagship(sf_dir).to_pandas()
+    b = flagship(sf_dir, dup_broadcast_limit=0).to_pandas()
+    cols = ["subj", "pred", "obj"]
+    ga = a[cols].sort_values(cols).reset_index(drop=True)
+    gb = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ga, gb)
+
+
+def test_embedding_near_dup_finds_planted_pairs():
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    near = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    mat = np.vstack([base, near])
+    df = pd.DataFrame({"vec_id": np.arange(25, dtype=np.int64),
+                       "embedding": list(mat)})
+    out = embedding_near_dup_pairs(ray.data.from_pandas(df),
+                                   threshold=0.95).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(i, i + 20) for i in range(5)}
+    assert (out["cosine"] >= 0.95).all()
+    assert out["id_a"].dtype == np.int64 and out["id_b"].dtype == np.int64
+
+
+def _naive_simhash(text, bits):
+    toks = (text or "").split()
+    if not toks:
+        return np.uint64(0)
+    uniq, counts = np.unique(toks, return_counts=True)
+    h = stable_hash_u64(uniq).astype(np.uint64)
+    bm = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+          & np.uint64(1)).astype(np.int64)
+    votes = ((bm * 2 - 1) * counts[:, None]).sum(axis=0)
+    return np.uint64(((votes > 0).astype(np.uint64) * bits).sum())
+
+
+def test_simhash_batch_matches_naive():
+    sh = SimHasher()
+    texts = pd.Series(["hello world hello", "foo bar baz qux", "", "single",
+                       "a a a a b b c", None, "x " * 50])
+    got = sh.simhash_batch(texts)
+    want = np.array([_naive_simhash(t, sh.bits) for t in texts],
+                    dtype=np.uint64)
+    assert (got == want).all()
