@@ -22,6 +22,23 @@ DEFAULT_KB = [
 ]
 
 
+# Ontology-shaped KB (ontology_resolver.py expected_fields): every class
+# carries definition + subClassOf; labels are capitalized so the
+# case-insensitive UNION match is actually exercised; notation/prefLabel/
+# altLabel give the four resolve properties distinct values.
+ONTOLOGY_KB = [
+    {"id": f"{BASE_IRI}{t}", "type": "Class",
+     "label": t.capitalize(),
+     "notation": t[:3].upper(),
+     "prefLabel": f"{t.capitalize()} Concept",
+     "altLabel": t,
+     "definition": f"definition of {t}",
+     "subClassOf": f"{BASE_IRI}concept",
+     "isDefinedBy": "http://example.org/ontology"}
+    for t in KB_TERMS
+]
+
+
 def kb_aliases():
     """(kb, aliases) in the embedding linker's shape
     (entity_linking_sklearn_service.py:26-34): kb uid -> (label, definition);

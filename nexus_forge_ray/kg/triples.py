@@ -115,23 +115,105 @@ def explode_dataset(ds: ray.data.Dataset, *, record_col: str | None = None,
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def assemble_resources(triples_ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Inverse of explode (framing, rdf.py:100-140): groupby(subj) -> one
-    record per subject with predicates as keys (lists for multi-valued)."""
+def _reverse_context(context: dict | None) -> dict[str, str]:
+    """IRI -> compact term (context values may be str or {'@id': iri})."""
+    rev: dict[str, str] = {}
+    for term, spec in (context or {}).items():
+        iri = spec.get("@id") if isinstance(spec, dict) else spec
+        if isinstance(iri, str):
+            rev.setdefault(iri, term)
+    return rev
+
+
+def _revive(val: str, dt: str | None):
+    """Literal revival from (lexical form, datatype) — inverse of _literal."""
+    if dt == XSD_INT:
+        try:
+            return int(val)
+        except (TypeError, ValueError):
+            return val
+    if dt == XSD_DOUBLE:
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            return val
+    if dt == XSD_BOOL:
+        return val == "true"
+    return val
+
+
+def assemble_resources(triples_ds: ray.data.Dataset, *,
+                       context: dict | None = None,
+                       types: list[str] | None = None,
+                       embed: bool = True) -> ray.data.Dataset:
+    """Inverse of explode — JSON-LD framing + compaction (the reference's
+    from_graph, rdf.py:100-140): group triples by subject, compact predicate
+    IRIs and type values against the reverse context (rdf:type -> 'type'),
+    revive literals from obj_datatype, embed nested fragment-skolem children
+    into their parent (@embed: true), and optionally keep only top-level
+    records of the given (compacted) types (framing by @type).
+
+    Partitioning assumption (documented): embedded children carry the
+    parent's IRI plus a '#' fragment (explode_record's skolem scheme,
+    rdf.py:300-320 avoids blank nodes the same way), so bucketing by the
+    IRI root co-locates every node of a document in ONE shuffle.
+    Cross-document embedding would need an iterative join — unsupported.
+    """
     from nexus_forge_ray.utils import stable_hash_u64
+    rev = _reverse_context(context)
 
     def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__bkt"] = (stable_hash_u64(df["subj"]) % np.uint64(32)).astype("int32")
+        root = df["subj"].str.split("#", n=1).str[0]
+        df["__bkt"] = (stable_hash_u64(root) % np.uint64(32)).astype("int32")
         return df
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
-        subjects, records = [], []
+        has_dt = "obj_datatype" in group.columns
+        recs: dict[str, dict] = {}
         for subj, g in group.groupby("subj", sort=False):
             rec: dict[str, Any] = {"id": subj}
             for pred, sub in g.groupby("pred", sort=False):
-                vals = sub["obj"].tolist()
-                rec[pred] = vals[0] if len(vals) == 1 else sorted(vals)
+                if has_dt:
+                    vals = [_revive(v, dt or None)
+                            for v, dt in zip(sub["obj"], sub["obj_datatype"])]
+                else:
+                    vals = sub["obj"].tolist()
+                if pred == RDF_TYPE:
+                    vals = [rev.get(str(v), str(v)) for v in vals]
+                    rec["type"] = vals[0] if len(vals) == 1 else sorted(vals)
+                    continue
+                key = rev.get(pred, pred)
+                rec[key] = vals[0] if len(vals) == 1 else \
+                    sorted(vals, key=str)
+            recs[subj] = rec
+
+        embedded: set[str] = set()
+        if embed:
+            for subj, rec in recs.items():
+                for key, val in list(rec.items()):
+                    if key in ("id", "type"):
+                        continue
+                    vals = val if isinstance(val, list) else [val]
+                    new = []
+                    for v in vals:
+                        if (isinstance(v, str) and "#" in v and v != subj
+                                and v in recs):
+                            new.append(recs[v])   # by reference: deep nesting
+                            embedded.add(v)       # composes automatically
+                        else:
+                            new.append(v)
+                    rec[key] = new if isinstance(val, list) else new[0]
+
+        subjects, records = [], []
+        for subj, rec in recs.items():
+            if subj in embedded:
+                continue
+            if types is not None:
+                t = rec.get("type", [])
+                tl = t if isinstance(t, list) else [t]
+                if not any(x in types for x in tl):
+                    continue
             subjects.append(subj)
             records.append(rec)
         return pd.DataFrame({"subj": subjects, "record": records})

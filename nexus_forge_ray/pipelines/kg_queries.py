@@ -144,6 +144,74 @@ def kg_validate_customers(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+def kg_resolve_ontology(sf_dir: str):
+    """OntologyResolver semantics (ontology_resolver.py:27-140): distinct
+    corpus tokens resolved EXACT_CASE_INSENSITIVE against the four-property
+    UNION (label/notation/prefLabel/altLabel); hits emit the ontology fields
+    (definition, subClassOf) alongside the id."""
+    from nexus_forge_ray.ops.agg import distinct_rows
+    from nexus_forge_ray.resolving.ontology import resolve_ontology_dataset
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    uniq = distinct_rows(mentions, "mention", keep_cols=[], num_buckets=8)
+    out = resolve_ontology_dataset(uniq, KB.ONTOLOGY_KB,
+                                   strategy="EXACT_CASE_INSENSITIVE_MATCH")
+    return out.map_batches(
+        lambda df: df[df["entity_id"] != ""][
+            ["mention", "entity_id", "entity_label", "entity_definition",
+             "entity_subClassOf"]],
+        batch_format="pandas")
+
+
+NATION_SHAPE = Shape(target_type="Nation", constraints=[
+    PropertyConstraint(path="name", min_count=1, datatype="string"),
+    PropertyConstraint(path="regionkey", min_inclusive=0, max_inclusive=4),
+])
+
+NESTED_CUSTOMER_SHAPE = Shape(target_type="Customer", constraints=[
+    PropertyConstraint(path="c_name", min_count=1, datatype="string"),
+    PropertyConstraint(path="nation", min_count=1, class_type="Nation",
+                       node_shape=NATION_SHAPE),
+])
+
+
+def kg_validate_nested(sf_dir: str):
+    """sh:class + sh:node nested-shape validation (reference collectors at
+    rdf/collectors.py:177,218; scenarios mirroring
+    tests/specializations/models/test_rdf_model.py:115-165): each customer
+    carries a nested typed `nation` resource which must (a) be rdf-typed
+    Nation (sh:class) and (b) conform to the Nation shape (sh:node).
+    Deterministic corruption makes both constraint kinds fire:
+    c_custkey % 7 == 0 -> wrong nested type; c_custkey % 11 == 0 -> nested
+    name dropped (nested minCount under sh:node)."""
+    from nexus_forge_ray.ops.joins import broadcast_join
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    joined = broadcast_join(cust, nation, on="c_nationkey")
+
+    def nest(df: pd.DataFrame) -> pd.DataFrame:
+        wrong = (df["c_custkey"] % 7 == 0).to_numpy()
+        noname = (df["c_custkey"] % 11 == 0).to_numpy()
+        nested = [
+            {"type": ("Region" if w else "Nation"),
+             **({} if nn else {"name": nm}),
+             "regionkey": int(rk)}
+            for w, nn, nm, rk in zip(wrong, noname, df["n_name"],
+                                     df["n_regionkey"])
+        ]
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(),
+                             "c_name": df["c_name"].to_numpy(),
+                             "nation": nested, "rtype": "Customer"})
+
+    nested = joined.map_batches(nest, batch_format="pandas")
+    out = validate_dataset(nested, [NESTED_CUSTOMER_SHAPE], type_col="rtype")
+    return out.select_columns(["c_custkey", "valid", "violation"])
+
+
 def kg_actions_summary(sf_dir: str):
     """Actions report counting (actions.py:46-59): count x (operation,
     succeeded, error) over the validation stage's outcomes."""
@@ -193,6 +261,8 @@ QUERIES = {
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,
+    "kg_validate_nested": kg_validate_nested,
+    "kg_resolve_ontology": kg_resolve_ontology,
     "kg_entity_popularity": kg_entity_popularity,
     "kg_triples_typed": kg_triples_typed,
     "kg_actions_summary": kg_actions_summary,

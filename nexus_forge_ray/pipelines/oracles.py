@@ -12,9 +12,6 @@ Remaining no-oracle queries (each with its justification):
   exact variant similarity_topk IS oracle-checked.
 - mm_image_features: decode kernels are honest stubs (no codecs in this env);
   only plumbing (schema/actor pool) is real, rows-only is the right check.
-- kg_assemble: nested record assembly (list/struct values per subject) has no
-  stable SQL value-hash representation; covered by the explode→assemble→
-  explode fixpoint round-trip test (tests/test_triples.py).
 - kg_flagship: end-to-end DAG including near-dup canonicalization; gated by
   the triple precision/recall harness (P=1.0, R>=0.95 vs an independent
   pandas oracle, tests/test_precision_recall.py) rather than SQL.
@@ -270,6 +267,31 @@ ORACLES: dict[str, str] = {
         qualify row_number() over (partition by mention
                                    order by score, entity_id) = 1
     """,
+    "kg_resolve_ontology": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents),
+        kb(entity_id, label, notation, prefLabel, altLabel,
+           definition, subClassOf) as (
+            select 'http://example.org/entity/' || t,
+                   upper(substr(t, 1, 1)) || substr(t, 2),
+                   upper(substr(t, 1, 3)),
+                   upper(substr(t, 1, 1)) || substr(t, 2) || ' Concept', t,
+                   'definition of ' || t,
+                   'http://example.org/entity/concept'
+            from (select unnest(['spark','table','join','sort','merge',
+                                 'filter','window','customer','vector',
+                                 'stream','query','hash']) as t)),
+        m as (select distinct tok as mention from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash'))
+        select mention, entity_id,
+               label as entity_label,
+               definition as entity_definition,
+               subClassOf as entity_subClassOf
+        from m join kb
+          on lower(mention) in (lower(label), lower(notation),
+                                lower(prefLabel), lower(altLabel))
+    """,
     "kg_entity_popularity": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents),
@@ -297,6 +319,23 @@ ORACLES: dict[str, str] = {
                false, 'http://www.w3.org/2001/XMLSchema#string'
         from documents
     """,
+    "kg_assemble": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                      from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash')),
+        tri as (
+            select 'http://example.org/doc/' || doc_id as subj,
+                   'http://example.org/vocab/mentions' as pred
+            from m
+            union all
+            select 'http://example.org/doc/' || doc_id,
+                   'http://example.org/vocab/lang'
+            from documents)
+        select subj, count(distinct pred)::bigint as n_props
+        from tri group by subj
+    """,
     "kg_validate_customers": """
         select c_custkey,
                case when c_name is null or c_name = '' then false
@@ -309,6 +348,16 @@ ORACLES: dict[str, str] = {
                          ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
                          then 'InConstraint: c_mktsegment'
                     when c_acctbal < 0 then 'MinMaxInclusiveConstraint: c_acctbal'
+                    else '' end as violation
+        from customer
+    """,
+    "kg_validate_nested": """
+        select c_custkey,
+               case when c_custkey % 7 = 0 then false
+                    when c_custkey % 11 = 0 then false
+                    else true end as valid,
+               case when c_custkey % 7 = 0 then 'ClassConstraint: nation'
+                    when c_custkey % 11 = 0 then 'NodeConstraint: nation'
                     else '' end as violation
         from customer
     """,

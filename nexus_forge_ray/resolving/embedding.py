@@ -186,21 +186,22 @@ class LinkerActor:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cands = self.linker.generate_candidates(
             batch[self.mention_col].tolist(), self.limit)
+        # rank each UNIQUE mention once, then one vectorized merge fans the
+        # candidate rows out to the input rows (no per-row Python loop)
         rows = []
-        for _, rec in batch.iterrows():
+        for m, cl in cands.items():
             ranked = EmbeddingLinker.rank_candidates(
-                cands.get(str(rec[self.mention_col]), []),
-                self.strategy, self.threshold) or []
+                cl, self.strategy, self.threshold) or []
             for rank, c in enumerate(ranked):
-                rows.append({**rec.to_dict(), "cand_id": c["id"],
-                             "cand_label": c["label"],
-                             "cand_score": round(c["score"], 6),
-                             "cand_rank": rank})
-        if not rows:
-            cols = list(batch.columns) + ["cand_id", "cand_label", "cand_score",
-                                          "cand_rank"]
-            return pd.DataFrame({c: [] for c in cols})
-        return pd.DataFrame(rows)
+                rows.append((m, c["id"], c["label"],
+                             round(c["score"], 6), rank))
+        cand_df = pd.DataFrame(
+            rows, columns=["__mention_key", "cand_id", "cand_label",
+                           "cand_score", "cand_rank"])
+        left = batch.copy()
+        left["__mention_key"] = left[self.mention_col].astype(str)
+        out = left.merge(cand_df, on="__mention_key", how="inner")
+        return out.drop(columns="__mention_key")
 
 
 def link_dataset(ds: ray.data.Dataset, kb, aliases, *, mention_col="mention",

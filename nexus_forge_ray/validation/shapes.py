@@ -10,10 +10,19 @@ kgforge/specializations/models/rdf/service.py:49-63):
 - in                       (sh:in enumeration)
 - pattern                  (sh:pattern regex)
 - minInclusive/maxInclusive(numeric range)
-- class/node               (nested struct must itself conform — checked on
-                            flattened columns)
+- class                    (sh:class, ClassCollector at rdf/collectors.py:177:
+                            the value must be a node typed with the class)
+- node                     (sh:node, NodeCollector at rdf/collectors.py:218:
+                            the nested resource must conform to the referenced
+                            shape — validated recursively, vectorized over the
+                            nested frame)
 - "no focus node" rule     (rdf/service.py:241-266): a row whose type has no
                             matching shape target fails validation.
+- rdfs inference           (rdf_model.py validate(inference="rdfs"),
+                            test_rdf_model.py:129-159: a Patient validates
+                            against the Person shape iff Patient rdfs:subClassOf
+                            Person and inference is enabled) — pass
+                            `subclass_of` to ShapeValidator.
 
 Execution: one `map_batches(batch_format="pandas")` pass; each constraint is a
 vectorized mask; the first violated constraint per row becomes the `violation`
@@ -45,6 +54,8 @@ class PropertyConstraint:
     pattern: str | None = None
     min_inclusive: float | None = None
     max_inclusive: float | None = None
+    class_type: str | None = None  # sh:class — nested node's type must match
+    node_shape: "Shape | None" = None  # sh:node — nested shape conformance
 
     def check(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         """Returns (ok_mask, per-row violation labels '' where ok)."""
@@ -85,7 +96,34 @@ class PropertyConstraint:
             if self.max_inclusive is not None:
                 ok_r &= (~present) | (vals <= self.max_inclusive).to_numpy()
             apply(ok_r, f"MinMaxInclusiveConstraint: {self.path}")
+        if self.class_type is not None and present.any():
+            apply(~present | col.map(self._class_ok).to_numpy(dtype=bool),
+                  f"ClassConstraint: {self.path}")
+        if self.node_shape is not None and present.any():
+            sub_idx = np.flatnonzero(present)
+            nested = pd.DataFrame(
+                [v if isinstance(v, dict) else {} for v in col.iloc[sub_idx]])
+            nested_ok = np.ones(len(sub_idx), dtype=bool)
+            for c in self.node_shape.constraints:
+                okn, _ = c.check(nested)
+                nested_ok &= okn
+            full = np.ones(n, dtype=bool)
+            full[sub_idx] = nested_ok
+            apply(full, f"NodeConstraint: {self.path}")
         return ok, labels
+
+    def _class_ok(self, v) -> bool:
+        """sh:class: the value node carries the class among its rdf types.
+        A nested record exposes its type under 'type'/'@type' (possibly a
+        list); plain IRI strings cannot prove their class -> fail (matches
+        the reference, where an untyped value node violates sh:class)."""
+        if isinstance(v, dict):
+            t = v.get("type", v.get("@type"))
+        else:
+            t = None
+        if isinstance(t, (list, tuple, np.ndarray)):
+            return self.class_type in list(t)
+        return t == self.class_type
 
     def _datatype_ok(self, col: pd.Series, present: np.ndarray) -> np.ndarray:
         dt = self.datatype
@@ -137,10 +175,33 @@ class ShapeValidator:
     """
 
     def __init__(self, shapes: list[Shape], type_col: str = "type",
-                 require_shape: bool = True):
+                 require_shape: bool = True,
+                 subclass_of: dict[str, list[str]] | None = None):
         self.by_type = {s.target_type: s for s in shapes}
         self.type_col = type_col
         self.require_shape = require_shape
+        # rdfs-inference closure: type -> transitive superclasses, so a
+        # subclass row validates against its nearest ancestor's shape
+        # (reference: validate(inference="rdfs"); None = inference off)
+        self.ancestors: dict[str, list[str]] = {}
+        if subclass_of:
+            for t in subclass_of:
+                seen: list[str] = []
+                frontier = list(subclass_of.get(t, []))
+                while frontier:
+                    s = frontier.pop(0)
+                    if s not in seen:
+                        seen.append(s)
+                        frontier.extend(subclass_of.get(s, []))
+                self.ancestors[t] = seen
+
+    def _shape_for(self, t):
+        shape = self.by_type.get(t)
+        if shape is None:
+            for anc in self.ancestors.get(t, []):
+                if anc in self.by_type:
+                    return self.by_type[anc]
+        return shape
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -150,7 +211,7 @@ class ShapeValidator:
             else pd.Series([None] * n)
         for t, idx in batch.groupby(types, dropna=False).groups.items():
             mask = batch.index.isin(idx)
-            shape = self.by_type.get(t)
+            shape = self._shape_for(t)
             if shape is None:
                 if self.require_shape:
                     valid[mask] = False
@@ -174,15 +235,14 @@ class ShapeValidator:
 
 def validate_dataset(ds: ray.data.Dataset, shapes: list[Shape], *,
                      type_col: str = "type", require_shape: bool = True,
+                     subclass_of: dict[str, list[str]] | None = None,
                      concurrency: int | None = None) -> ray.data.Dataset:
     """Task mode by default (shape compilation is cheap); actor pool on demand."""
+    kw = dict(shapes=shapes, type_col=type_col, require_shape=require_shape,
+              subclass_of=subclass_of)
     if concurrency is None:
-        inst = ShapeValidator(shapes, type_col=type_col,
-                              require_shape=require_shape)
-        return ds.map_batches(inst, batch_format="pandas")
+        return ds.map_batches(ShapeValidator(**kw), batch_format="pandas")
     return ds.map_batches(
-        ShapeValidator,
-        fn_constructor_kwargs=dict(shapes=shapes, type_col=type_col,
-                                   require_shape=require_shape),
+        ShapeValidator, fn_constructor_kwargs=kw,
         batch_format="pandas", concurrency=concurrency,
     )

@@ -54,3 +54,51 @@ def test_record_without_id_dropped_in_batch():
 def test_none_values_skipped():
     t = explode_record({"id": "urn:r1", "p": None})
     assert len(t) == 0
+
+
+# ---- framing + compaction round-trip (reference from_graph, rdf.py:100-140)
+
+def test_assemble_framing_compaction_roundtrip():
+    """explode -> assemble(context, embed) -> explode is a fixpoint: the
+    re-exploded triple set equals the original, and the assembled record
+    compacts predicates/types back to context terms with revived literals."""
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.triples import (assemble_resources, explode_record,
+                                            triples_batch)
+
+    ctx = {"name": "http://schema.org/name",
+           "age": "http://schema.org/age",
+           "address": "http://schema.org/address",
+           "city": "http://schema.org/addressLocality",
+           "Person": "http://schema.org/Person",
+           "PostalAddress": "http://schema.org/PostalAddress"}
+    rec = {"id": "urn:p1", "type": "Person", "name": "Jane", "age": 41,
+           "address": {"type": "PostalAddress", "city": "Geneva"}}
+    tri = triples_batch([rec], ctx)
+    ds = ray.data.from_pandas(tri)
+    out = assemble_resources(ds, context=ctx, embed=True).to_pandas()
+    assert len(out) == 1  # the skolem child is embedded, not top-level
+    got = out["record"][0]
+    assert got["type"] == "Person" and got["name"] == "Jane" and got["age"] == 41
+    assert got["address"]["type"] == "PostalAddress"
+    assert got["address"]["city"] == "Geneva"
+    # fixpoint: re-exploding the assembled record yields the same triples
+    tri2 = pd.DataFrame(explode_record(got, ctx),
+                        columns=tri.columns)
+    key = ["subj", "pred", "obj"]
+    a = tri[key].sort_values(key).reset_index(drop=True)
+    b = tri2[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_assemble_frame_by_type():
+    import ray.data
+    from nexus_forge_ray.kg.triples import assemble_resources, triples_batch
+    ctx = {"Person": "http://schema.org/Person",
+           "Org": "http://schema.org/Org"}
+    tri = triples_batch([{"id": "urn:p1", "type": "Person", "a": "x"},
+                         {"id": "urn:o1", "type": "Org", "a": "y"}], ctx)
+    out = assemble_resources(ray.data.from_pandas(tri), context=ctx,
+                             types=["Person"]).to_pandas()
+    assert out["subj"].tolist() == ["urn:p1"]

@@ -69,3 +69,91 @@ def test_first_violation_reported_and_mixed_batch():
     assert out["violation"].tolist() == [
         "MinCountConstraint: givenName", "", "MinCountConstraint: name"]
     assert out["valid"].tolist() == [False, True, False]
+
+
+# ---- sh:class / sh:node nested shapes + rdfs inference (reference scenarios:
+# tests/specializations/models/test_rdf_model.py:80-165 — an Activity whose
+# `generated` is an untyped/mistyped node fails; a Patient validates against
+# the Person shape only under rdfs inference)
+
+ENTITY = Shape(target_type="Entity", constraints=[])
+
+ACTIVITY = Shape(target_type="Activity", constraints=[
+    PropertyConstraint(path="generated", min_count=1, class_type="Entity",
+                       node_shape=ENTITY),
+    PropertyConstraint(path="status", in_values=["completed", "pending"]),
+])
+
+ADDRESS = Shape(target_type="PostalAddress", constraints=[
+    PropertyConstraint(path="streetAddress", datatype="string"),
+    PropertyConstraint(path="postalCode", min_inclusive=10000,
+                       max_inclusive=99999),
+])
+
+PERSON_NESTED = Shape(target_type="Person", constraints=[
+    PropertyConstraint(path="familyName", min_count=1, datatype="string"),
+    PropertyConstraint(path="address", node_shape=ADDRESS),
+])
+
+
+def run_nested(rows, subclass_of=None):
+    v = ShapeValidator([ACTIVITY, PERSON_NESTED, ENTITY], type_col="type",
+                       subclass_of=subclass_of)
+    return v(pd.DataFrame(rows))
+
+
+def test_class_constraint_typed_nested_node_ok():
+    out = run_nested([{"type": "Activity", "status": "completed",
+                       "generated": {"type": "Entity"}}])
+    assert out["valid"][0] and out["violation"][0] == ""
+
+
+def test_class_constraint_wrong_type_fails():
+    out = run_nested([{"type": "Activity", "status": "completed",
+                       "generated": {"type": "Dataset"}}])
+    assert out["violation"][0] == "ClassConstraint: generated"
+
+
+def test_class_constraint_untyped_value_fails():
+    # a bare IRI/string value cannot prove its class -> sh:class violation
+    out = run_nested([{"type": "Activity", "status": "completed",
+                       "generated": "http://ex/e1"}])
+    assert out["violation"][0] == "ClassConstraint: generated"
+
+
+def test_class_constraint_type_list():
+    out = run_nested([{"type": "Activity", "status": "completed",
+                       "generated": {"type": ["Entity", "Dataset"]}}])
+    assert out["valid"][0]
+
+
+def test_node_constraint_nested_shape_violation():
+    out = run_nested([{"type": "Person", "familyName": "Doe",
+                       "address": {"type": "PostalAddress",
+                                   "streetAddress": "Main St",
+                                   "postalCode": 999}}])
+    assert out["violation"][0] == "NodeConstraint: address"
+
+
+def test_node_constraint_nested_ok_and_absent_ok():
+    out = run_nested([
+        {"type": "Person", "familyName": "Doe",
+         "address": {"type": "PostalAddress", "streetAddress": "Main St",
+                     "postalCode": 12345}},
+        {"type": "Person", "familyName": "Doe"},   # address optional
+    ])
+    assert out["valid"].tolist() == [True, True]
+
+
+def test_rdfs_inference_subclass_validates_against_ancestor_shape():
+    rows = [{"type": "Patient", "familyName": "Doe"}]
+    # inference off: no shape targets Patient -> fails (reference: none_person)
+    off = run_nested(rows)
+    assert not off["valid"][0] and off["violation"][0].startswith("NoShapeForType")
+    # inference on: Patient rdfs:subClassOf Person -> Person shape applies
+    on = run_nested(rows, subclass_of={"Patient": ["Person"]})
+    assert on["valid"][0]
+    # transitive closure
+    on2 = run_nested(rows, subclass_of={"Patient": ["Human"],
+                                        "Human": ["Person"]})
+    assert on2["valid"][0]
