@@ -114,6 +114,46 @@ def as_jsonld(record: dict, context: dict[str, str],
     return out
 
 
+def jsonld_compact(doc: dict, context: dict[str, str],
+                   default_ns: str = "http://example.org/vocab/") -> dict:
+    """EXPANDED JSON-LD -> compacted record: the reverse term map shortens
+    predicate IRIs and @type values back to context terms (the reference's
+    jsonld.compact call, rdf.py:128-138); default-namespace IRIs compact to
+    their local name; @value wrappers unwrap; nested nodes compact
+    recursively. Inverse of as_jsonld(..., form="expanded")."""
+    from nexus_forge_ray.kg.triples import _reverse_context
+    rev = _reverse_context(context)
+
+    def compact_key(iri: str) -> str:
+        if iri in rev:
+            return rev[iri]
+        if iri.startswith(default_ns):
+            return iri[len(default_ns):]
+        return iri
+
+    def go(d: dict) -> dict:
+        out: dict = {}
+        for k, v in d.items():
+            if k == "@context":
+                continue
+            if k == "@id":
+                out["id"] = v
+            elif k == "@type":
+                ts = [rev.get(str(t), str(t)) for t in
+                      (v if isinstance(v, list) else [v])]
+                out["type"] = ts[0] if len(ts) == 1 else ts
+            else:
+                key = compact_key(k)
+                vals = v if isinstance(v, list) else [v]
+                cv = [go(x) if isinstance(x, dict) and "@value" not in x
+                      else (x.get("@value") if isinstance(x, dict) else x)
+                      for x in vals]
+                out[key] = cv[0] if len(cv) == 1 else cv
+        return out
+
+    return go(doc)
+
+
 def from_jsonld(doc: dict) -> dict:
     """JSON-LD -> plain record: strip @context, @id/@type -> id/type, unwrap
     @value wrappers (rdf.py:489-527 semantics)."""

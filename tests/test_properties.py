@@ -86,3 +86,16 @@ def test_minhash_identical_docs_identical_sigs(t):
     mh = MinHasher(num_perm=16)
     sigs = mh.signatures([t, t, "zzz unrelated words here"])
     assert (sigs[0] == sigs[1]).all()
+
+
+@given(st.dictionaries(keys, scalars, min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_jsonld_expand_compact_inverse(rec):
+    """as_jsonld(expanded) then jsonld_compact is the identity for records
+    whose keys are context terms or default-ns locals (M8: reverse
+    compaction of IRIs back to compact terms)."""
+    from nexus_forge_ray.core.conversions import jsonld_compact
+    ctx = {"k": "http://x/k", "Person": "http://x/Person"}
+    rec = {"id": "urn:x", "type": "Person", **rec}
+    expanded = as_jsonld(rec, ctx, "expanded")
+    assert jsonld_compact(expanded, ctx) == rec
