@@ -111,15 +111,28 @@ def run_child(ncpu: int) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at N and 4N CPUs in fresh processes.
+    """Same job at N and 4N CPUs in fresh processes — measured at BOTH
+    2→8 and 8→32 (GRAFT_SCALE_BOTH=0 restricts to the primary pair).
 
-    N=2 vs 4N=8 by default: this sandbox is a shared VM whose memory
-    bandwidth saturates well below 32 concurrent workers, so 8→32 measures
-    the host, not the engine. Trials alternate between levels and the MIN
-    per level is reported — the least-contended sample under noisy-neighbor
-    interference (single-run walls on this box vary by >2x).
+    The primary criterion pair is N=2 vs 4N=8: this sandbox is a shared VM
+    whose memory bandwidth saturates well below 32 concurrent workers, so
+    8→32 measures the host, not the engine — it is still reported each round
+    (secondary block) so the efficiency claim stays traceable. Trials
+    alternate between levels and the MIN per level is reported — the
+    least-contended sample under noisy-neighbor interference (single-run
+    walls on this box vary by >2x).
     """
-    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    primary = _measure_pair(int(os.environ.get("GRAFT_SCALE_LO", "2")))
+    if os.environ.get("GRAFT_SCALE_BOTH", "1") != "0":
+        secondary = _measure_pair(8)
+        primary["secondary_8_to_32"] = {
+            k: secondary[k] for k in
+            ("value", "sec_8", "sec_32", "docs_per_s_8", "docs_per_s_32",
+             "all_sec_lo", "all_sec_hi")}
+    return primary
+
+
+def _measure_pair(lo_cpus: int) -> dict:
     hi_cpus = lo_cpus * 4
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "1"))
     # scaling children get a heavier workload than the plain bench so compute

@@ -149,3 +149,23 @@ def test_store_search_with_filters(tmp_path):
     assert [h["data"]["id"] for h in hits] == ["r1"]
     hits = st.search({"type": "Person"}, include_deprecated=True)
     assert {h["data"]["id"] for h in hits} == {"r1", "r2"}
+
+
+# ---- dynamic class import-by-name (imports.py:22-39, SURVEY §2.10)
+
+def test_import_class_default_and_from_syntax():
+    from nexus_forge_ray.core.imports import ConfigurationError, import_class
+    from nexus_forge_ray.resolving.dictionary import DictionaryResolver
+    assert import_class("DictionaryResolver", "resolvers") is DictionaryResolver
+    cls = import_class(
+        "OntologyResolver from nexus_forge_ray.resolving.ontology",
+        "resolvers")
+    from nexus_forge_ray.resolving.ontology import OntologyResolver
+    assert cls is OntologyResolver
+    import pytest
+    with pytest.raises(ConfigurationError, match="module not found"):
+        import_class("X from no.such.module", "stores")
+    with pytest.raises(ConfigurationError, match="class not found"):
+        import_class("Nope", "resolvers")
+    with pytest.raises(ConfigurationError, match="incorrect"):
+        import_class("bad syntax here!", "models")
