@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_sql": corpus.doc_quality_sql,
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
+        "doc_repetition": corpus.doc_repetition,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

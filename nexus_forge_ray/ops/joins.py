@@ -61,6 +61,75 @@ def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
     return big.map_batches(filt, batch_format="pandas")
 
 
+def hot_keys(ds: ray.data.Dataset, on: str, *, threshold: int,
+             num_buckets: int = 32) -> list:
+    """Distributed head-key detector: keys whose row count exceeds
+    `threshold`. One partial-count + bucketed groupby; only the (tiny) hot
+    key list reaches the driver. Feed the result to `salted_join`."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    counts = hash_groupby_agg(
+        ds.map_batches(lambda df: df[[on]], batch_format="pandas"),
+        on, {"__n": (on, "count")}, num_buckets=num_buckets)
+    hot = counts.map_batches(
+        lambda df: df.loc[df["__n"] > threshold, [on]],
+        batch_format="pandas").to_pandas()
+    return hot[on].tolist() if on in hot.columns else []
+
+
+def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                *, hot: list, salt_factor: int = 8, num_buckets: int = 32,
+                how: str = "inner", lcols: list[str] | None = None,
+                rcols: list[str] | None = None) -> ray.data.Dataset:
+    """Skew-aware bucketed hash join — the north rule's 'explicit salting of
+    skewed head entities before the shuffle'.
+
+    Rows whose key is in `hot` (from `hot_keys`, or known head entities:
+    popular hostnames, Wikipedia-linked mentions) get a salt in [0,
+    salt_factor): the LEFT (probe) side salts by row position hash, spreading
+    one hot key over `salt_factor` buckets; the RIGHT (build) side replicates
+    its hot rows once per salt so every salted bucket can still match. Cold
+    keys take salt 0 — identical cost to the unsalted join. Results equal the
+    unsalted `partitioned_join` (tested); only the shuffle layout changes.
+    """
+    hot_ref = ray.put(frozenset(hot))
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+    rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        df = df.copy()
+        is_hot = df[on].isin(hs).to_numpy()
+        salt = np.zeros(len(df), dtype=np.int64)
+        if is_hot.any():
+            salt[is_hot] = (stable_hash_u64(
+                pd.Series(np.arange(len(df))[is_hot]))
+                % np.uint64(salt_factor)).astype(np.int64)
+        df["__salt"] = salt
+        return df
+
+    def replicate_right(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        df = df.copy()
+        is_hot = df[on].isin(hs).to_numpy()
+        cold = df[~is_hot].copy()
+        cold["__salt"] = 0
+        if is_hot.any():
+            reps = pd.concat([df[is_hot].assign(__salt=s)
+                              for s in range(salt_factor)],
+                             ignore_index=True)
+            return pd.concat([cold, reps], ignore_index=True)
+        return cold
+
+    lt = left.map_batches(salt_left, batch_format="pandas")
+    rt = right.map_batches(replicate_right, batch_format="pandas")
+    joined = partitioned_join(
+        lt, rt, on=on, num_buckets=num_buckets, how=how,
+        lcols=lcols + ["__salt"], rcols=rcols + ["__salt"],
+        extra_keys=["__salt"])
+    return joined.map_batches(lambda df: df.drop(columns="__salt"),
+                              batch_format="pandas")
+
+
 def partitioned_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
                           on: str, num_buckets: int = 32,
                           lcols: list[str] | None = None) -> ray.data.Dataset:
@@ -104,7 +173,8 @@ def partitioned_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      num_buckets: int = 32, how: str = "inner",
                      lcols: list[str] | None = None,
-                     rcols: list[str] | None = None) -> ray.data.Dataset:
+                     rcols: list[str] | None = None,
+                     extra_keys: list[str] | None = None) -> ray.data.Dataset:
     """Bucketed hash join for two large sides.
 
     Both sides get `__bucket = hash(key) % B` and a side tag, are padded to the
@@ -118,6 +188,7 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
     rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
     allcols = lcols + [c for c in rcols if c not in lcols]
+    join_keys = [on] + list(extra_keys or [])
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -126,8 +197,10 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                 if c not in batch.columns:
                     batch[c] = None
             batch = batch[allcols]
-            batch["__bucket"] = (stable_hash_u64(batch[on].astype("string"))
-                                 % num_buckets).astype("int32")
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for k in join_keys:
+                h ^= stable_hash_u64(batch[k].astype("string"))
+            batch["__bucket"] = (h % np.uint64(num_buckets)).astype("int32")
             batch["__side"] = side
             return batch
         return fn
@@ -139,6 +212,6 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["__side"] == "l"][lcols]
         rg = group[group["__side"] == "r"][rcols]
-        return lg.merge(rg, on=on, how=how)
+        return lg.merge(rg, on=join_keys, how=how)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -143,6 +143,72 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text",
     )
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher-style repetition signals (public heuristics from the Gopher /
+    MassiveText filtering literature), fully vectorized:
+
+    - top_token_frac: occurrences of the most frequent token / n_tokens —
+      high values flag keyword-stuffed or boilerplate pages;
+    - dup_bigram_frac: 1 - distinct_bigrams/total_bigrams — high values flag
+      repeated phrasing / template text.
+
+    One token explode + two pandas C-path groupbys per batch; no per-row loop.
+    Ratios round half-up (4 digits, vectorized pyarrow kernel) to match SQL
+    ROUND — power-of-two token counts DO produce exact .5 ties at 1e-4.
+    """
+    df = pd.DataFrame({id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                       "__t": batch[text_col].to_pandas()})
+    tok_lists = df["__t"].fillna("").str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    n = len(df)
+    top_frac = np.zeros(n, dtype=np.float64)
+    dup_bg = np.zeros(n, dtype=np.float64)
+    if lens.sum():
+        ex = pd.DataFrame({
+            "i": np.repeat(np.arange(n), lens),
+            "tok": tok_lists.explode().dropna().to_numpy(),
+        })
+        cnt = ex.groupby(["i", "tok"], sort=False).size()
+        mx = cnt.groupby(level=0).max()
+        top_frac[mx.index.to_numpy()] = \
+            mx.to_numpy() / lens[mx.index.to_numpy()]
+        # bigrams: join consecutive tokens within each doc
+        has2 = lens >= 2
+        if has2.any():
+            toks = ex["tok"].to_numpy(dtype=object)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            keep = np.ones(len(ex), dtype=bool)
+            keep[starts[1:] - 1] = False  # last token of each doc: no bigram
+            first = toks[:-1][keep[:-1]] if len(toks) > 1 else toks[:0]
+            second = toks[1:][keep[:-1]] if len(toks) > 1 else toks[:0]
+            bi = pd.DataFrame({
+                "i": np.repeat(np.arange(n), np.maximum(lens - 1, 0)),
+                "g": pd.Series(first, dtype=object).str.cat(
+                    pd.Series(second, dtype=object), sep=" "),
+            })
+            agg = bi.groupby("i")["g"].agg(["size", "nunique"])
+            dup_bg[agg.index.to_numpy()] = \
+                1.0 - agg["nunique"].to_numpy() / agg["size"].to_numpy()
+
+    def r4(a: np.ndarray) -> np.ndarray:  # half-up, matching SQL ROUND
+        return pc.round(pa.array(a), ndigits=4,
+                        round_mode="half_towards_infinity") \
+            .to_numpy(zero_copy_only=False)
+
+    return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                         "top_token_frac": r4(top_frac),
+                         "dup_bigram_frac": r4(dup_bg)})
+
+
+def repetition_signals(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: repetition_batch(t, text_col, id_col),
+        batch_format="pyarrow")
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5 hex (exact identity) + 64-bit rolling-style hash."""
     txt = batch[text_col].to_pandas()

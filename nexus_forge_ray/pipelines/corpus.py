@@ -67,6 +67,12 @@ def doc_quality(sf_dir: str):
         ["doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio"])
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters: most-frequent-token fraction and
+    duplicate-bigram fraction per document (vectorized explode+groupby)."""
+    return tx.repetition_signals(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def minhash_near_dup(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16,

@@ -406,6 +406,27 @@ ORACLES: dict[str, str] = {
                round(n_stop / greatest(n_tokens, 1)::double, 4) as stopword_ratio
         from t
     """,
+    "doc_repetition": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        tok as (select doc_id, unnest(toks) as tok from t),
+        cnt as (select doc_id, tok, count(*) as c from tok group by 1, 2),
+        top as (select doc_id, max(c) as mx, sum(c) as n from cnt group by 1),
+        idx as (select doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) as i
+                from t where len(toks) >= 2),
+        bg as (select doc_id, toks[i] || ' ' || toks[i+1] as g from idx),
+        bgs as (select doc_id, count(*) as total,
+                       count(distinct g) as uniq
+                from bg group by 1)
+        select t.doc_id,
+               round(top.mx / top.n::double, 4) as top_token_frac,
+               round(coalesce(1 - bgs.uniq / bgs.total::double, 0), 4)
+                   as dup_bigram_frac
+        from t
+        left join top on t.doc_id = top.doc_id
+        left join bgs on t.doc_id = bgs.doc_id
+    """,
     "minhash_near_dup": f"""
         with {_SHINGLE_PAIRS}
         select id_a, id_b, round(j, 4) as jaccard

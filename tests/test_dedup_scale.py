@@ -80,3 +80,28 @@ def test_simhash_batch_matches_naive():
     want = np.array([_naive_simhash(t, sh.bits) for t in texts],
                     dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_salted_join_matches_unsalted_on_skew():
+    """One hot key dominating: salted join spreads it over salt_factor
+    buckets but returns the same rows as the plain bucketed join."""
+    rng = np.random.RandomState(7)
+    n = 3000
+    keys = np.where(rng.rand(n) < 0.7, 42,
+                    rng.randint(0, 50, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "w": np.arange(50) * 10})
+    from nexus_forge_ray.ops.joins import (hot_keys, partitioned_join,
+                                           salted_join)
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    hot = hot_keys(lds, "k", threshold=500)
+    assert hot == [42]
+    got = salted_join(lds, rds, "k", hot=hot, salt_factor=4,
+                      lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+    want = partitioned_join(lds, rds, "k",
+                            lcols=["k", "v"], rcols=["k", "w"]).to_pandas()
+    key = ["k", "v", "w"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True).astype("int64"),
+        want[key].sort_values(key).reset_index(drop=True).astype("int64"))
