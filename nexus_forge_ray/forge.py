@@ -1,0 +1,219 @@
+"""KnowledgeGraphForge — the reference's session facade
+(kgforge/core/forge.py:140-1002) over the Ray-Data-native engine.
+
+One object wires Model (shapes + templates + context), Store (versioned
+Parquet + files), Resolvers (scoped targets) and Formatters, exposing the
+same user surface: template/validate/resolve/map/reshape/search/paths/
+register/update/deprecate/tag/freeze/retrieve/attach/download plus the
+as_/from_ codecs. Record-level calls take dicts (the Resource equivalent);
+data-plane calls also accept a ray.data.Dataset and return a Dataset, which
+is where this engine departs from the one-record-at-a-time reference.
+
+Config shape (forge.py:203-260 YAML sections, simplified to a dict):
+    {"model":      {"source": <schema dir>},            # optional
+     "store":      {"base": <dir>},                     # optional
+     "resolvers":  {<scope>: [{"target": t, "entries": [...],
+                               "kind": "default"|"ontology"|"agent"}]},
+     "formatters": {<name>: "<str.format template>"},
+     "context":    {<term>: <iri>}}
+
+SPARQL/ES query methods are deliberately absent: native Dataset filters and
+joins replace query-text generation (SURVEY §2.1 S9).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.core import conversions as conv
+from nexus_forge_ray.core.filters import Filter
+from nexus_forge_ray.core.paths import PathsWrapper, wrap_paths
+from nexus_forge_ray.core.reshaping import reshape_dataset, reshape_record
+from nexus_forge_ray.resolving.embedding import ResolverScopes
+from nexus_forge_ray.store.files import FileStore
+from nexus_forge_ray.store.parquet_store import ParquetStore
+from nexus_forge_ray.validation.loader import SchemaDirectory
+from nexus_forge_ray.validation.shapes import (Shape, ShapeValidator,
+                                               validate_dataset)
+from nexus_forge_ray.validation.templates import template as _template
+
+
+class KnowledgeGraphForge:
+    def __init__(self, config: dict | None = None, **kwargs):
+        cfg = dict(config or {})
+        cfg.update(kwargs)
+        self.context: dict = dict(cfg.get("context") or {})
+        self._formatters: dict[str, str] = dict(cfg.get("formatters") or {})
+        model = cfg.get("model") or {}
+        self._schema_dir: SchemaDirectory | None = (
+            SchemaDirectory(model["source"]) if model.get("source") else None)
+        self._shapes: list[Shape] = list(cfg.get("shapes") or (
+            self._schema_dir.all_shapes() if self._schema_dir else []))
+        store = cfg.get("store") or {}
+        self._store: ParquetStore | None = (
+            ParquetStore(store["base"]) if store.get("base") else None)
+        self._files: FileStore | None = (
+            FileStore(store["base"]) if store.get("base") else None)
+        self._resolvers: dict[str, ResolverScopes] = {}
+        for scope, targets in (cfg.get("resolvers") or {}).items():
+            scopes = ResolverScopes()
+            for t in targets:
+                scopes.register(t["target"], t["entries"],
+                                kind=t.get("kind", "default"),
+                                resolve_with_properties=t.get(
+                                    "resolve_with_properties"))
+            self._resolvers[scope] = scopes
+
+    # ------------------------------------------------------------- vocabulary
+
+    def prefixes(self) -> dict[str, str]:
+        return {k: v for k, v in self.context.items()
+                if isinstance(v, str) and v.endswith(("/", "#"))}
+
+    def types(self) -> list[str]:
+        return sorted({s.target_type for s in self._shapes})
+
+    # -------------------------------------------------------------- templates
+
+    def template(self, type: str, only_required: bool = False) -> dict:
+        return _template(self._shapes, type, only_required)
+
+    def paths(self, type: str) -> PathsWrapper:
+        return wrap_paths(self.template(type))
+
+    # ------------------------------------------------------------- validation
+
+    def validate(self, data, type_col: str = "type", **kw):
+        """dict/list -> records with valid/violation; Dataset -> Dataset."""
+        subclass = self._schema_dir.subclass_of if self._schema_dir else None
+        if isinstance(data, ray.data.Dataset):
+            return validate_dataset(data, self._shapes, type_col=type_col,
+                                    subclass_of=subclass, **kw)
+        rows = data if isinstance(data, list) else [data]
+        v = ShapeValidator(self._shapes, type_col=type_col,
+                           subclass_of=subclass)
+        out = v(pd.DataFrame(rows)).to_dict("records")
+        return out if isinstance(data, list) else out[0]
+
+    # -------------------------------------------------------------- resolving
+
+    def resolvers(self) -> dict[str, list[str]]:
+        return {scope: list(s.targets) for scope, s in self._resolvers.items()}
+
+    def resolve(self, text: str, scope: str | None = None,
+                target: str | None = None, **kw):
+        """forge.resolve(scope selection, forge.py:395-461): unknown scope ->
+        ValueError; no scope -> first hit across scopes in config order."""
+        if scope is not None:
+            if scope not in self._resolvers:
+                raise ValueError(
+                    f"Unknown scope value: {scope}. Supported scopes are: "
+                    f"{list(self._resolvers)}")
+            return self._resolvers[scope].resolve(text, target=target, **kw)
+        for scopes in self._resolvers.values():
+            hit = scopes.resolve(text, target=target, **kw)
+            if hit is not None:
+                return hit
+        return None
+
+    # ---------------------------------------------------------------- mapping
+
+    def map(self, data, mapping, na=None):
+        """DictionaryMapping application; Dataset in -> Dataset out."""
+        from nexus_forge_ray.mapping.mapper import DictionaryMapper, RuleContext
+        from nexus_forge_ray.mapping.rules import Mapping
+        rules = mapping.rules if isinstance(mapping, Mapping) \
+            else Mapping.load(mapping).rules
+        mapper = DictionaryMapper(rules, forge=RuleContext(self._formatters),
+                                  nas=(na,) if not isinstance(na, tuple)
+                                  else na)
+        if isinstance(data, ray.data.Dataset):
+            return data.map_batches(
+                lambda df: pd.DataFrame(
+                    {"record": [mapper.map_record(r)
+                                for r in df.to_dict("records")]}),
+                batch_format="pandas")
+        rows = data if isinstance(data, list) else [data]
+        out = [mapper.map_record(r) for r in rows]
+        return out if isinstance(data, list) else out[0]
+
+    def format(self, what: str, *args) -> str:
+        if what not in self._formatters:
+            raise ValueError(f"Unknown formatter: {what}")
+        return self._formatters[what].format(*args)
+
+    # -------------------------------------------------------------- reshaping
+
+    def reshape(self, data, keep: list[str], **kw):
+        if isinstance(data, ray.data.Dataset):
+            return reshape_dataset(data, keep, **kw)
+        rows = data if isinstance(data, list) else [data]
+        out = [reshape_record(r, keep) for r in rows]
+        return out if isinstance(data, list) else out[0]
+
+    # ------------------------------------------------------------------ store
+
+    def _need_store(self) -> ParquetStore:
+        if self._store is None:
+            raise ValueError("no store configured")
+        return self._store
+
+    def register(self, data):
+        rows = data if isinstance(data, list) else [data]
+        out = [self._need_store().register(r) for r in rows]
+        return out if isinstance(data, list) else out[0]
+
+    def update(self, data):
+        rows = data if isinstance(data, list) else [data]
+        out = [self._need_store().update(r) for r in rows]
+        return out if isinstance(data, list) else out[0]
+
+    def deprecate(self, rid):
+        ids = rid if isinstance(rid, list) else [rid]
+        out = [self._need_store().deprecate(r) for r in ids]
+        return out if isinstance(rid, list) else out[0]
+
+    def tag(self, rid: str, version: int, value: str) -> None:
+        self._need_store().tag(rid, version, value)
+
+    def retrieve(self, rid: str, version=None) -> dict:
+        return self._need_store().retrieve(rid, version)
+
+    def freeze(self, data):
+        return self._need_store().freeze(data)
+
+    def search(self, *filters: Filter | dict, **kw):
+        return self._need_store().search(*filters, **kw)
+
+    # ------------------------------------------------------------------ files
+
+    def attach(self, path: str, content_type: str | None = None):
+        if self._files is None:
+            raise ValueError("no store configured")
+        return self._files.upload(path, content_type)
+
+    def download(self, data, follow: str = "distribution.contentUrl",
+                 path: str = ".", **kw):
+        if self._files is None:
+            raise ValueError("no store configured")
+        return self._files.download(data, follow, path, **kw)
+
+    # ----------------------------------------------------------------- codecs
+
+    def as_json(self, record: dict) -> dict:
+        return {k: v for k, v in record.items() if not k.startswith("_")}
+
+    def as_jsonld(self, record: dict, form: str = "compacted") -> dict:
+        return conv.as_jsonld(record, self.context, form)
+
+    def from_jsonld(self, doc: dict) -> dict:
+        return conv.from_jsonld(doc)
+
+    def as_dataframe(self, records: list[dict], na=None) -> pd.DataFrame:
+        return conv.records_to_dataframe(records, na)
+
+    def from_dataframe(self, df: pd.DataFrame, na=None) -> list[dict]:
+        return conv.dataframe_to_records(df, na)

@@ -1,0 +1,116 @@
+"""KnowledgeGraphForge facade — the reference session surface wired over the
+engine (forge.py:140-1002 methods on dicts and Datasets)."""
+
+import json
+
+import pandas as pd
+import pytest
+import ray.data
+
+from nexus_forge_ray.forge import KnowledgeGraphForge
+
+
+@pytest.fixture
+def forge(tmp_path):
+    schema_dir = tmp_path / "schemas"
+    schema_dir.mkdir()
+    (schema_dir / "person.json").write_text(json.dumps({
+        "@id": "http://shapes.ex/person",
+        "subClassOf": {"Patient": ["Person"]},
+        "shapes": [{
+            "@id": "http://shapes.ex/PersonShape",
+            "targetClass": "Person",
+            "property": [
+                {"path": "familyName", "datatype": "xsd:string",
+                 "minCount": 1},
+                {"path": "gender", "in": ["female", "male"]},
+            ]}]}))
+    return KnowledgeGraphForge({
+        "model": {"source": str(schema_dir)},
+        "store": {"base": str(tmp_path / "store")},
+        "resolvers": {"terms": [{
+            "target": "sex",
+            "entries": [
+                {"id": "obo:male", "type": "Class", "label": "male"},
+                {"id": "obo:female", "type": "Class", "label": "female"},
+            ]}]},
+        "formatters": {"identifier": "https://ex.org/{}/{}"},
+        "context": {"schema": "https://schema.org/",
+                    "Person": "https://schema.org/Person"},
+    })
+
+
+def test_types_template_paths(forge):
+    assert forge.types() == ["Person"]
+    t = forge.template("Person")
+    assert t == {"id": "", "type": "Person", "familyName": "",
+                 "gender": "female"}
+    f = forge.paths("Person").familyName == "Doe"
+    assert f.path == ("familyName",) and f.value == "Doe"
+
+
+def test_validate_records_and_inference(forge):
+    good = {"type": "Person", "familyName": "Doe", "gender": "male"}
+    bad = {"type": "Person", "gender": "alien"}
+    patient = {"type": "Patient", "familyName": "Doe"}
+    out = forge.validate([good, bad, patient])
+    assert [r["valid"] for r in out] == [True, False, True]
+    assert out[1]["violation"] == "MinCountConstraint: familyName"
+
+
+def test_validate_dataset(forge):
+    ds = ray.data.from_pandas(pd.DataFrame([
+        {"type": "Person", "familyName": "A", "gender": "female"},
+        {"type": "Person", "familyName": None, "gender": "female"},
+    ]))
+    out = forge.validate(ds).to_pandas()
+    assert out["valid"].tolist() == [True, False]
+
+
+def test_resolve_scope_rules(forge):
+    hit = forge.resolve("male", scope="terms", target="sex")
+    assert hit["id"] == "obo:male"
+    assert forge.resolve("male") is not None     # scope-less fallback
+    with pytest.raises(ValueError, match="Unknown scope"):
+        forge.resolve("male", scope="nope")
+
+
+def test_map_and_format(forge):
+    mapping = {"id": "forge.format('identifier', 'persons', x.pid)",
+               "type": "Person", "familyName": "x.fam"}
+    rec = forge.map({"pid": 7, "fam": "Doe"}, mapping)
+    assert rec == {"id": "https://ex.org/persons/7", "type": "Person",
+                   "familyName": "Doe"}
+    assert forge.format("identifier", "a", 1) == "https://ex.org/a/1"
+
+
+def test_store_lifecycle(forge):
+    r = forge.register({"id": "urn:p1", "type": "Person",
+                        "familyName": "Doe"})
+    assert r["metadata"]["version"] == 1
+    forge.update({"id": "urn:p1", "type": "Person", "familyName": "Smith"})
+    forge.tag("urn:p1", 2, "rel")
+    assert forge.retrieve("urn:p1", "rel")["data"]["familyName"] == "Smith"
+    assert forge.retrieve("urn:p1", 1)["data"]["familyName"] == "Doe"
+    frozen = forge.freeze({"ref": {"id": "urn:p1"}})
+    assert frozen["ref"]["id"] == "urn:p1?_version=2"
+    hits = forge.search({"familyName": "Smith"})
+    assert len(hits) == 1 and hits[0]["data"]["id"] == "urn:p1"
+
+
+def test_attach_download_roundtrip(forge, tmp_path):
+    f = tmp_path / "blob.txt"
+    f.write_bytes(b"hello")
+    res = forge.attach(str(f))
+    resource = {"id": "urn:d1", "distribution": res}
+    out = forge.download(resource, path=str(tmp_path / "dl"))
+    assert open(out[0], "rb").read() == b"hello"
+
+
+def test_codecs(forge):
+    rec = {"id": "urn:p1", "type": "Person", "familyName": "Doe"}
+    doc = forge.as_jsonld(rec)
+    assert doc["@id"] == "urn:p1" and doc["@context"]["Person"]
+    assert forge.from_jsonld(doc) == rec
+    df = forge.as_dataframe([rec])
+    assert forge.from_dataframe(df) == [rec]
