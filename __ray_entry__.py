@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
         "doc_repetition": corpus.doc_repetition,
+        "doc_filter_pass": corpus.doc_filter_pass,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

@@ -73,6 +73,35 @@ def doc_repetition(sf_dir: str):
     return tx.repetition_signals(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_filter_pass(sf_dir: str):
+    """Composed quality gate (the C4/Gopher-style 'keep clean documents'
+    pipeline): token count, punctuation ratio, top-token repetition and
+    language-ID computed in ONE fused map_batches pass over each batch, then
+    a vectorized keep-mask. Returns the surviving (doc_id, n_tokens,
+    lang_pred)."""
+    import pyarrow as pa
+
+    model = tx.LangIdModel()
+
+    def signals(t: pa.Table) -> pd.DataFrame:
+        q = tx.quality_score_batch(t)
+        rep = tx.repetition_batch(t)
+        lang = model(t)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(),
+            "n_tokens": q["n_tokens"].to_numpy(),
+            "punct_ratio": q["punct_ratio"].to_numpy(),
+            "top_token_frac": rep["top_token_frac"].to_numpy(),
+            "lang_pred": lang["lang_pred"].to_numpy(zero_copy_only=False),
+        })
+        keep = ((df["n_tokens"] >= 5) & (df["punct_ratio"] <= 0.3)
+                & (df["top_token_frac"] < 0.5) & (df["lang_pred"] != "und"))
+        return df.loc[keep, ["doc_id", "n_tokens", "lang_pred"]]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow")
+
+
 def minhash_near_dup(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16,

@@ -406,6 +406,31 @@ ORACLES: dict[str, str] = {
                round(n_stop / greatest(n_tokens, 1)::double, 4) as stopword_ratio
         from t
     """,
+    "doc_filter_pass": f"""
+        with q as (
+            select doc_id,
+                   case when trim(text) = '' then 0
+                        else length(string_split_regex(trim(text), '\\s+')) end
+                   ::bigint as n_tokens,
+                   round((length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?''"\\(\\)\\[\\]\\{{\\}}-]', '', 'g')))
+                        / greatest(length(text), 1)::double, 4) as punct_ratio
+            from documents),
+        t as (select doc_id, string_split(text, ' ') as toks from documents),
+        tok as (select doc_id, unnest(toks) as tok from t),
+        cnt as (select doc_id, tok, count(*) as c from tok group by 1, 2),
+        top as (select doc_id,
+                       round(max(c) / sum(c)::double, 4) as top_token_frac
+                from cnt group by 1),
+        c as (select doc_id, {_LANG_COUNTS}
+              from documents),
+        lang as (select doc_id, {_LANG_ARGMAX} as lang_pred from c)
+        select q.doc_id, q.n_tokens, lang.lang_pred
+        from q join top on q.doc_id = top.doc_id
+        join lang on q.doc_id = lang.doc_id
+        where q.n_tokens >= 5 and q.punct_ratio <= 0.3
+          and top.top_token_frac < 0.5 and lang.lang_pred != 'und'
+    """,
     "doc_repetition": """
         with t as (select doc_id, string_split(text, ' ') as toks
                    from documents),
