@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_activity": relational.q_user_activity,
         "q_events_stats": relational.q_events_stats,
         "q_events_sessions": relational.q_events_sessions,
+        "q_events_sliding": relational.q_events_sliding,
+        "q_events_asof": relational.q_events_asof,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,
         # text / dedup / similarity (oracle-checked where SQL-expressible)

@@ -61,6 +61,58 @@ def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
     return big.map_batches(filt, batch_format="pandas")
 
 
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
+              by: str, num_buckets: int = 16, direction: str = "backward",
+              lcols: list[str] | None = None, rcols: list[str] | None = None,
+              suffix: str = "_r", inner: bool = True) -> ray.data.Dataset:
+    """Distributed as-of join — an operator Ray Data lacks natively.
+
+    Each left row matches the nearest right row (per `by` key) whose `on`
+    value is <= it (direction="backward"; "forward" for >=). Plan: both sides
+    bucket by hash(by) so every key's rows co-locate in ONE shuffle, then a
+    per-bucket `pandas.merge_asof` over the bucket sorted by `on` (C-path
+    binary merge). Partitioning assumption: per-key history fits in a bucket
+    — holds whenever no single `by` key dominates the corpus (salt hot keys
+    first otherwise, see salted_join).
+    """
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+    rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
+    allcols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
+                                for c in allcols})
+            out["__bucket"] = (stable_hash_u64(batch[by])
+                               % np.uint64(num_buckets)).astype("int32") \
+                if len(batch) else np.array([], dtype="int32")
+            out["__side"] = side
+            return out
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas"))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][lcols].infer_objects() \
+            .sort_values(on, kind="mergesort")
+        rg = group[group["__side"] == "r"][rcols].infer_objects() \
+            .sort_values(on, kind="mergesort")
+        if not len(lg):
+            return lg
+        out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
+                            suffixes=("", suffix))
+        if inner:
+            probe = next((c for c in rcols if c not in (on, by)), None)
+            if probe is not None:
+                col = probe + suffix if probe in lcols else probe
+                out = out[out[col].notna()]
+        return out
+
+    return both.groupby("__bucket").map_groups(merge_bucket,
+                                               batch_format="pandas")
+
+
 def hot_keys(ds: ray.data.Dataset, on: str, *, threshold: int,
              num_buckets: int = 32) -> list:
     """Distributed head-key detector: keys whose row count exceeds

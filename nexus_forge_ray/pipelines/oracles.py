@@ -193,6 +193,26 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) as sum_value
         from s group by user_id, session_id
     """,
+    "q_events_sliding": """
+        with e as (
+            select event_type, value,
+                   unnest([time_bucket(interval 30 minutes, ts),
+                           time_bucket(interval 30 minutes, ts)
+                           - interval 30 minutes]) as window_start
+            from events)
+        select event_type, window_start, count(*) as n_events,
+               round(sum(value), 2) as sum_value
+        from e group by 1, 2
+    """,
+    "q_events_asof": """
+        select l.user_id, l.ts, l.value,
+               r.ts as click_ts, r.value as click_value
+        from (select user_id, ts, value from events
+              where event_type = 'purchase') l
+        asof join (select user_id, ts, value from events
+                   where event_type = 'click') r
+          on l.user_id = r.user_id and l.ts >= r.ts
+    """,
     "q_customers_no_orders": """
         select c_custkey, c_name from customer
         where not exists (select 1 from orders

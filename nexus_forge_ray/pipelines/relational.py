@@ -351,6 +351,55 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
         .groupby("__bkt").map_groups(sessionize, batch_format="pandas")
 
 
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) window aggregate: 1-hour windows every 30 minutes.
+    Each event maps to exactly its two covering windows (vectorized assign +
+    concat), then the usual partial-agg bucketed groupby — windowing is an
+    explode, never a shuffle of raw events per window."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        w0 = df["ts"].dt.floor("30min")
+        a = pd.DataFrame({"event_type": df["event_type"],
+                          "window_start": w0, "value": df["value"]})
+        b = a.copy()
+        b["window_start"] = w0 - pd.Timedelta(minutes=30)
+        return pd.concat([a, b], ignore_index=True)
+
+    out = hash_groupby_agg(
+        ds.map_batches(windows, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+def q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase event joins the same user's most recent
+    click at or before it (bucketed-by-user merge_asof; see ops.joins
+    .asof_join for the partitioning assumption)."""
+    from nexus_forge_ray.ops.joins import asof_join
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "purchase",
+                          ["user_id", "ts", "value"]],
+        batch_format="pandas")
+    clicks = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "click",
+                          ["user_id", "ts", "value"]]
+        .rename(columns={"value": "click_value"})
+        .assign(click_ts=lambda d: d["ts"]),
+        batch_format="pandas")
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    lcols=["user_id", "ts", "value"],
+                    rcols=["user_id", "ts", "click_ts", "click_value"],
+                    num_buckets=16).to_pandas()
+    return out[["user_id", "ts", "value", "click_ts", "click_value"]]
+
+
 def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join (broadcast key set): customers without any big order.
 

@@ -105,3 +105,21 @@ def test_salted_join_matches_unsalted_on_skew():
     pd.testing.assert_frame_equal(
         got[key].sort_values(key).reset_index(drop=True).astype("int64"),
         want[key].sort_values(key).reset_index(drop=True).astype("int64"))
+
+
+def test_asof_join_semantics():
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3], "t": [10, 20, 15, 5],
+        "lv": ["a", "b", "c", "d"]}).astype({"t": "int64"})
+    right = pd.DataFrame({
+        "k": [1, 1, 2], "t": [8, 18, 15],
+        "rt": [8, 18, 15], "rv": ["x", "y", "z"]}).astype({"t": "int64"})
+    from nexus_forge_ray.ops.joins import asof_join
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="t", by="k", num_buckets=4,
+                    lcols=["k", "t", "lv"],
+                    rcols=["k", "t", "rt", "rv"]).to_pandas()
+    got = {(r.k, r.t): (r.rt, r.rv) for r in out.itertuples()}
+    # backward: nearest right with rt <= t, per key; k=3 has no match -> drop;
+    # equal timestamps match (t=15 joins rt=15)
+    assert got == {(1, 10): (8, "x"), (1, 20): (18, "y"), (2, 15): (15, "z")}
