@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": relational.q_events_sessions,
         "q_events_sliding": relational.q_events_sliding,
         "q_events_asof": relational.q_events_asof,
+        "q_events_range": relational.q_events_range,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,
         # text / dedup / similarity (oracle-checked where SQL-expressible)
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": corpus.similarity_topk,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
+        "doc_vocab": corpus.doc_vocab,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

@@ -102,6 +102,82 @@ def run_bench() -> dict:
     return result
 
 
+def run_stages() -> dict:
+    """Per-stage flagship breakdown (BASELINE.md §3 ask): wall per pipeline
+    phase, docs/s per phase. Phases run sequentially with explicit
+    materialization boundaries — the fused default interleaves them, so the
+    sum here is an upper bound on the fused wall."""
+    import shutil
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import nexus_forge_ray
+    nexus_forge_ray.configure(quiet=True)
+    import ray.data as rd
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pandas").count()
+    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    from nexus_forge_ray.kg import kb as KB
+    from nexus_forge_ray.kg.canonicalize import components_from_compact
+    from nexus_forge_ray.kg.fused import PageFeatures
+    from nexus_forge_ray.kg.triples import sort_and_write
+    from nexus_forge_ray.pipelines.kg_pipeline import (CONTEXT, PAGE_MAPPING,
+                                                       PAGE_SHAPE,
+                                                       _add_page_keys,
+                                                       _dup_key_rows,
+                                                       drop_dup_triples)
+    from nexus_forge_ray.sources.pages import extract_text, synth_pages
+    from nexus_forge_ray.validation.shapes import validate_dataset
+
+    stages: dict[str, float] = {}
+    t = time.time()
+
+    def mark(name):
+        nonlocal t
+        stages[name] = round(time.time() - t, 3)
+        t = time.time()
+
+    pages = extract_text(synth_pages(SF_DIR, replicate=REPLICATE))
+    pages = pages.map_batches(_add_page_keys, batch_format="pandas")
+    validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype")
+    valid_pages = validated.map_batches(
+        lambda df: df[df["valid"]].drop(
+            columns=["html", "warc_ts", "valid", "violation"]),
+        batch_format="pandas")
+    feats = valid_pages.map_batches(
+        PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
+                     num_perm=64, num_bands=8),
+        batch_format="pandas", batch_size=None).materialize()
+    mark("extract_validate_map_link_sign")  # the fused per-page pass
+    triples = feats.map_batches(
+        lambda df: df.loc[df["kind"] == 1,
+                          ["page_nid", "subj", "pred", "obj", "obj_is_iri",
+                           "obj_datatype"]], batch_format="pandas")
+    sig_rows = feats.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["page_nid", "sig_hash"]
+                          + [f"b{i}" for i in range(8)]],
+        batch_format="pandas")
+    comp = components_from_compact(sig_rows, id_col="page_nid", num_bands=8)
+    dup_keys = comp.map_batches(_dup_key_rows,
+                                batch_format="pandas").materialize()
+    mark("canonicalize_components")
+    out_dir = f"/tmp/bench_stage_triples_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    deduped = drop_dup_triples(triples, dup_keys).drop_columns(["page_nid"])
+    sort_and_write(deduped, out_dir)
+    mark("dedup_sort_write")
+    total = round(sum(stages.values()), 3)
+    n_pages = n_docs * REPLICATE
+    result = {"metric": "flagship_stage_sec", "value": total, "unit": "sec",
+              "stages": stages,
+              "stage_docs_per_s": {k: round(n_pages / v, 1)
+                                   for k, v in stages.items()},
+              "sf": SF_DIR, "num_cpus": NUM_CPUS, "docs": n_pages}
+    ray.shutdown()
+    return result
+
+
 def run_child(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                GRAFT_BENCH_ONLY_FLAGSHIP="1")
@@ -173,5 +249,7 @@ def _measure_pair(lo_cpus: int) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stages" in sys.argv:
+        print(json.dumps(run_stages()))
     else:
         print(json.dumps(run_bench()))

@@ -113,6 +113,51 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
                                                batch_format="pandas")
 
 
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *, by: str,
+               on: str, low, high, num_buckets: int = 16,
+               r_on: str | None = None,
+               lcols: list[str] | None = None,
+               rcols: list[str] | None = None) -> ray.data.Dataset:
+    """Distributed range (interval) join: left ⋈ right on `by` equality AND
+    right.on in [left.on + low, left.on + high].
+
+    Plan: bucket both sides by hash(by) (one shuffle, co-located keys), then
+    per bucket an equi-merge on `by` followed by a vectorized range mask.
+    Partitioning assumption: the per-key pair product fits in a bucket —
+    right for entity-history joins where each key has bounded activity; for
+    head keys pre-filter or salt (salted_join) first.
+    """
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+    rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
+    allcols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
+                                for c in allcols})
+            out["__bucket"] = (stable_hash_u64(batch[by])
+                               % np.uint64(num_buckets)).astype("int32") \
+                if len(batch) else np.array([], dtype="int32")
+            out["__side"] = side
+            return out
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas"))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][lcols].infer_objects()
+        rg = group[group["__side"] == "r"][rcols].infer_objects()
+        m = lg.merge(rg, on=by, suffixes=("", "_r"))
+        rcol = r_on or on
+        if rcol != by and rcol in lcols and rcol in rcols:
+            rcol = rcol + "_r"  # collided -> suffixed by the merge
+        return m[(m[rcol] >= m[on] + low) & (m[rcol] <= m[on] + high)]
+
+    return both.groupby("__bucket").map_groups(merge_bucket,
+                                               batch_format="pandas")
+
+
 def hot_keys(ds: ray.data.Dataset, on: str, *, threshold: int,
              num_buckets: int = 32) -> list:
     """Distributed head-key detector: keys whose row count exceeds

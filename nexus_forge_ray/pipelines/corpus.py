@@ -73,6 +73,25 @@ def doc_repetition(sf_dir: str):
     return tx.repetition_signals(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_vocab(sf_dir: str):
+    """Corpus vocabulary with frequencies (tokenizer-training precursor):
+    explode tokens per batch, count partials locally, bucketed groupby —
+    the shuffle moves (token, partial_count) rows, never raw tokens.
+    Keeps tokens seen >= 10 times."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split().explode().dropna()
+        return pd.DataFrame({"token": ex.to_numpy()})
+
+    counts = hash_groupby_agg(
+        _docs(sf_dir, ["text"]).map_batches(toks, batch_format="pandas"),
+        "token", {"n": ("token", "count")}, num_buckets=16)
+    return counts.map_batches(
+        lambda df: df.loc[df["n"] >= 10].assign(n=df["n"].astype("int64")),
+        batch_format="pandas")
+
+
 def doc_filter_pass(sf_dir: str):
     """Composed quality gate (the C4/Gopher-style 'keep clean documents'
     pipeline): token count, punctuation ratio, top-token repetition and

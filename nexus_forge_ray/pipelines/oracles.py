@@ -213,6 +213,16 @@ ORACLES: dict[str, str] = {
                    where event_type = 'click') r
           on l.user_id = r.user_id and l.ts >= r.ts
     """,
+    "q_events_range": """
+        select l.user_id, l.ts, r.ts as click_ts
+        from (select user_id, ts from events
+              where event_type = 'purchase') l
+        join (select user_id, ts from events
+              where event_type = 'click') r
+          on l.user_id = r.user_id
+         and r.ts >= l.ts - interval 30 minutes
+         and r.ts <= l.ts
+    """,
     "q_customers_no_orders": """
         select c_custkey, c_name from customer
         where not exists (select 1 from orders
@@ -425,6 +435,11 @@ ORACLES: dict[str, str] = {
                round(n_punct / greatest(n_chars, 1)::double, 4) as punct_ratio,
                round(n_stop / greatest(n_tokens, 1)::double, 4) as stopword_ratio
         from t
+    """,
+    "doc_vocab": """
+        select tok as token, count(*)::bigint as n
+        from (select unnest(string_split(text, ' ')) as tok from documents)
+        group by tok having count(*) >= 10
     """,
     "doc_filter_pass": f"""
         with q as (

@@ -400,6 +400,28 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "ts", "value", "click_ts", "click_value"]]
 
 
+def q_events_range(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: every (purchase, click) pair of the same user
+    with the click in the 30 minutes before the purchase (bucketed-by-user
+    equi-merge + vectorized range mask, ops.joins.range_join)."""
+    from nexus_forge_ray.ops.joins import range_join
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "purchase", ["user_id", "ts"]],
+        batch_format="pandas")
+    clicks = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "click", ["user_id", "ts"]]
+        .rename(columns={"ts": "click_ts"}),
+        batch_format="pandas")
+    out = range_join(purchases, clicks, by="user_id", on="ts",
+                     low=-pd.Timedelta(minutes=30), high=pd.Timedelta(0),
+                     r_on="click_ts",
+                     lcols=["user_id", "ts"],
+                     rcols=["user_id", "click_ts"],
+                     num_buckets=16).to_pandas()
+    return out[["user_id", "ts", "click_ts"]]
+
+
 def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join (broadcast key set): customers without any big order.
 

@@ -123,3 +123,17 @@ def test_asof_join_semantics():
     # backward: nearest right with rt <= t, per key; k=3 has no match -> drop;
     # equal timestamps match (t=15 joins rt=15)
     assert got == {(1, 10): (8, "x"), (1, 20): (18, "y"), (2, 15): (15, "z")}
+
+
+def test_range_join_semantics():
+    left = pd.DataFrame({"k": [1, 1, 2], "t": [100, 200, 50]})
+    right = pd.DataFrame({"k": [1, 1, 1, 2], "rt": [80, 95, 150, 50]})
+    from nexus_forge_ray.ops.joins import range_join
+    out = range_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     by="k", on="t", low=-30, high=0, r_on="rt",
+                     lcols=["k", "t"], rcols=["k", "rt"],
+                     num_buckets=4).to_pandas()
+    got = sorted(zip(out["k"], out["t"], out["rt"]))
+    # t=100: rt in [70,100] -> 80, 95; t=200: rt in [170,200] -> none;
+    # t=50 (k=2): rt=50 inclusive upper bound
+    assert got == [(1, 100, 80), (1, 100, 95), (2, 50, 50)]
