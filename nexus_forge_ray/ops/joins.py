@@ -61,6 +61,51 @@ def anti_join(big: ray.data.Dataset, keys, on: str) -> ray.data.Dataset:
     return big.map_batches(filt, batch_format="pandas")
 
 
+def partitioned_agg_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                         on: str, aggs: dict[str, tuple[str, str]], *,
+                         num_buckets: int = 32, how: str = "inner",
+                         lcols: list[str] | None = None,
+                         rcols: list[str] | None = None) -> ray.data.Dataset:
+    """groupby(on).agg(aggs) on the left side + join with right — in ONE
+    bucketed shuffle. The separate plan (hash_groupby_agg then
+    partitioned_join) moves the left partials through two all-to-all
+    exchanges; here both sides bucket by hash(on) once and each bucket
+    aggregates locally before its merge. `aggs` uses the hash_groupby_agg
+    spec (out -> (src_col, how)), hows must be re-aggregable (left batches
+    should be pre-combined per batch by the caller).
+    """
+    from nexus_forge_ray.ops.agg import _FINAL_HOW
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+    rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
+    allcols = list(dict.fromkeys(lcols + rcols))
+    out_l = [on] + list(aggs)
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
+                                for c in allcols})
+            out["__bucket"] = (stable_hash_u64(batch[on].astype("string"))
+                               % np.uint64(num_buckets)).astype("int32") \
+                if len(batch) else np.array([], dtype="int32")
+            out["__side"] = side
+            return out
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pandas").union(
+        right.map_batches(tag("r", rcols), batch_format="pandas"))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][lcols].infer_objects()
+        rg = group[group["__side"] == "r"][rcols].infer_objects()
+        spec = {name: (col, _FINAL_HOW[how_]) for name, (col, how_)
+                in aggs.items()}
+        la = lg.groupby(on, as_index=False).agg(**spec)[out_l]
+        return la.merge(rg, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket,
+                                               batch_format="pandas")
+
+
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *, on: str,
               by: str, num_buckets: int = 16, direction: str = "backward",
               lcols: list[str] | None = None, rcols: list[str] | None = None,

@@ -118,6 +118,43 @@ def ivf_assign(emb_ds: ray.data.Dataset, centroids: np.ndarray, *,
     return emb_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def ivf_build_index(emb_ds: ray.data.Dataset, out_dir: str, *,
+                    n_centroids: int = 16, vec_col: str = "embedding") -> str:
+    """Persist the IVF index: vectors written as Parquet PARTITIONED BY
+    centroid_id (hive layout), centroids saved alongside. Build once, search
+    many times — the scale path (assignment is not recomputed per query run,
+    and a search reads ONLY the probed partition directories)."""
+    import os
+    centroids = build_centroids(emb_ds, n_centroids, vec_col=vec_col)
+    assigned = ivf_assign(emb_ds, centroids, vec_col=vec_col)
+    assigned.write_parquet(out_dir, partition_cols=["centroid_id"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), centroids)
+    return out_dir
+
+
+def ivf_search_index(index_dir: str, query_ids: list,
+                     query_matrix: np.ndarray, k: int = 10, *,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     concurrency: int = 2) -> pd.DataFrame:
+    """Search a persisted IVF index: load centroids, pick the nprobe nearest
+    partitions per query, and read ONLY those partition directories from
+    storage (pruning at the read, not a post-read filter)."""
+    import os
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = sorted({int(c) for row in probe for c in row})
+    import glob
+    paths = [f for c in probe_sets
+             for f in sorted(glob.glob(
+                 os.path.join(index_dir, f"centroid_id={c}", "*.parquet")))]
+    pruned = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return cosine_topk(pruned, query_ids, query_matrix, k,
+                       id_col=id_col, vec_col=vec_col,
+                       concurrency=concurrency)
+
+
 def ivf_topk(emb_ds: ray.data.Dataset, query_ids: list, query_matrix: np.ndarray,
              k: int = 10, *, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -119,14 +119,16 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         g = batch.groupby("l_orderkey", as_index=False)["rev"].sum()
         return g
 
-    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_agg_join
     line_partial = line.map_batches(revenue, batch_format="pandas")
-    joined = partitioned_join(
-        hash_groupby_agg(line_partial, "l_orderkey", {"rev": ("rev", "sum")}),
+    # aggregate + join in ONE bucketed shuffle (separate agg-then-join plans
+    # move the partials through two all-to-all exchanges)
+    joined = partitioned_agg_join(
+        line_partial,
         orders.map_batches(
             lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
             batch_format="pandas"),
-        on="l_orderkey", num_buckets=16,
+        on="l_orderkey", aggs={"rev": ("rev", "sum")}, num_buckets=16,
         lcols=["l_orderkey", "rev"],
         rcols=["l_orderkey", "o_custkey", "o_orderdate"])
     top = joined.to_pandas()

@@ -30,3 +30,30 @@ def test_mm_image_features_rows(sf_dir):
     assert len(out) > 0
     assert (out["dim"] == 8).all()
     assert (out["width"] >= 16).all()
+
+
+def test_ivf_persisted_index_matches_inline(sf_dir, tmp_path):
+    """ivf_build_index + ivf_search_index returns the same results as the
+    inline ivf_topk (same deterministic centroids -> same probed partitions),
+    while reading only the probed partition directories."""
+    import numpy as np
+    import os
+    import pyarrow.parquet as pq
+    import ray.data
+    from nexus_forge_ray.ops.similarity import (ivf_build_index,
+                                                ivf_search_index, ivf_topk)
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 3)]).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    idx = ivf_build_index(emb, str(tmp_path / "ivf"), n_centroids=8)
+    assert os.path.exists(os.path.join(idx, "_centroids.npy"))
+    assert any(d.startswith("centroid_id=") for d in os.listdir(idx))
+    got = ivf_search_index(idx, qdf["vec_id"].tolist(), qmat, k=5, nprobe=4)
+    want = ivf_topk(emb, qdf["vec_id"].tolist(), qmat, k=5,
+                    n_centroids=8, nprobe=4)
+    assert got[["query_id", "vec_id"]].values.tolist() == \
+        want[["query_id", "vec_id"]].values.tolist()
+    assert np.allclose(got["score"], want["score"])
