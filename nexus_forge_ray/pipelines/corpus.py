@@ -122,6 +122,11 @@ def doc_filter_pass(sf_dir: str):
 
 
 def minhash_near_dup(sf_dir: str):
+    """Near-dup pair REPORT with true n-gram Jaccard values. The exact
+    verify (jaccard_verify_pairs) is the deliberate choice here: the oracle
+    checks true Jaccard, and a pair report is a small-corpus product. The
+    scale path for canonicalization is the distributed signature-agreement
+    verify — canonical_map's default (kg/canonicalize.py)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16,
                                        pair_mode="all")

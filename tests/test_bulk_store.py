@@ -74,3 +74,13 @@ def test_bulk_tag_duplicate_against_existing():
     tags_out, act = bulk_tag(_store(), tags, existing)
     assert len(tags_out.to_pandas()) == 0
     assert not bool(act.to_pandas()["succeeded"].iloc[0])
+
+
+def test_write_snapshot_roundtrip(tmp_path):
+    from nexus_forge_ray.store.bulk import bulk_update, write_snapshot
+    updates = ray.data.from_pandas(pd.DataFrame({"id": ["a"], "name": ["A2"]}))
+    rec, arch, act = bulk_update(_store(), updates)
+    out = write_snapshot(rec, arch, str(tmp_path / "snap"))
+    back = pd.read_parquet(f"{out}/records").set_index("id")
+    assert back.loc["a", "name"] == "A2" and back.loc["a", "version"] == 2
+    assert pd.read_parquet(f"{out}/archives")["id"].tolist() == ["a"]
