@@ -47,6 +47,23 @@ def union_find_local(edges: pd.DataFrame, id_a: str = "id_a",
     return {x: find(x) for x in list(parent)}
 
 
+def _components_bounded(edges: ray.data.Dataset, *,
+                        local_edge_limit: int = 2_000_000) -> dict | None:
+    """Collect edges for a local union-find ONLY while under the limit;
+    return None on overflow (caller falls back to the distributed
+    min-label propagation). Streaming iter_batches — never materializes an
+    unbounded edge set on the driver."""
+    batches, n = [], 0
+    for b in edges.iter_batches(batch_size=65536, batch_format="pandas"):
+        batches.append(b)
+        n += len(b)
+        if n > local_edge_limit:
+            return None
+    if n == 0:
+        return {}
+    return union_find_local(pd.concat(batches, ignore_index=True))
+
+
 def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 25,
                          num_buckets: int = 32) -> ray.data.Dataset:
@@ -187,25 +204,49 @@ def _tiered_components(sig: ray.data.Dataset, *, id_col: str, num_perm: int,
     import ray as _ray
     exact_edges, lsh_edges = _tiered_candidate_edges(
         sig, id_col=id_col, num_perm=num_perm, num_bands=num_bands)
-    lsh_df = lsh_edges.to_pandas()
-    rep_comp = union_find_local(lsh_df) if len(lsh_df) else {}
-    rep_ref = _ray.put(rep_comp)
+    lsh_edges = lsh_edges.materialize()
+    rep_comp = _components_bounded(lsh_edges)
+    if rep_comp is not None:
+        rep_ref = _ray.put(rep_comp)
 
-    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rc = _ray.get(rep_ref)
-        comp = df["id_a"].map(lambda r: rc.get(r, r)) if rc else df["id_a"]
-        return pd.DataFrame({id_col: df["id_b"].to_numpy(),
-                             "component": comp.to_numpy()})
+        def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+            rc = _ray.get(rep_ref)
+            comp = df["id_a"].map(lambda r: rc.get(r, r)) if rc else df["id_a"]
+            return pd.DataFrame({id_col: df["id_b"].to_numpy(),
+                                 "component": comp.to_numpy()})
 
-    members = exact_edges.map_batches(member_rows, batch_format="pandas")
-    rep_rows = ray.data.from_pandas(pd.DataFrame({
-        id_col: list(rep_comp), "component": list(rep_comp.values())}))         if rep_comp else None
-    return members.union(rep_rows) if rep_rows is not None else members
+        members = exact_edges.map_batches(member_rows, batch_format="pandas")
+        rep_rows = ray.data.from_pandas(pd.DataFrame({
+            id_col: list(rep_comp), "component": list(rep_comp.values())})) \
+            if rep_comp else None
+        return members.union(rep_rows) if rep_rows is not None else members
+
+    # overflow fallback: distributed rep components + bucketed member join
+    from nexus_forge_ray.ops.joins import partitioned_join
+    comp_ds = connected_components(lsh_edges, num_buckets=64)
+    joined = partitioned_join(
+        exact_edges.map_batches(
+            lambda df: df.rename(columns={"id_a": "node"}),
+            batch_format="pandas"),
+        comp_ds, on="node", how="left",
+        lcols=["node", "id_b"], rcols=["node", "component"])
+    members = joined.map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df["id_b"].to_numpy().astype("int64"),
+            "component": df["component"].fillna(df["node"]).to_numpy()
+            .astype("int64")}),
+        batch_format="pandas")
+    rep_rows = comp_ds.map_batches(
+        lambda df: df.rename(columns={"node": id_col}),
+        batch_format="pandas")
+    return members.union(rep_rows)
 
 
 def components_from_compact(sig_rows: ray.data.Dataset, *,
                             id_col: str = "page_nid",
-                            num_bands: int = 8) -> ray.data.Dataset:
+                            num_bands: int = 8,
+                            rep_edge_limit: int = 2_000_000
+                            ) -> ray.data.Dataset:
     """Two-tier components over COMPACT signature rows
     (id, sig_hash, b0..b7) — the fused flagship path (kg/fused.py):
     tier 1 groups by sig_hash (exact collapse, star edges, one shuffle of
@@ -287,24 +328,51 @@ def components_from_compact(sig_rows: ray.data.Dataset, *,
 
     lsh_edges = tier1.map_batches(band_rows, batch_format="pandas") \
         .groupby("__bkt").map_groups(band_pairs, batch_format="pandas")
-    lsh_df = lsh_edges.to_pandas()
-    rep_comp = union_find_local(lsh_df) if len(lsh_df) else {}
-    rep_ref = _ray.put(rep_comp)
+    # rep-level edges are tiny by construction (distinct signatures sharing a
+    # band); collect is BOUNDED — on overflow (adversarial corpora) the
+    # distributed min-label propagation takes over, and rep components attach
+    # to members via a bucketed join instead of a broadcast dict.
+    lsh_edges = lsh_edges.materialize()
+    rep_comp = _components_bounded(lsh_edges,
+                                   local_edge_limit=rep_edge_limit)
+    if rep_comp is not None:
+        rep_ref = _ray.put(rep_comp)
 
-    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
-        e = df[df["kind"] == 0]
-        rc = _ray.get(rep_ref)
-        comp = e["id_a"].map(lambda r: rc.get(r, r)) if rc \
-            else e["id_a"]
-        return pd.DataFrame({id_col: e["id_b"].to_numpy(),
-                             "component": np.asarray(comp, dtype=np.int64)})
+        def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["kind"] == 0]
+            rc = _ray.get(rep_ref)
+            comp = e["id_a"].map(lambda r: rc.get(r, r)) if rc \
+                else e["id_a"]
+            return pd.DataFrame({id_col: e["id_b"].to_numpy(),
+                                 "component": np.asarray(comp,
+                                                         dtype=np.int64)})
 
-    members = tier1.map_batches(member_rows, batch_format="pandas")
-    if rep_comp:
-        rep_rows = ray.data.from_pandas(pd.DataFrame(
-            {id_col: list(rep_comp), "component": list(rep_comp.values())}))
-        return members.union(rep_rows)
-    return members
+        members = tier1.map_batches(member_rows, batch_format="pandas")
+        if rep_comp:
+            rep_rows = ray.data.from_pandas(pd.DataFrame(
+                {id_col: list(rep_comp),
+                 "component": list(rep_comp.values())}))
+            return members.union(rep_rows)
+        return members
+
+    from nexus_forge_ray.ops.joins import partitioned_join
+    comp_ds = connected_components(lsh_edges, num_buckets=64)
+    exact = tier1.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["id_a", "id_b"]]
+        .rename(columns={"id_a": "node"}), batch_format="pandas")
+    joined = partitioned_join(exact, comp_ds, on="node", how="left",
+                              lcols=["node", "id_b"],
+                              rcols=["node", "component"])
+    members = joined.map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df["id_b"].to_numpy().astype("int64"),
+            "component": df["component"].fillna(df["node"]).to_numpy()
+            .astype("int64")}),
+        batch_format="pandas")
+    rep_rows = comp_ds.map_batches(
+        lambda df: df.rename(columns={"node": id_col}),
+        batch_format="pandas")
+    return members.union(rep_rows)
 
 
 def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",

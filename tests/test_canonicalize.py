@@ -43,3 +43,32 @@ def test_canonical_map_finds_exact_dups(sf_dir):
     m = dict(zip(out["doc_id"], out["component"]))
     assert m.get(1) == 1 and m.get(2) == 1
     assert m.get(3, 3) == 3 and m.get(4, 4) == 4
+
+
+def test_components_from_compact_distributed_fallback(sf_dir):
+    """Force the rep-edge overflow path (rep_edge_limit=0): the distributed
+    min-label propagation + bucketed member join must produce the same
+    components as the bounded local union-find path."""
+    from nexus_forge_ray.kg.fused import PageFeatures
+    from nexus_forge_ray.kg import kb as KB
+    from nexus_forge_ray.kg.canonicalize import components_from_compact
+    from nexus_forge_ray.pipelines.kg_pipeline import (CONTEXT, PAGE_MAPPING,
+                                                       _add_page_keys)
+    from nexus_forge_ray.sources.pages import extract_text, synth_pages
+    pages = extract_text(synth_pages(sf_dir, replicate=3))
+    pages = pages.map_batches(_add_page_keys, batch_format="pandas")
+    feats = pages.map_batches(
+        PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
+                     num_perm=64, num_bands=8),
+        batch_format="pandas", batch_size=None).materialize()
+    sig_rows = feats.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["page_nid", "sig_hash"]
+                          + [f"b{i}" for i in range(8)]],
+        batch_format="pandas")
+    local = components_from_compact(sig_rows, id_col="page_nid",
+                                    num_bands=8).to_pandas()
+    dist = components_from_compact(sig_rows, id_col="page_nid", num_bands=8,
+                                   rep_edge_limit=0).to_pandas()
+    lm = dict(zip(local["page_nid"], local["component"]))
+    dm = dict(zip(dist["page_nid"], dist["component"]))
+    assert lm == dm and len(lm) > 0
