@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": corpus.embedding_near_dup,
         # rows-only (justifications in pipelines/oracles.py docstring)
         "simhash_signatures": corpus.simhash_signatures,
+        "simhash_near_dup": corpus.simhash_near_dup,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "mm_image_features": corpus.mm_image_features,
     }

@@ -439,6 +439,72 @@ class SimHasher:
         })
 
 
+def simhash_near_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_bands: int = 4,
+                           max_bucket: int = 1024) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole blocking: the 64-bit fingerprint splits into `num_bands`
+    16-bit bands; two fingerprints within `max_hamming` (< num_bands) bits
+    MUST agree on at least one band, so the shuffle key is (band_id,
+    band_value) — recall is exact, no probabilistic miss. Per bucket the
+    hamming verify is one vectorized XOR + popcount over the candidate
+    pairs; cross-band duplicates collapse via distinct_rows.
+    """
+    assert max_hamming < num_bands, "pigeonhole needs max_hamming < num_bands"
+    sig = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+    sig = sig.materialize()  # consumed per band
+    width = 64 // num_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(dtype=np.uint64)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for b in range(num_bands):
+            frames.append(pd.DataFrame({
+                id_col: ids, "simhash": h,
+                "band_id": np.int32(b),
+                "band_val": (h >> np.uint64(b * width)) & mask}))
+        out = pd.concat(frames, ignore_index=True)
+        out["__bkt"] = ((out["band_val"]
+                         ^ (np.uint64(0x9E3779B9) * out["band_id"]
+                            .to_numpy(dtype=np.uint64)))
+                        % np.uint64(64)).astype("int32")
+        return out
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in group.groupby(["band_id", "band_val"], sort=False):
+            sub = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(sub) < 2:
+                continue
+            if len(sub) > max_bucket:
+                sub = sub.head(max_bucket)
+            ids = sub[id_col].to_numpy()
+            hs = sub["simhash"].to_numpy(dtype=np.uint64)
+            ia, ib = np.triu_indices(len(sub), k=1)
+            x = hs[ia] ^ hs[ib]
+            # vectorized popcount via uint8 view + per-byte bit table
+            bits = np.unpackbits(x.view(np.uint8)).reshape(len(x), -1) \
+                .sum(axis=1)
+            keep = bits <= max_hamming
+            out.append(pd.DataFrame({"id_a": ids[ia[keep]],
+                                     "id_b": ids[ib[keep]],
+                                     "hamming": bits[keep].astype("int64")}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = sig.map_batches(band_rows, batch_format="pandas") \
+        .groupby("__bkt").map_groups(pairs, batch_format="pandas")
+    from nexus_forge_ray.ops.agg import distinct_rows
+    return distinct_rows(cand, ["id_a", "id_b"], num_buckets=16)
+
+
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id", concurrency: int | None = None,
                        ) -> ray.data.Dataset:

@@ -138,6 +138,15 @@ def simhash_signatures(sf_dir: str):
     return dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3, pigeonhole 4x16-bit banding —
+    exact recall). Rows-only: the fingerprint derives from per-token SipHash,
+    not SQL-reproducible; gated by the planted-pair test instead
+    (tests/test_dedup_scale.py)."""
+    return dd.simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                     max_hamming=3)
+
+
 def embedding_near_dup(sf_dir: str):
     """The driver fixture has no near-dup vectors (max pairwise cosine ≈ 0.51),
     so the query constructs deterministic exact duplicates (vec_id + 10000,

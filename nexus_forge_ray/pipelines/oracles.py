@@ -5,8 +5,9 @@ sorts columns by name before value-hashing. Float aggregates are rounded the
 same way on both sides.
 
 Remaining no-oracle queries (each with its justification):
-- simhash_signatures: the fingerprint is a per-token SipHash bit-vote; SQL has
-  no SipHash-1-3 — covered by a vectorized-vs-naive identity test instead.
+- simhash_signatures / simhash_near_dup: the fingerprint is a per-token
+  SipHash bit-vote; SQL has no SipHash-1-3 — covered by a vectorized-vs-naive
+  identity test and a planted-near-dup pair test instead.
 - similarity_topk_ivf: approximate by design (IVF probe subset); gated by a
   recall-vs-brute-force test (tests/test_similarity_recall.py), while the
   exact variant similarity_topk IS oracle-checked.

@@ -137,3 +137,27 @@ def test_range_join_semantics():
     # t=100: rt in [70,100] -> 80, 95; t=200: rt in [170,200] -> none;
     # t=50 (k=2): rt=50 inclusive upper bound
     assert got == [(1, 100, 80), (1, 100, 95), (2, 50, 50)]
+
+
+def test_simhash_near_dup_finds_planted_pairs():
+    """Planted near-identical docs (one token changed out of 60) have tiny
+    hamming distance; unrelated docs don't collide. Pigeonhole blocking with
+    max_hamming < num_bands guarantees exact recall."""
+    rng = np.random.RandomState(3)
+    vocab = np.array([f"w{i}" for i in range(500)])
+    base_docs = [" ".join(rng.choice(vocab, 300)) for _ in range(20)]
+    near = []
+    for d in base_docs[:5]:
+        toks = d.split()
+        toks[7] = "CHANGED"
+        near.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64),
+                       "text": base_docs + near})
+    from nexus_forge_ray.ops.dedup import simhash_near_dup_pairs
+    out = simhash_near_dup_pairs(ray.data.from_pandas(df),
+                                 max_hamming=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert {(i, i + 20) for i in range(5)} <= got
+    # no pairs among the unrelated originals
+    assert not any(a < 20 and b < 20 for a, b in got)
+    assert (out["hamming"] <= 3).all()
