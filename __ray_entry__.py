@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,
+        "doc_mixture": corpus.doc_mixture,
+        "doc_pack_sequences": corpus.doc_pack_sequences,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

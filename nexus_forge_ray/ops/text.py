@@ -209,6 +209,77 @@ def repetition_signals(ds: ray.data.Dataset, text_col: str = "text",
         batch_format="pyarrow")
 
 
+def mixture_sample(ds: ray.data.Dataset, weights: dict[str, float], *,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default: float = 0.0) -> ray.data.Dataset:
+    """Deterministic training-mixture construction: keep a per-source
+    fraction of documents (down-weighting over-represented sources is the
+    standard mixture step before training). Selection is `id % 100 <
+    weight*100` — reproducible across runs/nodes, no RNG state, and
+    expressible in the SQL oracle. A pure map-side filter: no shuffle."""
+    wref = {k: float(v) for k, v in weights.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[source_col].map(wref).fillna(default).to_numpy()
+        sel = (df[id_col].to_numpy() % 100) < w * 100
+        return df[sel]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+class SequencePacker:
+    """Greedy first-fit packing of documents into fixed-token-budget training
+    sequences — an actor-pool stage holding the open-bin state per block.
+
+    Documents longer than `max_tokens` become their own (overflowing)
+    sequence, mirroring common packing implementations that truncate
+    downstream. Packing is per-BLOCK (sequences never span blocks): the
+    partitioning assumption is that block-level packing efficiency is enough
+    — global packing would serialize the corpus.
+    """
+
+    def __init__(self, max_tokens: int = 2048, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.max_tokens = max_tokens
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = batch[self.text_col].fillna("").str.split().map(len) \
+            .to_numpy(dtype=np.int64)
+        ids = batch[self.id_col].to_numpy()
+        seq_of = np.empty(len(batch), dtype=np.int64)
+        fill: list[int] = []   # open-bin loads (first-fit)
+        for i, t in enumerate(n_tok):
+            for s, load in enumerate(fill):
+                if load + t <= self.max_tokens:
+                    fill[s] += t
+                    seq_of[i] = s
+                    break
+            else:
+                seq_of[i] = len(fill)
+                fill.append(int(t))
+        out = pd.DataFrame({"seq": seq_of, self.id_col: ids,
+                            "n_tokens": n_tok})
+        agg = out.groupby("seq").agg(
+            doc_ids=(self.id_col, list), total_tokens=("n_tokens", "sum"),
+            n_docs=(self.id_col, "size")).reset_index(drop=True)
+        # globally-unique sequence ids: derive from the member doc ids
+        agg["seq_id"] = [int(stable_hash_u64([",".join(map(str, d))])[0]
+                             >> np.uint64(1)) for d in agg["doc_ids"]]
+        return agg[["seq_id", "doc_ids", "total_tokens", "n_docs"]]
+
+
+def pack_sequences(ds: ray.data.Dataset, max_tokens: int = 2048, *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   concurrency: int | None = None) -> ray.data.Dataset:
+    kw = dict(max_tokens=max_tokens, text_col=text_col, id_col=id_col)
+    if concurrency is None:
+        return ds.map_batches(SequencePacker(**kw), batch_format="pandas")
+    return ds.map_batches(SequencePacker, fn_constructor_kwargs=kw,
+                          batch_format="pandas", concurrency=concurrency)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5 hex (exact identity) + 64-bit rolling-style hash."""
     txt = batch[text_col].to_pandas()

@@ -73,6 +73,31 @@ def doc_repetition(sf_dir: str):
     return tx.repetition_signals(_docs(sf_dir, ["doc_id", "text"]))
 
 
+MIXTURE_WEIGHTS = {f"src{i}": (1.0 if i < 5 else (0.5 if i < 10 else 0.2))
+                   for i in range(20)}
+
+
+def doc_mixture(sf_dir: str):
+    """Deterministic training-mixture sampling: head sources kept fully,
+    mid-tier at 50%, tail at 20% (doc_id % 100 thresholding — reproducible
+    and SQL-checkable)."""
+    ds = tx.mixture_sample(
+        _docs(sf_dir, ["doc_id", "source", "text"]), MIXTURE_WEIGHTS)
+    return ds.map_batches(lambda df: df[["doc_id", "source"]],
+                          batch_format="pandas")
+
+
+def doc_pack_sequences(sf_dir: str):
+    """Greedy sequence packing for training (2048-token budget). Rows-only:
+    packing is stateful per block (no SQL equivalent); invariants are
+    test-gated (budget respected, every doc packed exactly once)."""
+    packed = tx.pack_sequences(_docs(sf_dir, ["doc_id", "text"]),
+                               max_tokens=2048)
+    return packed.map_batches(
+        lambda df: df[["seq_id", "total_tokens", "n_docs"]],
+        batch_format="pandas")
+
+
 def doc_vocab(sf_dir: str):
     """Corpus vocabulary with frequencies (tokenizer-training precursor):
     explode tokens per batch, count partials locally, bucketed groupby —

@@ -13,6 +13,9 @@ Remaining no-oracle queries (each with its justification):
   exact variant similarity_topk IS oracle-checked.
 - mm_image_features: decode kernels are honest stubs (no codecs in this env);
   only plumbing (schema/actor pool) is real, rows-only is the right check.
+- doc_pack_sequences: greedy first-fit packing is stateful per block (no SQL
+  equivalent); invariants test-gated (budget respected, every doc packed
+  exactly once, deterministic).
 - kg_flagship: end-to-end DAG including near-dup canonicalization; gated by
   the triple precision/recall harness (P=1.0, R>=0.95 vs an independent
   pandas oracle, tests/test_precision_recall.py) rather than SQL.
@@ -436,6 +439,13 @@ ORACLES: dict[str, str] = {
                round(n_punct / greatest(n_chars, 1)::double, 4) as punct_ratio,
                round(n_stop / greatest(n_tokens, 1)::double, 4) as stopword_ratio
         from t
+    """,
+    "doc_mixture": """
+        select doc_id, source from documents
+        where doc_id % 100 <
+              case when cast(substr(source, 4) as int) < 5 then 100
+                   when cast(substr(source, 4) as int) < 10 then 50
+                   else 20 end
     """,
     "doc_vocab": """
         select tok as token, count(*)::bigint as n

@@ -161,3 +161,32 @@ def test_simhash_near_dup_finds_planted_pairs():
     # no pairs among the unrelated originals
     assert not any(a < 20 and b < 20 for a, b in got)
     assert (out["hamming"] <= 3).all()
+
+
+def test_pack_sequences_invariants(sf_dir):
+    """Every doc packed exactly once; no sequence exceeds the budget unless
+    it holds a single over-long doc; deterministic across runs."""
+    import ray.data
+    from nexus_forge_ray.ops.text import pack_sequences
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = pack_sequences(docs, max_tokens=256).to_pandas()
+    all_ids = [d for row in out["doc_ids"] for d in row]
+    assert sorted(all_ids) == sorted(
+        docs.to_pandas()["doc_id"].tolist())  # exactly once
+    over = out[out["total_tokens"] > 256]
+    assert (over["n_docs"] == 1).all()  # only single over-long docs overflow
+    out2 = pack_sequences(docs, max_tokens=256).to_pandas()
+    assert sorted(out["seq_id"]) == sorted(out2["seq_id"])  # deterministic
+
+
+def test_mixture_sample_thresholds():
+    import ray.data
+    from nexus_forge_ray.ops.text import mixture_sample
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "source": ["a"] * 100 + ["b"] * 100})
+    out = mixture_sample(ray.data.from_pandas(df),
+                         {"a": 0.3, "b": 1.0}).to_pandas()
+    a = out[out["source"] == "a"]["doc_id"]
+    assert len(a) == 30 and (a % 100 < 30).all()
+    assert len(out[out["source"] == "b"]) == 100
