@@ -22,6 +22,19 @@ import ray.data
 from nexus_forge_ray.utils import stable_hash_u64
 
 
+def _key_hash(col: pd.Series) -> np.ndarray:
+    """Bucket hash for a join key column. Integer keys hash natively after
+    normalizing to int64 — INCLUDING object-dtype integers (upstream padded
+    joins widen int columns to object; hashing the object form directly
+    would bucket differently than the other side's int64, silently dropping
+    matches). Non-integer keys normalize through a string cast."""
+    if col.dtype == object:
+        col = col.infer_objects()
+    if pd.api.types.is_integer_dtype(col):
+        return stable_hash_u64(col.astype("int64"))
+    return stable_hash_u64(col.astype("string"))
+
+
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on,
                    how: str = "inner", suffix: str = "_r") -> ray.data.Dataset:
     """Join a large Dataset against a small pandas table without a shuffle.
@@ -84,7 +97,7 @@ def partitioned_agg_join(left: ray.data.Dataset, right: ray.data.Dataset,
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
                                 for c in allcols})
-            out["__bucket"] = (stable_hash_u64(batch[on].astype("string"))
+            out["__bucket"] = (_key_hash(batch[on])
                                % np.uint64(num_buckets)).astype("int32") \
                 if len(batch) else np.array([], dtype="int32")
             out["__side"] = side
@@ -341,7 +354,7 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
             batch = batch[allcols]
             h = np.zeros(len(batch), dtype=np.uint64)
             for k in join_keys:
-                h ^= stable_hash_u64(batch[k].astype("string"))
+                h ^= _key_hash(batch[k])
             batch["__bucket"] = (h % np.uint64(num_buckets)).astype("int32")
             batch["__side"] = side
             return batch
