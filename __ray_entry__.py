@@ -66,6 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": corpus.doc_vocab,
         "doc_mixture": corpus.doc_mixture,
         "doc_pack_sequences": corpus.doc_pack_sequences,
+        "doc_pii_redact": corpus.doc_pii_redact,
+        "doc_normalize": corpus.doc_normalize,
+        "doc_decontaminate": corpus.doc_decontaminate,
+        "doc_top_per_lang": corpus.doc_top_per_lang,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

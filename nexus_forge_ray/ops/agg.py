@@ -77,6 +77,33 @@ def distinct_rows(ds: ray.data.Dataset, keys: str | list[str],
         .groupby("__bucket").map_groups(final, batch_format="pandas")
 
 
+def grouped_topk(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
+                 k: int, *, ascending: bool = False,
+                 tiebreak: list[str] | None = None,
+                 num_buckets: int = 16) -> ray.data.Dataset:
+    """Top-k rows per group (e.g. best-quality docs per language bucket).
+
+    Partial top-k per batch first, so the shuffle moves at most
+    k x groups_per_batch rows — never the corpus. Deterministic when
+    `tiebreak` totally orders ties (sorted ascending after order_col)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    by = [order_col] + list(tiebreak or [])
+    asc = [ascending] + [True] * len(tiebreak or [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(by, ascending=asc, kind="mergesort")
+        b = b.groupby(keys, sort=False).head(k).copy()
+        b["__bucket"] = _bucket_of(b, keys, num_buckets)
+        return b
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(by, ascending=asc, kind="mergesort")
+        return g.groupby(keys, sort=False).head(k).drop(columns="__bucket")
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
 def min_by_rows(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
                 num_buckets: int = 32) -> ray.data.Dataset:
     """Keep the row with minimal order_col per key group (deterministic)."""

@@ -280,6 +280,143 @@ def pack_sequences(ds: ray.data.Dataset, max_tokens: int = 2048, *,
                           batch_format="pandas", concurrency=concurrency)
 
 
+# --------------------------------------------------------------- PII redaction
+
+# RE2-compatible patterns (pyarrow and DuckDB both use RE2, so the oracle
+# applies the byte-identical expressions).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d\- ]{7,}\d"
+_PII_STEPS = (("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+              ("n_ipv4", PII_IPV4_RE, "<IP>"),
+              ("n_phones", PII_PHONE_RE, "<PHONE>"))
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4 addresses / +international phone numbers with
+    placeholder tokens, counting each kind first. Sequential replacement
+    (emails, then IPs, then phones) so earlier placeholders can't be re-matched.
+    Pure pyarrow RE2 kernels — zero-copy in, no Python loop."""
+    txt = batch[text_col]
+    counts = {}
+    for name, pat, repl in _PII_STEPS:
+        counts[name] = pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+        txt = pc.replace_substring_regex(txt, pat, repl)
+    for name, _, _ in _PII_STEPS:
+        batch = batch.append_column(name, counts[name])
+    return batch.append_column("clean_text", txt)
+
+
+def pii_redact(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: pii_redact_batch(t, text_col), batch_format="pyarrow")
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Text normalization: unicode lowercase, collapse whitespace runs to a
+    single space, strip leading/trailing spaces. Arrow kernels only."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    batch = batch.append_column("norm_text", t)
+    return batch.append_column(
+        "n_chars_norm", pc.cast(pc.utf8_length(t), pa.int64()))
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: normalize_batch(t, text_col), batch_format="pyarrow")
+
+
+# ----------------------------------------------------- benchmark decontamination
+
+def shingle_frame(texts: pd.Series, k: int = 3) -> pd.DataFrame:
+    """Distinct (i, sh) word-k-gram shingles per row position i — vectorized:
+    one explode + k shifted views, no per-row Python loop. Mirrors
+    MinHasher._shingles semantics (docs of <= k tokens shingle to the whole
+    text; empty text shingles to '')."""
+    tok_lists = texts.reset_index(drop=True).fillna("").str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    n = len(texts)
+    parts: list[pd.DataFrame] = []
+    small = lens <= k
+    if small.any():
+        whole = tok_lists[small].str.join(" ")
+        parts.append(pd.DataFrame({"i": np.arange(n)[small],
+                                   "sh": whole.to_numpy(dtype=object)}))
+    big = ~small
+    if big.any():
+        bl = lens[big]
+        toks = tok_lists[big].explode().to_numpy(dtype=object)
+        doc_idx = np.repeat(np.arange(n)[big], bl)
+        ends = np.cumsum(bl)
+        valid = np.ones(len(toks), dtype=bool)
+        for j in range(1, k):      # last k-1 positions of each doc: no window
+            valid[ends - j] = False
+        win = np.arange(len(toks))[valid]
+        sh = pd.Series(toks[win], dtype=object)
+        for j in range(1, k):
+            sh = sh.str.cat(pd.Series(toks[win + j], dtype=object), sep=" ")
+        parts.append(pd.DataFrame({"i": doc_idx[win],
+                                   "sh": sh.to_numpy(dtype=object)}))
+    if not parts:
+        return pd.DataFrame({"i": np.array([], dtype=np.int64),
+                             "sh": np.array([], dtype=object)})
+    return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+
+def shingle_set(ds: ray.data.Dataset, *, text_col: str = "text",
+                k: int = 3) -> set[str]:
+    """DISTINCT shingle set of a (small) benchmark dataset, computed
+    distributed (per-batch dedup + bucketed distinct) and collected once.
+    The caller broadcasts the result via ray.put — this is the small side of
+    a decontamination check (real benchmark suites are a few MB), never the
+    corpus side."""
+    from nexus_forge_ray.ops.agg import distinct_rows
+
+    sh = ds.map_batches(
+        lambda df: shingle_frame(df[text_col], k)[["sh"]].drop_duplicates(),
+        batch_format="pandas")
+    return set(distinct_rows(sh, "sh").to_pandas()["sh"])
+
+
+class ContaminationChecker:
+    """Actor-pool stage flagging corpus docs that share any k-gram shingle
+    with a broadcast benchmark shingle set (train/test decontamination).
+
+    The set is ray.put once and fetched ONCE per actor in __init__ (broadcast
+    pattern) — never per batch. Per batch: vectorized shingle explode + one
+    hash-table isin + groupby count."""
+
+    def __init__(self, bench_ref, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3):
+        import ray as _ray
+        self.bench = (bench_ref if isinstance(bench_ref, (set, frozenset))
+                      else _ray.get(bench_ref))
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = shingle_frame(batch[self.text_col], self.k)
+        hits = sh[sh["sh"].isin(self.bench)]
+        cnt = hits.groupby("i").size()
+        ids = batch[self.id_col].to_numpy()
+        return pd.DataFrame({self.id_col: ids[cnt.index.to_numpy()],
+                             "n_overlap": cnt.to_numpy().astype("int64")})
+
+
+def contamination(ds: ray.data.Dataset, bench_ref, *, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  concurrency: int | None = None) -> ray.data.Dataset:
+    """(id, n_overlap) rows for docs sharing >= 1 distinct shingle with the
+    benchmark set. bench_ref: a ray.ObjectRef (preferred at scale) or a set."""
+    kw = dict(bench_ref=bench_ref, text_col=text_col, id_col=id_col, k=k)
+    if concurrency is None:
+        checker = ContaminationChecker(**kw)
+        return ds.map_batches(checker, batch_format="pandas")
+    return ds.map_batches(ContaminationChecker, fn_constructor_kwargs=kw,
+                          batch_format="pandas", concurrency=concurrency)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: md5 hex (exact identity) + 64-bit rolling-style hash."""
     txt = batch[text_col].to_pandas()

@@ -146,6 +146,72 @@ def doc_filter_pass(sf_dir: str):
         signals, batch_format="pyarrow")
 
 
+def doc_pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone numbers -> placeholder tokens).
+    The synthetic corpus carries no organic PII, so the query plants
+    deterministic PII derived from doc_id; the oracle applies the identical
+    augmentation + the identical RE2 patterns (pyarrow and DuckDB share the
+    regex engine), then both sides compare counts + redacted-text md5."""
+    from nexus_forge_ray.utils import md5_hex
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        out = df.copy()
+        out["text"] = (df["text"].fillna("") + " Contact user" + d.astype(str)
+                       + "@example.com or 10." + (d % 250).astype(str)
+                       + ".0.1 tel +1 555-01"
+                       + (d % 100).astype(str).str.zfill(2) + " now.")
+        return out
+
+    red = tx.pii_redact(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(plant,
+                                                      batch_format="pandas"))
+    return red.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"], "n_emails": df["n_emails"],
+            "n_ipv4": df["n_ipv4"], "n_phones": df["n_phones"],
+            "clean_md5": md5_hex(df["clean_text"])}),
+        batch_format="pandas")
+
+
+def doc_normalize(sf_dir: str):
+    """Text normalization (unicode lowercase + whitespace collapse + trim) —
+    compared by md5 so the oracle hash stays small."""
+    from nexus_forge_ray.utils import md5_hex
+    ds = tx.normalize_text(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "norm_md5": md5_hex(df["norm_text"]),
+                                 "n_chars_norm": df["n_chars_norm"]}),
+        batch_format="pandas")
+
+
+def doc_decontaminate(sf_dir: str):
+    """Train/test decontamination: flag corpus docs sharing any 3-gram
+    shingle with the 'benchmark' slice (deterministically doc_id % 17 == 0).
+    The benchmark shingle set is the SMALL side: computed distributed,
+    collected once, broadcast via ray.put into the checker actors. The
+    corpus side streams — one vectorized isin per batch, no shuffle."""
+    import ray as _ray
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 17 == 0],
+                             batch_format="pandas")
+    rest = docs.map_batches(lambda df: df[df["doc_id"] % 17 != 0],
+                            batch_format="pandas")
+    ref = _ray.put(frozenset(tx.shingle_set(bench)))
+    return tx.contamination(rest, ref, concurrency=2)
+
+
+def doc_top_per_lang(sf_dir: str):
+    """Grouped top-k: the 3 longest documents per language (tie-break
+    doc_id) — the 'select best docs per bucket' curation primitive. Partial
+    top-k per batch; the shuffle moves k x groups rows only."""
+    from nexus_forge_ray.ops.agg import grouped_topk
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return grouped_topk(docs, "lang", "n_chars", k=3, ascending=False,
+                        tiebreak=["doc_id"])
+
+
 def minhash_near_dup(sf_dir: str):
     """Near-dup pair REPORT with true n-gram Jaccard values. The exact
     verify (jaccard_verify_pairs) is the deliberate choice here: the oracle

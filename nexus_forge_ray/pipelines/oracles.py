@@ -498,6 +498,72 @@ ORACLES: dict[str, str] = {
         left join top on t.doc_id = top.doc_id
         left join bgs on t.doc_id = bgs.doc_id
     """,
+    "doc_pii_redact": """
+        with aug as (
+            select doc_id,
+                   text || ' Contact user' || doc_id || '@example.com or 10.'
+                        || (doc_id % 250) || '.0.1 tel +1 555-01'
+                        || lpad((doc_id % 100)::varchar, 2, '0') || ' now.'
+                   as t0
+            from documents),
+        e as (select doc_id,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'
+                         ))::bigint as n_emails,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') as t1
+              from aug),
+        i as (select doc_id, n_emails,
+                     len(regexp_extract_all(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                         ))::bigint as n_ipv4,
+                     regexp_replace(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') as t2
+              from e),
+        p as (select doc_id, n_emails, n_ipv4,
+                     len(regexp_extract_all(t2, '\\+\\d[\\d\\- ]{7,}\\d'
+                         ))::bigint as n_phones,
+                     regexp_replace(t2, '\\+\\d[\\d\\- ]{7,}\\d',
+                         '<PHONE>', 'g') as t3
+              from i)
+        select doc_id, n_emails, n_ipv4, n_phones, md5(t3) as clean_md5
+        from p
+    """,
+    "doc_normalize": """
+        with n as (select doc_id,
+                          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               ' ') as norm
+                   from documents)
+        select doc_id, md5(norm) as norm_md5,
+               length(norm)::bigint as n_chars_norm
+        from n
+    """,
+    "doc_decontaminate": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        idx as (select doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+                       as i
+                from t),
+        sh0 as (select doc_id,
+                       case when len(toks) <= 3 then array_to_string(toks, ' ')
+                            else toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       end as sh
+                from idx),
+        ds as (select distinct doc_id, sh from sh0),
+        bench as (select distinct sh from ds where doc_id % 17 = 0)
+        select d.doc_id, count(*)::bigint as n_overlap
+        from ds d join bench b using (sh)
+        where d.doc_id % 17 != 0
+        group by d.doc_id
+    """,
+    "doc_top_per_lang": """
+        select doc_id, lang, n_chars from documents
+        qualify row_number() over (partition by lang
+                                   order by n_chars desc, doc_id) <= 3
+    """,
     "minhash_near_dup": f"""
         with {_SHINGLE_PAIRS}
         select id_a, id_b, round(j, 4) as jaccard

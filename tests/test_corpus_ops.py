@@ -1,0 +1,88 @@
+"""Round-2 corpus operators: PII redaction, normalization, decontamination,
+grouped top-k — oracle-checked vs DuckDB plus unit edge cases."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from nexus_forge_ray.ops import text as tx
+from nexus_forge_ray.ops.agg import grouped_topk
+from nexus_forge_ray.pipelines import corpus
+from nexus_forge_ray.pipelines.oracles import ORACLES
+
+from .helpers import assert_frames_match
+
+CASES = {
+    "doc_pii_redact": corpus.doc_pii_redact,
+    "doc_normalize": corpus.doc_normalize,
+    "doc_decontaminate": corpus.doc_decontaminate,
+    "doc_top_per_lang": corpus.doc_top_per_lang,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_query_matches_oracle(name, duck, sf_dir):
+    got = CASES[name](sf_dir)
+    want = duck.sql(ORACLES[name]).df()
+    assert_frames_match(got, want, tol=1e-4)
+
+
+def test_pii_redact_kinds():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a@b.com and c.d+x@e.org now",
+                 "server 10.0.0.1 backup 192.168.1.255",
+                 "call +1 555-0100 or +44 20-7946-0958"],
+    })
+    out = tx.pii_redact(ray.data.from_pandas(df)).to_pandas()
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0]
+    assert out["n_phones"].tolist() == [0, 0, 2]
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "clean_text"] == "server <IP> backup <IP>"
+    assert out.loc[2, "clean_text"] == "call <PHONE> or <PHONE>"
+
+
+def test_normalize_text():
+    df = pd.DataFrame({"doc_id": [1], "text": ["  Hello\t WORLD\n\n x  "]})
+    out = tx.normalize_text(ray.data.from_pandas(df)).to_pandas()
+    assert out.loc[0, "norm_text"] == "hello world x"
+    assert out.loc[0, "n_chars_norm"] == 13
+
+
+def test_shingle_frame_mirrors_minhasher():
+    from nexus_forge_ray.ops.dedup import MinHasher
+    texts = pd.Series(["a b c d e", "x y", "", "one two three"])
+    got = tx.shingle_frame(texts, k=3)
+    mh = MinHasher()
+    for i, t in enumerate(texts):
+        want = set(mh._shingles(t))
+        assert set(got.loc[got["i"] == i, "sh"]) == want, f"row {i}"
+
+
+def test_contamination_flags_overlap():
+    bench = frozenset({"a b c", "q r s"})
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["z a b c d",        # contains shingle 'a b c'
+                 "clean text with no overlap at all",
+                 "q r s"],           # whole-text shingle match
+    })
+    out = tx.contamination(ray.data.from_pandas(docs), bench).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got == {1: 1, 3: 1}
+
+
+def test_grouped_topk_deterministic():
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "v": [5, 9, 9, 1, 2, 2, 2],
+        "id": [10, 11, 12, 13, 20, 21, 22],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = grouped_topk(ds, "g", "v", k=2, ascending=False,
+                       tiebreak=["id"]).to_pandas()
+    out = out.sort_values(["g", "id"]).reset_index(drop=True)
+    # a: the two 9s (ids 11, 12); b: ties on v=2 -> lowest ids 20, 21
+    assert list(map(tuple, out[["g", "id"]].to_numpy())) == \
+        [("a", 11), ("a", 12), ("b", 20), ("b", 21)]
