@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": relational.q_events_sessions,
         "q_events_sliding": relational.q_events_sliding,
         "q_events_asof": relational.q_events_asof,
+        "q_events_median": relational.q_events_median,
+        "q_events_running": relational.q_events_running,
         "q_events_range": relational.q_events_range,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,
@@ -74,9 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,
         "embedding_near_dup": corpus.embedding_near_dup,
-        # rows-only (justifications in pipelines/oracles.py docstring)
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,
+        # rows-only (justifications in pipelines/oracles.py docstring)
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "mm_image_features": corpus.mm_image_features,
     }

@@ -395,9 +395,13 @@ class SimHasher:
     summed votes gives the fingerprint bit. Near-dups differ in few bits.
     """
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 hash_basis: str = "siphash"):
         self.text_col = text_col
         self.id_col = id_col
+        # "siphash": vectorized pandas SipHash (scale default);
+        # "md5": DuckDB md5_number_lower-reproducible (SQL-auditable).
+        self.hash_basis = hash_basis
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> np.uint64:
@@ -420,7 +424,11 @@ class SimHasher:
         if not nonzero.any():
             return out
         flat = tok_lists.explode().dropna()
-        th = stable_hash_u64(flat).astype(np.uint64)
+        if self.hash_basis == "md5":
+            from nexus_forge_ray.utils import md5_u64
+            th = md5_u64(flat)
+        else:
+            th = stable_hash_u64(flat).astype(np.uint64)
         # (n_tokens, 64) 0/1 bit matrix; int8 keeps the working set small
         bitmat = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                   & np.uint64(1)).astype(np.int8)
@@ -441,8 +449,8 @@ class SimHasher:
 
 def simhash_near_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
-                           num_bands: int = 4,
-                           max_bucket: int = 1024) -> ray.data.Dataset:
+                           num_bands: int = 4, max_bucket: int = 1024,
+                           hash_basis: str = "siphash") -> ray.data.Dataset:
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
 
     Pigeonhole blocking: the 64-bit fingerprint splits into `num_bands`
@@ -453,7 +461,8 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
     pairs; cross-band duplicates collapse via distinct_rows.
     """
     assert max_hamming < num_bands, "pigeonhole needs max_hamming < num_bands"
-    sig = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+    sig = simhash_signatures(ds, text_col=text_col, id_col=id_col,
+                             hash_basis=hash_basis)
     sig = sig.materialize()  # consumed per band
     width = 64 // num_bands
     mask = np.uint64((1 << width) - 1)
@@ -507,12 +516,12 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
 
 def simhash_signatures(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id", concurrency: int | None = None,
-                       ) -> ray.data.Dataset:
+                       hash_basis: str = "siphash") -> ray.data.Dataset:
+    kw = dict(text_col=text_col, id_col=id_col, hash_basis=hash_basis)
     if concurrency is None:
-        return ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
-                              batch_format="pandas")
+        return ds.map_batches(SimHasher(**kw), batch_format="pandas")
     return ds.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        SimHasher, fn_constructor_kwargs=kw,
         batch_format="pandas", concurrency=concurrency,
     )
 

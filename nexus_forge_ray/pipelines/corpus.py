@@ -226,16 +226,21 @@ def minhash_near_dup(sf_dir: str):
 
 
 def simhash_signatures(sf_dir: str):
-    return dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
+    """64-bit SimHash fingerprints on the md5 hash basis (reproducible as
+    DuckDB's md5_number_lower), so the oracle recomputes the per-bit votes in
+    SQL. The vectorized SipHash basis — the scale default for
+    canonicalization — shares every code path except the token hash and is
+    identity-tested separately (tests/test_dedup_scale.py)."""
+    return dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]),
+                                 hash_basis="md5")
 
 
 def simhash_near_dup(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3, pigeonhole 4x16-bit banding —
-    exact recall). Rows-only: the fingerprint derives from per-token SipHash,
-    not SQL-reproducible; gated by the planted-pair test instead
-    (tests/test_dedup_scale.py)."""
+    exact recall, so the brute-force SQL cross join is an exact oracle).
+    Uses the md5 hash basis for SQL reproducibility (see simhash_signatures)."""
     return dd.simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]),
-                                     max_hamming=3)
+                                     max_hamming=3, hash_basis="md5")
 
 
 def embedding_near_dup(sf_dir: str):

@@ -5,9 +5,6 @@ sorts columns by name before value-hashing. Float aggregates are rounded the
 same way on both sides.
 
 Remaining no-oracle queries (each with its justification):
-- simhash_signatures / simhash_near_dup: the fingerprint is a per-token
-  SipHash bit-vote; SQL has no SipHash-1-3 — covered by a vectorized-vs-naive
-  identity test and a planted-near-dup pair test instead.
 - similarity_topk_ivf: approximate by design (IVF probe subset); gated by a
   recall-vs-brute-force test (tests/test_similarity_recall.py), while the
   exact variant similarity_topk IS oracle-checked.
@@ -46,6 +43,33 @@ for _i, _lang in enumerate(_LANGS[:-1]):
 _LANG_ARGMAX += f"                    else '{_LANGS[-1]}' end"
 
 _EN_STOP_PATTERN = _lang_pattern(STOPWORDS["en"])
+
+# SimHash bit votes in SQL: the engine's md5 hash basis equals DuckDB's
+# md5_number_lower, so each of the 64 fingerprint bits is a per-token vote
+# sum (+1 if the token-hash bit is set, else -1; bit set iff the sum > 0,
+# matching SimHasher's `votes > 0` tie rule). Empty/whitespace-only docs
+# fingerprint to 0 (the engine sees zero tokens).
+_SIMHASH_BITSUMS = ",\n                      ".join(
+    f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as s{i}"
+    for i in range(64))
+# literal powers of two: DuckDB's << raises on (1 << 63) even for ubigint
+_SIMHASH_COMBINE = "\n                 | ".join(
+    f"(case when s{i} > 0 then {1 << i}::ubigint else 0::ubigint end)"
+    for i in range(64))
+_SIMHASH_SIG = f"""
+        tok as (select doc_id, unnest(string_split(text, ' ')) as t
+                from documents where coalesce(trim(text), '') != ''),
+        h as (select doc_id, md5_number_lower(t) as h from tok),
+        b as (select doc_id,
+                      {_SIMHASH_BITSUMS}
+              from h group by doc_id),
+        sig as (select doc_id,
+                   {_SIMHASH_COMBINE}
+                as simhash from b
+                union all
+                select doc_id, 0::ubigint from documents
+                where coalesce(trim(text), '') = '')
+"""
 
 # true 3-gram shingle sets per doc (docs of <= 3 tokens shingle to the whole
 # text, mirroring MinHasher._shingles) — shared by the near-dup oracles
@@ -497,6 +521,28 @@ ORACLES: dict[str, str] = {
         from t
         left join top on t.doc_id = top.doc_id
         left join bgs on t.doc_id = bgs.doc_id
+    """,
+    "simhash_signatures": f"""
+        with {_SIMHASH_SIG}
+        select doc_id, simhash from sig
+    """,
+    "simhash_near_dup": f"""
+        with {_SIMHASH_SIG}
+        select a.doc_id as id_a, b.doc_id as id_b,
+               bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+        from sig a join sig b on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "q_events_median": """
+        select event_type,
+               round(quantile_cont(value, 0.5), 2) as median_value
+        from events group by event_type
+    """,
+    "q_events_running": """
+        select user_id, ts,
+               round(sum(value) over (partition by user_id order by ts
+                                      rows unbounded preceding), 2) as run_sum
+        from events
     """,
     "doc_pii_redact": """
         with aug as (

@@ -353,6 +353,49 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
         .groupby("__bkt").map_groups(sessionize, batch_format="pandas")
 
 
+def q_events_median(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped median (quantile_cont 0.5 / linear interpolation).
+    Exact quantiles need the group's values co-located, so this shuffles
+    (event_type, value) pairs once — fine for low-cardinality keys like
+    event_type; at high key cardinality use a sketch (the distributed-moments
+    pattern in q_events_stats) instead."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "median_value": [round(float(np.percentile(
+                group["value"].to_numpy(), 50, method="linear")), 2)],
+        })
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas") \
+        .to_pandas()
+
+
+def q_events_running(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum in event-time order (cumulative window op).
+    Partitioned-log shape like sessionization: bucket by user hash so each
+    user's events land in one group, sort within the group, cumsum. (user_id,
+    ts) is unique in the fixture, so the order — and the float accumulation
+    order, which the oracle must reproduce bit-for-bit — is deterministic."""
+    from nexus_forge_ray.utils import stable_hash_u64
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["user_id"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        g["run_sum"] = g.groupby("user_id")["value"].cumsum().round(2)
+        return g[["user_id", "ts", "run_sum"]]
+
+    return ds.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(running, batch_format="pandas")
+
+
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 minutes.
     Each event maps to exactly its two covering windows (vectorized assign +

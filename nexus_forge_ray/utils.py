@@ -31,6 +31,26 @@ def md5_hex(values) -> np.ndarray:
     )
 
 
+def md5_u64(values) -> np.ndarray:
+    """64-bit hash per element, reproducible in SQL: equals DuckDB's
+    ``md5_number_lower`` (little-endian low 8 bytes of the md5 digest).
+
+    Slower than `stable_hash_u64` (one hashlib call per UNIQUE value, so
+    cost is bounded by batch vocabulary) — use for auditable or
+    cross-engine-reproducible fingerprints; SipHash stays the scale default.
+    """
+    arr = (values.to_numpy(dtype=object) if isinstance(values, pd.Series)
+           else np.asarray(values, dtype=object))
+    if len(arr) == 0:
+        return np.array([], dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[8:],
+                        "little") for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return h[inv]
+
+
 def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Zero-copy-ish conversion of a fixed-width list<float> column to (n, d) ndarray."""
     if isinstance(col, pa.ChunkedArray):

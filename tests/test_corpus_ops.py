@@ -12,11 +12,17 @@ from nexus_forge_ray.pipelines.oracles import ORACLES
 
 from .helpers import assert_frames_match
 
+from nexus_forge_ray.pipelines import relational
+
 CASES = {
     "doc_pii_redact": corpus.doc_pii_redact,
     "doc_normalize": corpus.doc_normalize,
     "doc_decontaminate": corpus.doc_decontaminate,
     "doc_top_per_lang": corpus.doc_top_per_lang,
+    "simhash_signatures": corpus.simhash_signatures,
+    "simhash_near_dup": corpus.simhash_near_dup,
+    "q_events_median": relational.q_events_median,
+    "q_events_running": relational.q_events_running,
 }
 
 
@@ -71,6 +77,28 @@ def test_contamination_flags_overlap():
     out = tx.contamination(ray.data.from_pandas(docs), bench).to_pandas()
     got = dict(zip(out["doc_id"], out["n_overlap"]))
     assert got == {1: 1, 3: 1}
+
+
+def test_md5_u64_matches_duckdb(duck):
+    from nexus_forge_ray.utils import md5_u64
+    toks = ["abc", "", "hello world", "café", "123"]
+    got = md5_u64(toks)
+    for t, g in zip(toks, got):
+        want = duck.sql("select md5_number_lower(?)", params=[t]).fetchone()[0]
+        assert int(g) == int(want), t
+
+
+def test_simhash_md5_basis_differs_only_in_token_hash():
+    """Both bases share the vote machinery: identical texts agree with
+    themselves, and near-identical texts stay within a few bits, per basis."""
+    from nexus_forge_ray.ops.dedup import SimHasher
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")
+    for basis in ("siphash", "md5"):
+        sh = SimHasher(hash_basis=basis)
+        assert sh.simhash(a) == sh.simhash(a)
+        ham = bin(int(sh.simhash(a)) ^ int(sh.simhash(b))).count("1")
+        assert ham <= 16, (basis, ham)
 
 
 def test_grouped_topk_deterministic():
