@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_asof": relational.q_events_asof,
         "q_events_median": relational.q_events_median,
         "q_events_running": relational.q_events_running,
+        "q_events_distinct_users": relational.q_events_distinct_users,
         "q_events_range": relational.q_events_range,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,
@@ -78,7 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": corpus.embedding_near_dup,
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,
+        "doc_span_dedup": corpus.doc_span_dedup,
         # rows-only (justifications in pipelines/oracles.py docstring)
+        "doc_approx_distinct": corpus.doc_approx_distinct,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "mm_image_features": corpus.mm_image_features,
     }

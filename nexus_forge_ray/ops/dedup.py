@@ -634,3 +634,72 @@ def embedding_near_dup_pairs(emb_ds: ray.data.Dataset, *, threshold: float = 0.9
         return out[sims >= threshold]
 
     return j2.map_batches(cosine, batch_format="pandas")
+
+
+# ------------------------------------------------------------ span-level dedup
+
+def _chunk_rows(df: pd.DataFrame, text_col: str, id_col: str,
+                k: int) -> pd.DataFrame:
+    """Explode docs into k-token chunk rows (doc_id, chunk_no, chunk_text).
+
+    Tokens are single-space splits (''.split(' ') == [''], so every doc —
+    including empty ones — yields at least one chunk and survives to the
+    reassembly stage). Vectorized: one explode + segment-arange; the only
+    per-group Python is the ' '.join per chunk (bounded by k tokens).
+    """
+    toks = df[text_col].str.split(" ")
+    lens = toks.map(len).to_numpy()
+    flat = toks.explode()
+    ords = _ranges(lens)
+    chunks = pd.DataFrame({
+        id_col: df[id_col].to_numpy().repeat(lens),
+        "chunk_no": (ords // k).astype("int64"),
+        "tok": flat.to_numpy(),
+    })
+    return chunks.groupby([id_col, "chunk_no"], as_index=False, sort=False) \
+        .agg(chunk_text=("tok", " ".join))
+
+
+def span_dedup(ds: ray.data.Dataset, *, k: int = 8, text_col: str = "text",
+               id_col: str = "doc_id",
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Cross-document exact span dedup (C4-style): split every document into
+    consecutive k-token chunks; a chunk survives only in its globally FIRST
+    occurrence (lexicographic min (doc_id, chunk_no)); documents are
+    reassembled from their surviving chunks in order (possibly empty).
+
+    Two bucketed shuffles, each moving the corpus text once:
+    1. by hash(chunk_text): winner election per identical chunk (vectorized
+       sort + duplicated per bucket — never a per-chunk Python loop);
+    2. by hash(doc_id): ordered reassembly. Every doc has >= 1 chunk row, so
+       the output covers the full input universe even when a document loses
+       all of its spans.
+
+    At web scale the chunk rows are the unit of exchange (no full-document
+    payloads cross the wire twice beyond their own text), and oversized
+    winner buckets stay vectorized regardless of duplication skew.
+    """
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _chunk_rows(batch, text_col, id_col, k)
+        out["__bucket"] = (stable_hash_u64(out["chunk_text"])
+                           % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def elect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "chunk_no"], kind="mergesort")
+        g["keep"] = ~g.duplicated(subset="chunk_text")
+        g["__bkt2"] = (stable_hash_u64(g[id_col]) % np.uint64(num_buckets)) \
+            .astype("int32")
+        return g.drop(columns="__bucket")
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "chunk_no"], kind="mergesort")
+        kept = g[g["keep"]]
+        txt = kept.groupby(id_col, sort=False)["chunk_text"].agg(" ".join)
+        all_ids = pd.Index(g[id_col].unique(), name=id_col)
+        return txt.reindex(all_ids, fill_value="").rename(text_col) \
+            .reset_index()
+
+    return ds.map_batches(explode, batch_format="pandas") \
+        .groupby("__bucket").map_groups(elect, batch_format="pandas") \
+        .groupby("__bkt2").map_groups(assemble, batch_format="pandas")

@@ -431,3 +431,22 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
     return ds.map_batches(
         lambda t: fingerprint_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+def token_rows(ds: ray.data.Dataset, text_col: str = "text",
+               keep_cols: list[str] | None = None,
+               out_col: str = "token") -> ray.data.Dataset:
+    """Explode documents into one row per whitespace token (vectorized
+    split+explode; empty/whitespace-only docs contribute no rows). Carries
+    `keep_cols` (default: every non-text column) alongside each token —
+    the fan-out stage for vocabulary building and distinct-count sketches."""
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = (keep_cols if keep_cols is not None
+                else [c for c in batch.columns if c != text_col])
+        toks = batch[text_col].str.split()
+        lens = toks.map(len).to_numpy()
+        out = pd.DataFrame({out_col: toks.explode().dropna().to_numpy()})
+        for c in cols:
+            out[c] = batch[c].to_numpy().repeat(lens)
+        return out
+    return ds.map_batches(explode, batch_format="pandas")

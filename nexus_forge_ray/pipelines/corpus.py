@@ -290,3 +290,30 @@ def similarity_topk_ivf(sf_dir: str):
                        n_centroids=8, nprobe=4)
     out["query_id"] = out["query_id"].astype("int64")
     return out
+
+
+def doc_span_dedup(sf_dir: str):
+    """C4-style cross-document exact span dedup: 8-token chunks, globally
+    first occurrence wins, documents reassembled from surviving chunks
+    (compared by md5 so the oracle hash stays small)."""
+    from nexus_forge_ray.utils import md5_hex
+    out = dd.span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=8)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "dedup_md5": md5_hex(df["text"])}),
+        batch_format="pandas")
+
+
+def doc_approx_distinct(sf_dir: str):
+    """HLL (p=12) approximate distinct token count over the corpus vs the
+    documents' source labels. Rows-only: approximate by design (~1.6% std
+    error); gated by the error-bound test vs exact counts
+    (tests/test_sketches.py)."""
+    from nexus_forge_ray.ops.sketches import approx_distinct_grouped
+    toks = tx.token_rows(_docs(sf_dir, ["doc_id", "source", "text"]))
+    out = approx_distinct_grouped(toks, "source", "token",
+                                  out_col="approx_tokens")
+    return out.map_batches(
+        lambda df: df.assign(approx_tokens=df["approx_tokens"].round(0)
+                             .astype("int64")),
+        batch_format="pandas")

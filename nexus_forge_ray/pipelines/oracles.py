@@ -16,6 +16,9 @@ Remaining no-oracle queries (each with its justification):
 - kg_flagship: end-to-end DAG including near-dup canonicalization; gated by
   the triple precision/recall harness (P=1.0, R>=0.95 vs an independent
   pandas oracle, tests/test_precision_recall.py) rather than SQL.
+- doc_approx_distinct: HLL sketch, approximate by design (~1.6% std error);
+  gated by the error-bound-vs-exact test (tests/test_sketches.py), while the
+  exact variant q_events_distinct_users IS oracle-checked.
 """
 
 from nexus_forge_ray.ops.text import STOPWORDS
@@ -532,6 +535,32 @@ ORACLES: dict[str, str] = {
                bit_count(xor(a.simhash, b.simhash))::bigint as hamming
         from sig a join sig b on a.doc_id < b.doc_id
         where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "doc_span_dedup": """
+        with d as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        c as (select doc_id,
+                     unnest(range(cast(ceil(len(toks) / 8.0) as bigint)))
+                         as chunk_no,
+                     toks
+              from d),
+        ct as (select doc_id, chunk_no,
+                      array_to_string(toks[chunk_no * 8 + 1 : chunk_no * 8 + 8],
+                                      ' ') as chunk_text
+               from c),
+        w as (select doc_id, chunk_no, chunk_text,
+                     row_number() over (partition by chunk_text
+                                        order by doc_id, chunk_no) = 1 as keep
+              from ct)
+        select doc_id,
+               md5(coalesce(string_agg(chunk_text, ' ' order by chunk_no)
+                            filter (where keep), '')) as dedup_md5
+        from w group by doc_id
+    """,
+    "q_events_distinct_users": """
+        select date_trunc('hour', ts) as window_start,
+               count(distinct user_id)::bigint as n_users
+        from events group by 1
     """,
     "q_events_median": """
         select event_type,

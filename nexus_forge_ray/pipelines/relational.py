@@ -396,6 +396,27 @@ def q_events_running(sf_dir: str) -> pd.DataFrame:
         .groupby("__bkt").map_groups(running, batch_format="pandas")
 
 
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per tumbling hour window. Two-level plan: the
+    map side first shrinks to distinct (window, user) pairs per batch, the
+    bucketed shuffle moves only those pairs, and the count is a second
+    partial-agg groupby — never a naive count-distinct over raw events."""
+    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"window_start": df["ts"].dt.floor("h"),
+                             "user_id": df["user_id"]})
+
+    pairs = distinct_rows(ds.map_batches(windowed, batch_format="pandas"),
+                          ["window_start", "user_id"], num_buckets=16)
+    out = hash_groupby_agg(pairs, "window_start",
+                           {"n_users": ("user_id", "count")},
+                           num_buckets=16).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["window_start", "n_users"]]
+
+
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 minutes.
     Each event maps to exactly its two covering windows (vectorized assign +

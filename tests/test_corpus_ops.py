@@ -23,6 +23,8 @@ CASES = {
     "simhash_near_dup": corpus.simhash_near_dup,
     "q_events_median": relational.q_events_median,
     "q_events_running": relational.q_events_running,
+    "doc_span_dedup": corpus.doc_span_dedup,
+    "q_events_distinct_users": relational.q_events_distinct_users,
 }
 
 
@@ -114,3 +116,26 @@ def test_grouped_topk_deterministic():
     # a: the two 9s (ids 11, 12); b: ties on v=2 -> lowest ids 20, 21
     assert list(map(tuple, out[["g", "id"]].to_numpy())) == \
         [("a", 11), ("a", 12), ("b", 20), ("b", 21)]
+
+
+def test_span_dedup_first_occurrence_wins(ray_session):
+    import ray.data
+    from nexus_forge_ray.ops.dedup import span_dedup
+    # k=2 chunks: doc 1 = [a b][c d]; doc 2 repeats [a b] (dropped) and adds
+    # [x y]; doc 3 is entirely chunks seen before -> empty text survives
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b x y", "c d"],
+    })
+    out = span_dedup(ray.data.from_pandas(df).repartition(3), k=2) \
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    assert out == {1: "a b c d", 2: "x y", 3: ""}
+
+
+def test_span_dedup_drops_intra_doc_repeats(ray_session):
+    import ray.data
+    from nexus_forge_ray.ops.dedup import span_dedup
+    df = pd.DataFrame({"doc_id": [7], "text": ["p q p q p"]})
+    out = span_dedup(ray.data.from_pandas(df), k=2).to_pandas()
+    # chunks: [p q][p q][p] -> second [p q] is a global repeat of the first
+    assert out.loc[0, "text"] == "p q p"
