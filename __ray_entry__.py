@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,
         "doc_span_dedup": corpus.doc_span_dedup,
+        "doc_heavy_tokens": corpus.doc_heavy_tokens,
         # rows-only (justifications in pipelines/oracles.py docstring)
         "doc_approx_distinct": corpus.doc_approx_distinct,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,

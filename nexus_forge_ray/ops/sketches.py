@@ -93,3 +93,119 @@ def approx_distinct_grouped(ds: ray.data.Dataset, keys: str | list[str],
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------------------------- Bloom filters
+
+def bloom_build(ds: ray.data.Dataset, on: str, *, num_bits: int = 1 << 24,
+                num_hashes: int = 5) -> "ray.ObjectRef":
+    """Build a Bloom filter over `ds[on]` and return an ObjectRef to the
+    packed bitmap (num_bits/8 bytes, e.g. 2 MiB at 2^24 bits).
+
+    Each block contributes one partial bitmap; partials are OR-merged in a
+    binary tree of Ray tasks, so the driver never holds more than the final
+    bitmap and merge work spreads across the cluster. Positions come from
+    Kirsch-Mitzenmacher double hashing of the SipHash key — the probe side
+    (`bloom_prefilter`) recomputes them identically, so there are NO false
+    negatives; false-positive rate follows the standard (1-e^{-kn/m})^k.
+    """
+    assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
+    mask = np.uint64(num_bits - 1)
+
+    def partial(batch: pd.DataFrame):
+        bits = np.zeros(num_bits // 64, dtype=np.uint64)
+        h = stable_hash_u64(batch[on]).astype(np.uint64)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        for i in range(num_hashes):
+            pos = (h + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return {"bits": [bits.tobytes()]}
+
+    block_refs = ds.map_batches(partial, batch_format="pandas",
+                                batch_size=None).to_arrow_refs()
+
+    @ray.remote
+    def fold(tbl) -> bytes:
+        arrs = [np.frombuffer(b.as_py(), dtype=np.uint64)
+                for b in tbl["bits"]]
+        return np.bitwise_or.reduce(arrs).tobytes()
+
+    @ray.remote
+    def merge(a: bytes, b: bytes) -> bytes:
+        return (np.frombuffer(a, dtype=np.uint64)
+                | np.frombuffer(b, dtype=np.uint64)).tobytes()
+
+    # partial bitmaps never touch the driver: fold each block remotely, then
+    # OR-merge refs pairwise in a binary task tree
+    refs = [fold.remote(b) for b in block_refs]
+    while len(refs) > 1:
+        nxt = [merge.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    return refs[0]
+
+
+def bloom_prefilter(ds: ray.data.Dataset, bloom_ref, on: str, *,
+                    num_bits: int = 1 << 24,
+                    num_hashes: int = 5) -> ray.data.Dataset:
+    """Keep only rows whose key MAY be in the Bloom filter (superset of the
+    true matches — zero false negatives). The scale play for semi/anti joins:
+    a 2 MiB bitmap broadcast once prunes the big side BEFORE the bucketed
+    shuffle, so the exchange moves only candidate rows; follow with an exact
+    `partitioned_join`/`semi_join` to squeeze out the false positives."""
+    mask = np.uint64(num_bits - 1)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.frombuffer(ray.get(bloom_ref), dtype=np.uint64)
+        h = stable_hash_u64(batch[on]).astype(np.uint64)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        keep = np.ones(len(batch), dtype=bool)
+        for i in range(num_hashes):
+            pos = (h + np.uint64(i) * h2) & mask
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) == 1
+        return batch[keep]
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+# -------------------------------------------------- Misra-Gries heavy hitters
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, *, capacity: int = 256,
+                  weight_col: str | None = None) -> pd.DataFrame:
+    """Approximate most-frequent values (Misra-Gries summaries).
+
+    Each batch emits at most `capacity` (value, count) rows after local
+    counting + MG truncation (subtract the (capacity+1)-th count, drop
+    non-positive); the driver merges by summing counts and re-truncating.
+    Guarantees: estimated <= true count; any value with true frequency
+    > 2n/capacity survives (no false negatives among true heavy hitters);
+    exchange volume is O(blocks x capacity), never the corpus. For an exact
+    top-k at moderate cardinality use `ops.agg.grouped_topk`/`doc_vocab`.
+
+    Returns a pandas DataFrame (value, est_count) sorted descending.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if weight_col is None:
+            cnt = batch[col].value_counts()
+        else:
+            cnt = batch.groupby(col)[weight_col].sum().sort_values(
+                ascending=False)
+        if len(cnt) > capacity:
+            cnt = (cnt - cnt.iloc[capacity]).iloc[:capacity]
+            cnt = cnt[cnt > 0]
+        return cnt.rename_axis(col).reset_index(name="est_count")
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    merged = parts.groupby(col)["est_count"].sum().sort_values(
+        ascending=False, kind="mergesort")
+    if len(merged) > capacity:
+        merged = (merged - merged.iloc[capacity]).iloc[:capacity]
+        merged = merged[merged > 0]
+    out = merged.rename_axis(col).reset_index(name="est_count")
+    out["est_count"] = out["est_count"].astype("int64")
+    return out

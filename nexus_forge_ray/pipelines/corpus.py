@@ -317,3 +317,14 @@ def doc_approx_distinct(sf_dir: str):
         lambda df: df.assign(approx_tokens=df["approx_tokens"].round(0)
                              .astype("int64")),
         batch_format="pandas")
+
+
+def doc_heavy_tokens(sf_dir: str):
+    """Most-frequent corpus tokens via Misra-Gries summaries. With capacity
+    >= the corpus vocabulary (true here) MG degenerates to EXACT counts, so
+    the SQL group-count oracle checks the whole mergeable-summary machinery;
+    the approximate (capacity < vocabulary) regime is gated by the
+    planted-heavy-hitters test (tests/test_sketches.py)."""
+    from nexus_forge_ray.ops.sketches import heavy_hitters
+    toks = tx.token_rows(_docs(sf_dir, ["doc_id", "text"]), keep_cols=[])
+    return heavy_hitters(toks, "token", capacity=1 << 14)

@@ -557,6 +557,12 @@ ORACLES: dict[str, str] = {
                             filter (where keep), '')) as dedup_md5
         from w group by doc_id
     """,
+    "doc_heavy_tokens": """
+        select t as token, count(*)::bigint as est_count
+        from (select unnest(string_split_regex(trim(text), '\\s+')) as t
+              from documents where trim(text) != '')
+        group by t
+    """,
     "q_events_distinct_users": """
         select date_trunc('hour', ts) as window_start,
                count(distinct user_id)::bigint as n_users

@@ -24,6 +24,7 @@ CASES = {
     "q_events_median": relational.q_events_median,
     "q_events_running": relational.q_events_running,
     "doc_span_dedup": corpus.doc_span_dedup,
+    "doc_heavy_tokens": corpus.doc_heavy_tokens,
     "q_events_distinct_users": relational.q_events_distinct_users,
 }
 

@@ -47,3 +47,38 @@ def test_grouped_sketch_matches_per_group_exact(ray_session):
     exact = df.groupby("g")["v"].nunique()
     for g in exact.index:
         assert abs(got[g] - exact[g]) / exact[g] < 0.06, g
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray
+    from nexus_forge_ray.ops.sketches import bloom_build, bloom_prefilter
+    keys = pd.DataFrame({"k": [f"key-{i}" for i in range(5_000)]})
+    probe = pd.DataFrame({"k": [f"key-{i}" for i in range(20_000)]})
+    bits = 1 << 18
+    ref = bloom_build(ray.data.from_pandas(keys).repartition(4), "k",
+                      num_bits=bits, num_hashes=5)
+    kept = bloom_prefilter(ray.data.from_pandas(probe).repartition(4), ref,
+                           "k", num_bits=bits, num_hashes=5).to_pandas()
+    kept_set = set(kept["k"])
+    # every true member survives
+    assert set(keys["k"]).issubset(kept_set)
+    # false positives bounded: (1-e^{-kn/m})^k ~ 0.9% here; allow 3%
+    fp = len(kept_set) - len(keys)
+    assert fp / 15_000 < 0.03, fp
+
+
+def test_heavy_hitters_finds_true_heavies(ray_session):
+    import ray
+    from nexus_forge_ray.ops.sketches import heavy_hitters
+    rng = np.random.default_rng(11)
+    # 3 planted heavy values + uniform tail
+    tail = [f"t{x}" for x in rng.integers(0, 20_000, size=50_000)]
+    vals = ["hot-a"] * 9_000 + ["hot-b"] * 6_000 + ["hot-c"] * 3_000 + tail
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    out = heavy_hitters(ds, "v", capacity=128)
+    top = out.head(3)["v"].tolist()
+    assert set(top) == {"hot-a", "hot-b", "hot-c"}
+    # MG estimates never exceed true counts
+    est = out.set_index("v")["est_count"]
+    assert est["hot-a"] <= 9_000 and est["hot-b"] <= 6_000
