@@ -209,3 +209,37 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, *, capacity: int = 256,
     out = merged.rename_axis(col).reset_index(name="est_count")
     out["est_count"] = out["est_count"].astype("int64")
     return out
+
+
+# ----------------------------------------------------- approximate quantiles
+
+def approx_quantiles(ds: ray.data.Dataset, col: str,
+                     qs: list[float] | tuple[float, ...] = (0.5,),
+                     *, sample_per_block: int = 4096) -> list[float]:
+    """Approximate quantiles from weighted per-block systematic samples.
+
+    Each block contributes its `sample_per_block` evenly-spaced order
+    statistics (sorted locally first), each carrying weight n_block/s — so
+    the driver merges O(blocks x s) weighted points instead of shuffling the
+    column. Rank error is bounded by the per-block stride (~n_block/s ranks
+    per point, < 0.1% of a 4M-row block at s=4096); the exact path for
+    low-cardinality grouped quantiles is `relational.q_events_median`.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(batch[col].to_numpy())
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame({"v": [], "w": []})
+        s = min(sample_per_block, n)
+        # systematic sample at stride n/s: midpoints of s equal rank strata
+        idx = ((np.arange(s) + 0.5) * n / s).astype(np.int64)
+        return pd.DataFrame({"v": v[idx], "w": np.full(s, n / s)})
+
+    pts = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    order = np.argsort(pts["v"].to_numpy(), kind="mergesort")
+    v = pts["v"].to_numpy()[order]
+    w = pts["w"].to_numpy()[order]
+    cw = np.cumsum(w) - 0.5 * w  # midpoint rank of each weighted point
+    total = w.sum()
+    return [float(np.interp(q * total, cw, v)) for q in qs]

@@ -82,3 +82,18 @@ def test_heavy_hitters_finds_true_heavies(ray_session):
     # MG estimates never exceed true counts
     est = out.set_index("v")["est_count"]
     assert est["hot-a"] <= 9_000 and est["hot-b"] <= 6_000
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    import ray
+    from nexus_forge_ray.ops.sketches import approx_quantiles
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0, 1.5, size=300_000)  # heavy-tailed on purpose
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(12)
+    got = approx_quantiles(ds, "x", (0.1, 0.5, 0.9, 0.99),
+                           sample_per_block=2048)
+    svals = np.sort(vals)
+    for q, g in zip((0.1, 0.5, 0.9, 0.99), got):
+        # rank of the estimate must be within 0.5% of the target rank
+        rank = np.searchsorted(svals, g) / len(svals)
+        assert abs(rank - q) < 0.005, (q, g, rank)
