@@ -82,6 +82,10 @@ def run_bench() -> dict:
         timed("minhash_near_dup",
               lambda: corpus.minhash_near_dup(SF_DIR).count())
         timed("similarity_topk", lambda: corpus.similarity_topk(SF_DIR))
+        timed("doc_span_dedup", lambda: corpus.doc_span_dedup(SF_DIR).count())
+        timed("doc_heavy_tokens", lambda: corpus.doc_heavy_tokens(SF_DIR))
+        timed("q_events_distinct_users",
+              lambda: relational.q_events_distinct_users(SF_DIR))
         timed("kg_triples", lambda: kg_triples(SF_DIR).count())
 
     n_pages = n_docs * REPLICATE
