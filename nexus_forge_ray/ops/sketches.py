@@ -243,3 +243,49 @@ def approx_quantiles(ds: ray.data.Dataset, col: str,
     cw = np.cumsum(w) - 0.5 * w  # midpoint rank of each weighted point
     total = w.sum()
     return [float(np.interp(q * total, cw, v)) for q in qs]
+
+
+def approx_quantiles_grouped(ds: ray.data.Dataset, keys: str | list[str],
+                             col: str, q: float = 0.5,
+                             out_col: str = "approx_q", *,
+                             sample_per_group: int = 512,
+                             num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-group approximate quantile — the high-key-cardinality alternative
+    to the exact co-located plan (`relational.q_events_median`): the shuffle
+    moves at most `sample_per_group` weighted points per (batch, group)
+    instead of every raw value."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in batch.groupby(keys, sort=False):
+            v = np.sort(g[col].to_numpy())
+            n = len(v)
+            s = min(sample_per_group, n)
+            idx = ((np.arange(s) + 0.5) * n / s).astype(np.int64)
+            o = pd.DataFrame({"v": v[idx], "w": np.full(s, n / s)})
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for k, val in zip(keys, kv):
+                o[k] = val
+            outs.append(o)
+        out = (pd.concat(outs, ignore_index=True) if outs
+               else pd.DataFrame(columns=["v", "w", *keys]))
+        h = np.zeros(len(out), dtype=np.uint64)
+        for k in keys:
+            h ^= stable_hash_u64(out[k])
+        out["__bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        def est(g: pd.DataFrame) -> float:
+            order = np.argsort(g["v"].to_numpy(), kind="mergesort")
+            v = g["v"].to_numpy()[order]
+            w = g["w"].to_numpy()[order]
+            cw = np.cumsum(w) - 0.5 * w
+            return float(np.interp(q * w.sum(), cw, v))
+        out = group.groupby(keys).apply(est, include_groups=False) \
+            .rename(out_col).reset_index()
+        return out
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__bucket").map_groups(final, batch_format="pandas")

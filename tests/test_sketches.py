@@ -97,3 +97,20 @@ def test_approx_quantiles_rank_error(ray_session):
         # rank of the estimate must be within 0.5% of the target rank
         rank = np.searchsorted(svals, g) / len(svals)
         assert abs(rank - q) < 0.005, (q, g, rank)
+
+
+def test_approx_quantiles_grouped_vs_exact(ray_session):
+    import ray
+    from nexus_forge_ray.ops.sketches import approx_quantiles_grouped
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], size=120_000),
+        "x": rng.gamma(2.0, 3.0, size=120_000),
+    })
+    ds = ray.data.from_pandas(df).repartition(10)
+    got = approx_quantiles_grouped(ds, "g", "x", q=0.9).to_pandas() \
+        .set_index("g")["approx_q"]
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["x"].to_numpy())
+        rank = np.searchsorted(vals, got[g]) / len(vals)
+        assert abs(rank - 0.9) < 0.01, (g, rank)
