@@ -397,24 +397,32 @@ def q_events_running(sf_dir: str) -> pd.DataFrame:
 
 
 def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct users per tumbling hour window. Two-level plan: the
-    map side first shrinks to distinct (window, user) pairs per batch, the
-    bucketed shuffle moves only those pairs, and the count is a second
-    partial-agg groupby — never a naive count-distinct over raw events."""
-    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    """Exact distinct users per tumbling hour window, in ONE shuffle: the
+    map side shrinks to distinct (window, user) pairs per batch and buckets
+    by hash(window) — every pair of a window co-locates, so the final stage
+    dedups across batches and counts in the same pass. The exchange moves
+    pre-deduped pairs only, never raw events."""
+    from nexus_forge_ray.utils import stable_hash_u64
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def windowed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"window_start": df["ts"].dt.floor("h"),
-                             "user_id": df["user_id"]})
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"window_start": df["ts"].dt.floor("h"),
+                            "user_id": df["user_id"]}) \
+            .drop_duplicates()
+        out["__bkt"] = (stable_hash_u64(out["window_start"])
+                        % np.uint64(16)).astype("int32")
+        return out
 
-    pairs = distinct_rows(ds.map_batches(windowed, batch_format="pandas"),
-                          ["window_start", "user_id"], num_buckets=16)
-    out = hash_groupby_agg(pairs, "window_start",
-                           {"n_users": ("user_id", "count")},
-                           num_buckets=16).to_pandas()
-    out["n_users"] = out["n_users"].astype("int64")
-    return out[["window_start", "n_users"]]
+    def count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["window_start", "user_id"])
+        out = g.groupby("window_start", as_index=False) \
+            .agg(n_users=("user_id", "size"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return ds.map_batches(pairs, batch_format="pandas") \
+        .groupby("__bkt").map_groups(count, batch_format="pandas") \
+        .to_pandas()[["window_start", "n_users"]]
 
 
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
