@@ -248,6 +248,18 @@ def kg_assemble(sf_dir: str):
         batch_format="pandas")
 
 
+def kg_bgp(sf_dir: str):
+    """SPARQL-style basic graph pattern over the triple table (S9 by
+    substitution): SELECT ?d ?e WHERE { ?d :mentions ?e . ?d :lang "en" } —
+    English documents with the entities they mention. Most selective pattern
+    first; the shared-variable join is a bucketed hash join."""
+    from nexus_forge_ray.kg.bgp import bgp_select
+    t = kg_triples(sf_dir)
+    out = bgp_select(t, [("?d", KB.PRED_MENTIONS, "?e"),
+                         ("?d", KB.PRED_LANG, "en")], ["?d", "?e"])
+    return out
+
+
 def kg_flagship(sf_dir: str):
     """Full DAG over synthesized pages (extract->validate->map->link->triples
     ->canonicalize). Rows-only: page IRIs derive from url hashes."""
@@ -268,5 +280,6 @@ QUERIES = {
     "kg_actions_summary": kg_actions_summary,
     "kg_components": kg_components,
     "kg_assemble": kg_assemble,
+    "kg_bgp": kg_bgp,
     "kg_flagship": kg_flagship,
 }

@@ -74,6 +74,24 @@ _SIMHASH_SIG = f"""
                 where coalesce(trim(text), '') = '')
 """
 
+# the engine's mention+lang triple set as a reusable CTE `t` — shared by the
+# kg_triples oracle and the BGP self-join oracle
+_KG_TRIPLES_CTE = """
+        toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                 from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash')),
+        t as (select 'http://example.org/doc/' || doc_id as subj,
+                     'http://example.org/vocab/mentions' as pred,
+                     'http://example.org/entity/' || tok as obj
+              from m
+              union all
+              select 'http://example.org/doc/' || doc_id,
+                     'http://example.org/vocab/lang', lang
+              from documents)
+"""
+
 # true 3-gram shingle sets per doc (docs of <= 3 tokens shingle to the whole
 # text, mirroring MinHasher._shingles) — shared by the near-dup oracles
 _SHINGLE_PAIRS = """
@@ -279,20 +297,16 @@ ORACLES: dict[str, str] = {
                       'window','customer','vector','stream','query','hash')
         group by doc_id, tok
     """,
-    "kg_triples": """
-        with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
-                      from documents),
-        m as (select distinct doc_id, tok from toks
-              where tok in ('spark','table','join','sort','merge','filter',
-                            'window','customer','vector','stream','query','hash'))
-        select 'http://example.org/doc/' || doc_id as subj,
-               'http://example.org/vocab/mentions' as pred,
-               'http://example.org/entity/' || tok as obj
-        from m
-        union all
-        select 'http://example.org/doc/' || doc_id,
-               'http://example.org/vocab/lang', lang
-        from documents
+    "kg_triples": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj, pred, obj from t
+    """,
+    "kg_bgp": f"""
+        with {_KG_TRIPLES_CTE}
+        select a.subj as d, a.obj as e
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
     """,
     "kg_resolve_exact": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
