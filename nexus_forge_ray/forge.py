@@ -17,8 +17,10 @@ Config shape (forge.py:203-260 YAML sections, simplified to a dict):
      "formatters": {<name>: "<str.format template>"},
      "context":    {<term>: <iri>}}
 
-SPARQL/ES query methods are deliberately absent: native Dataset filters and
-joins replace query-text generation (SURVEY §2.1 S9).
+ES query methods are deliberately absent: native Dataset filters and joins
+replace query-text generation (SURVEY §2.1 S9). `sparql()` accepts the
+SELECT-BGP subset and compiles it to those native filters/joins (`kg.bgp`)
+rather than shipping query text to an endpoint.
 """
 
 from __future__ import annotations
@@ -187,6 +189,15 @@ class KnowledgeGraphForge:
 
     def search(self, *filters: Filter | dict, **kw):
         return self._need_store().search(*filters, **kw)
+
+    def sparql(self, query: str, triples: ray.data.Dataset, **kw):
+        """SELECT-BGP SPARQL over a triple Dataset (the reference's
+        forge.sparql, kgforge/core/forge.py:539-566, with the graph passed
+        explicitly — this engine's stores hold records, not endpoint state).
+        Patterns compile to vectorized filters + bucketed joins
+        (`kg.bgp`)."""
+        from nexus_forge_ray.kg.bgp import sparql_select
+        return sparql_select(triples, query, **kw)
 
     # ------------------------------------------------------------------ files
 

@@ -89,3 +89,67 @@ def bgp_select(triples: ray.data.Dataset,
         bound = list(dict.fromkeys(bound + pat_vars))
     assert cur is not None, "empty pattern list"
     return cur.map_batches(lambda df: df[sel], batch_format="pandas")
+
+
+def parse_sparql(query: str) -> tuple[list[str], list[tuple[str, str, str]],
+                                      int | None]:
+    """Parse the SELECT-BGP subset of SPARQL the reference's stores accept
+    for simple graph queries: PREFIX declarations, SELECT with explicit
+    variables, a WHERE block of dot-separated triple patterns ('a' sugar for
+    rdf:type), and an optional LIMIT. Returns (select_vars, patterns, limit).
+
+    Term forms: ?var, <iri>, prefix:local (expanded), "literal", bare token
+    (kept verbatim). No OPTIONAL/FILTER/UNION — those are native Dataset
+    filters/joins in this engine (`core.filters`, `ops.joins`).
+    """
+    import re
+
+    prefixes = dict(re.findall(
+        r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>", query))
+    m = re.search(r"(?is)select\s+(.*?)\s+where\s*\{(.*)\}\s*"
+                  r"(?:limit\s+(\d+))?\s*$", query)
+    if not m:
+        raise ValueError("unsupported SPARQL (need SELECT ?vars WHERE "
+                         "{ patterns } [LIMIT n])")
+    select = re.findall(r"\?\w+", m.group(1))
+    if not select:
+        raise ValueError("SELECT * not supported — name the variables")
+    limit = int(m.group(3)) if m.group(3) else None
+
+    def term(tok: str) -> str:
+        if tok.startswith("?") or tok.startswith('"'):
+            return tok.strip('"') if tok.startswith('"') else tok
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return tok
+
+    # tokenize the whole block: '.' separates patterns ONLY outside <> / ""
+    # (IRIs and literals may contain dots)
+    toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', m.group(2))
+    patterns, cur = [], []
+    for tok in toks + ["."]:
+        if tok == ".":
+            if cur:
+                if len(cur) != 3:
+                    raise ValueError(f"pattern needs 3 terms: {cur!r}")
+                patterns.append(tuple(term(t) for t in cur))
+                cur = []
+        else:
+            cur.append(tok)
+    if not patterns:
+        raise ValueError("empty WHERE block")
+    return select, patterns, limit
+
+
+def sparql_select(triples: ray.data.Dataset, query: str,
+                  **kw) -> ray.data.Dataset:
+    """Run a SELECT-BGP SPARQL string against a triple Dataset."""
+    select, patterns, limit = parse_sparql(query)
+    out = bgp_select(triples, patterns, select, **kw)
+    return out.limit(limit) if limit is not None else out

@@ -40,3 +40,36 @@ def test_three_pattern_chain(ray_session):
                              ("?d", "lang", "?l")], ["?d", "?l"]).to_pandas()
     got = sorted(map(tuple, out.to_numpy()))
     assert got == [("d1", "en"), ("d2", "fr")]
+
+
+def test_parse_sparql_full_form():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?e WHERE {
+      ?d v:mentions ?e .
+      ?d a <http://example.org/Type.v2> .
+      ?d v:lang "en"
+    } LIMIT 7"""
+    select, pats, limit = parse_sparql(q)
+    assert select == ["?d", "?e"] and limit == 7
+    assert pats[0] == ("?d", "http://example.org/vocab/mentions", "?e")
+    assert pats[1] == ("?d", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                       "http://example.org/Type.v2")
+    assert pats[2] == ("?d", "http://example.org/vocab/lang", "en")
+
+
+def test_sparql_select_end_to_end(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    out = forge.sparql(
+        'SELECT ?d ?e WHERE { ?d mentions ?e . ?d lang "en" }',
+        _ds()).to_pandas()
+    assert list(map(tuple, out.to_numpy())) == [("d1", "e1")]
+
+
+def test_parse_sparql_rejects_unsupported():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    with pytest.raises(ValueError):
+        parse_sparql("ASK { ?s ?p ?o }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT * WHERE { ?s ?p ?o }")
