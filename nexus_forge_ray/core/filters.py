@@ -81,3 +81,52 @@ def search(ds: ray.data.Dataset, *filters: Filter | dict,
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def filters_from_elastic(query: dict) -> list[Filter]:
+    """Translate the Elasticsearch-DSL subset the reference's ES store
+    accepts (bool/term/range/match_all; must_not over terms) into native
+    Filters — query text never leaves the process, the DSL compiles to the
+    same vectorized mask as `forge.search`.
+
+    Supported: {"query": ...} wrapper; bool.must / bool.filter (AND);
+    bool.must_not over term clauses (__ne__); term {"f": v} or
+    {"f": {"value": v}}; range gt/gte/lt/lte; match (treated as term
+    equality — no analyzer in this engine); match_all. `should`
+    (disjunction) has no conjunctive Filter form and raises.
+    """
+    _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__",
+                  "lt": "__lt__", "lte": "__le__"}
+
+    def clause(c: dict, negate: bool = False) -> list[Filter]:
+        if len(c) != 1:
+            raise ValueError(f"one clause type per object, got {list(c)}")
+        kind, body = next(iter(c.items()))
+        if kind == "match_all":
+            return []
+        if kind == "bool":
+            if negate:
+                raise ValueError("nested bool under must_not unsupported")
+            out: list[Filter] = []
+            for sub in list(body.get("must", [])) + list(body.get("filter", [])):
+                out.extend(clause(sub))
+            for sub in body.get("must_not", []):
+                out.extend(clause(sub, negate=True))
+            if body.get("should"):
+                raise ValueError("bool.should (disjunction) unsupported — "
+                                 "run one search per branch and union")
+            return out
+        if kind in ("term", "match"):
+            (field, v), = body.items()
+            if isinstance(v, dict):
+                v = v.get("value", v.get("query"))
+            return [Filter(field, "__ne__" if negate else "__eq__", v)]
+        if kind == "range":
+            if negate:
+                raise ValueError("range under must_not unsupported")
+            (field, bounds), = body.items()
+            return [Filter(field, _RANGE_OPS[op], v)
+                    for op, v in bounds.items() if op in _RANGE_OPS]
+        raise ValueError(f"unsupported ES clause: {kind}")
+
+    return clause(query.get("query", query))

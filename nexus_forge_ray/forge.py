@@ -17,10 +17,10 @@ Config shape (forge.py:203-260 YAML sections, simplified to a dict):
      "formatters": {<name>: "<str.format template>"},
      "context":    {<term>: <iri>}}
 
-ES query methods are deliberately absent: native Dataset filters and joins
-replace query-text generation (SURVEY §2.1 S9). `sparql()` accepts the
-SELECT-BGP subset and compiles it to those native filters/joins (`kg.bgp`)
-rather than shipping query text to an endpoint.
+Query text never leaves the process (SURVEY §2.1 S9): `sparql()` accepts
+the SELECT-BGP subset and compiles it to native filters + bucketed joins
+(`kg.bgp`); `elastic()` accepts the bool/term/range ES-DSL subset and
+compiles it to native Filters (`core.filters`).
 """
 
 from __future__ import annotations
@@ -188,6 +188,19 @@ class KnowledgeGraphForge:
         return self._need_store().freeze(data)
 
     def search(self, *filters: Filter | dict, **kw):
+        return self._need_store().search(*filters, **kw)
+
+    def elastic(self, query: dict, data: ray.data.Dataset | None = None,
+                **kw):
+        """Elasticsearch-DSL search (the reference's forge.elastic,
+        kgforge/core/forge.py:568-596): the bool/term/range subset compiles
+        to native Filters (`core.filters.filters_from_elastic`) and runs
+        against the store — or against an explicit Dataset when given."""
+        from nexus_forge_ray.core.filters import (filters_from_elastic,
+                                                  search as _search)
+        filters = filters_from_elastic(query)
+        if data is not None:
+            return _search(data, *filters, **kw)
         return self._need_store().search(*filters, **kw)
 
     def sparql(self, query: str, triples: ray.data.Dataset, **kw):

@@ -73,3 +73,28 @@ def test_parse_sparql_rejects_unsupported():
         parse_sparql("ASK { ?s ?p ?o }")
     with pytest.raises(ValueError):
         parse_sparql("SELECT * WHERE { ?s ?p ?o }")
+
+
+def test_elastic_dsl_search(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en", "en", "fr", "en"],
+        "n_chars": [5, 100, 100, 100],
+        "source": ["a", "b", "a", "src3"],
+    })
+    q = {"query": {"bool": {
+        "must": [{"term": {"lang": "en"}},
+                 {"range": {"n_chars": {"gte": 10}}}],
+        "must_not": [{"term": {"source": "src3"}}]}}}
+    out = KnowledgeGraphForge().elastic(q, ray.data.from_pandas(docs)) \
+        .to_pandas()
+    assert out["doc_id"].tolist() == [2]
+
+
+def test_elastic_dsl_rejects_should():
+    import pytest as _pytest
+    from nexus_forge_ray.core.filters import filters_from_elastic
+    with _pytest.raises(ValueError, match="should"):
+        filters_from_elastic(
+            {"bool": {"should": [{"term": {"a": 1}}]}})
