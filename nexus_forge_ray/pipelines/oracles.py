@@ -582,6 +582,15 @@ ORACLES: dict[str, str] = {
                count(distinct user_id)::bigint as n_users
         from events group by 1
     """,
+    "q_events_top_users": """
+        with s as (select date_trunc('hour', ts) as window_start, user_id,
+                          sum(value) as sv
+                   from events group by 1, 2)
+        select window_start, user_id, round(sv, 2) as sum_value
+        from s
+        qualify row_number() over (partition by window_start
+                                   order by sv desc, user_id) <= 3
+    """,
     "q_events_median": """
         select event_type,
                round(quantile_cont(value, 0.5), 2) as median_value

@@ -425,6 +425,27 @@ def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
         .to_pandas()[["window_start", "n_users"]]
 
 
+def q_events_top_users(sf_dir: str) -> pd.DataFrame:
+    """Top-3 users by summed value per tumbling hour — windowed top-k as a
+    composition: partial-agg groupby to (window, user, sum), then
+    grouped_topk so the second shuffle moves k x windows rows only."""
+    from nexus_forge_ray.ops.agg import grouped_topk, hash_groupby_agg
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"window_start": df["ts"].dt.floor("h"),
+                             "user_id": df["user_id"],
+                             "value": df["value"]})
+
+    sums = hash_groupby_agg(ds.map_batches(windowed, batch_format="pandas"),
+                            ["window_start", "user_id"],
+                            {"sum_value": ("value", "sum")}, num_buckets=16)
+    top = grouped_topk(sums, "window_start", "sum_value", k=3,
+                       ascending=False, tiebreak=["user_id"]).to_pandas()
+    top["sum_value"] = top["sum_value"].round(2)
+    return top[["window_start", "user_id", "sum_value"]]
+
+
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding (hopping) window aggregate: 1-hour windows every 30 minutes.
     Each event maps to exactly its two covering windows (vectorized assign +

@@ -26,6 +26,7 @@ CASES = {
     "doc_span_dedup": corpus.doc_span_dedup,
     "doc_heavy_tokens": corpus.doc_heavy_tokens,
     "q_events_distinct_users": relational.q_events_distinct_users,
+    "q_events_top_users": relational.q_events_top_users,
 }
 
 
