@@ -130,3 +130,61 @@ def filters_from_elastic(query: dict) -> list[Filter]:
         raise ValueError(f"unsupported ES clause: {kind}")
 
     return clause(query.get("query", query))
+
+
+_METRIC_HOWS = {"sum": "sum", "min": "min", "max": "max", "avg": None}
+
+
+def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
+    """Run the ES-DSL `aggs` subset natively: one named `terms` bucket
+    aggregation (with optional avg/sum/min/max metric sub-aggs), over the
+    rows selected by the body's `query` section.
+
+    Semantics mirror Elasticsearch: buckets ordered by doc_count desc (key
+    asc tiebreak), `size` buckets returned (default 10). Output columns:
+    `key`, `doc_count`, then one column per metric sub-agg name.
+
+    Scale shape: the filter is a vectorized mask; bucket counts/partials
+    come from `hash_groupby_agg` (pre-aggregated before the shuffle); the
+    final size-k cut is a partial-topk merge — the driver only ever sees
+    <= size x blocks aggregated bucket rows, never documents.
+    """
+    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+
+    aggs = body.get("aggs") or body.get("aggregations") or {}
+    if len(aggs) != 1:
+        raise ValueError("exactly one top-level agg supported")
+    (_, spec), = aggs.items()
+    if "terms" not in spec:
+        raise ValueError("only `terms` bucket aggregations supported")
+    field = spec["terms"]["field"]
+    size = int(spec["terms"].get("size", 10))
+
+    metrics: dict[str, tuple[str, str]] = {}   # out_name -> (field, kind)
+    for name, sub in (spec.get("aggs") or {}).items():
+        (kind, mspec), = sub.items()
+        if kind not in _METRIC_HOWS:
+            raise ValueError(f"unsupported metric agg: {kind}")
+        metrics[name] = (mspec["field"], kind)
+
+    if "query" in body:
+        ds = search(ds, *filters_from_elastic(body["query"]),
+                    include_deprecated=True)
+
+    plan: dict[str, tuple[str, str]] = {"doc_count": (field, "count")}
+    for name, (mfield, kind) in metrics.items():
+        if kind == "avg":
+            plan[f"__sum_{name}"] = (mfield, "sum")
+        else:
+            plan[name] = (mfield, kind)
+    grouped = hash_groupby_agg(ds, field, plan, num_buckets=16)
+
+    out = global_topk(grouped, ["doc_count", field], size,
+                      ascending=[False, True])
+    out = out.rename(columns={field: "key"})
+    out["doc_count"] = out["doc_count"].astype("int64")
+    for name, (_, kind) in metrics.items():
+        if kind == "avg":
+            out[name] = out.pop(f"__sum_{name}") / out["doc_count"]
+    cols = ["key", "doc_count"] + list(metrics)
+    return out[cols].reset_index(drop=True)

@@ -195,9 +195,18 @@ class KnowledgeGraphForge:
         """Elasticsearch-DSL search (the reference's forge.elastic,
         kgforge/core/forge.py:568-596): the bool/term/range subset compiles
         to native Filters (`core.filters.filters_from_elastic`) and runs
-        against the store — or against an explicit Dataset when given."""
-        from nexus_forge_ray.core.filters import (filters_from_elastic,
+        against the store — or against an explicit Dataset when given.
+        Bodies with an `aggs` section run the terms-aggregation subset
+        natively (`core.filters.elastic_terms_agg`) and return the bucket
+        table as a DataFrame."""
+        from nexus_forge_ray.core.filters import (elastic_terms_agg,
+                                                  filters_from_elastic,
                                                   search as _search)
+        if "aggs" in query or "aggregations" in query:
+            if data is None:
+                raise ValueError("aggs need an explicit Dataset — the "
+                                 "record store is row-oriented")
+            return elastic_terms_agg(data, query)
         filters = filters_from_elastic(query)
         if data is not None:
             return _search(data, *filters, **kw)

@@ -104,6 +104,23 @@ def grouped_topk(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
         .groupby("__bucket").map_groups(final, batch_format="pandas")
 
 
+def global_topk(ds: ray.data.Dataset, by: list[str], k: int, *,
+                ascending: list[bool] | None = None) -> pd.DataFrame:
+    """Global top-k rows under a multi-key sort order.
+
+    Partial top-k per block, then a driver merge of <= k x blocks rows —
+    never the dataset. For the unbounded-k case use a distributed sort
+    instead (`Dataset.sort`)."""
+    asc = ascending if ascending is not None else [True] * len(by)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return parts.sort_values(by, ascending=asc, kind="mergesort") \
+        .head(k).reset_index(drop=True)
+
+
 def min_by_rows(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
                 num_buckets: int = 32) -> ray.data.Dataset:
     """Keep the row with minimal order_col per key group (deterministic)."""

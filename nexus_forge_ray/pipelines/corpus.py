@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
@@ -328,3 +329,27 @@ def doc_heavy_tokens(sf_dir: str):
     from nexus_forge_ray.ops.sketches import heavy_hitters
     toks = tx.token_rows(_docs(sf_dir, ["doc_id", "text"]), keep_cols=[])
     return heavy_hitters(toks, "token", capacity=1 << 14)
+
+
+def q_es_agg(sf_dir: str):
+    """Elasticsearch-DSL aggregation through the forge facade (S9 connector
+    parity): range-filtered documents, `terms` buckets on source with an
+    `avg` metric sub-agg — compiled to a vectorized filter + bucketed
+    partial-agg groupby + partial-topk bucket cut (core.filters
+    .elastic_terms_agg). The driver sees aggregated bucket rows only."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "query": {"bool": {"filter": [
+            {"range": {"n_chars": {"gte": 200}}}]}},
+        "aggs": {"by_source": {
+            "terms": {"field": "source", "size": 5},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    }
+    out = forge.elastic(body, data=_docs(sf_dir, ["source", "n_chars"]))
+    out["avg_chars"] = pc.round(
+        pa.array(out["avg_chars"], type=pa.float64()), ndigits=2,
+        round_mode="half_towards_infinity").to_pandas()
+    return out

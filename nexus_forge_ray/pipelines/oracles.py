@@ -493,6 +493,12 @@ ORACLES: dict[str, str] = {
         from (select unnest(string_split(text, ' ')) as tok from documents)
         group by tok having count(*) >= 10
     """,
+    "q_es_agg": """
+        select source as key, count(*)::bigint as doc_count,
+               round(avg(n_chars), 2) as avg_chars
+        from documents where n_chars >= 200
+        group by 1 order by doc_count desc, key limit 5
+    """,
     "doc_filter_pass": f"""
         with q as (
             select doc_id,

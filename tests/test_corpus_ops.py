@@ -27,6 +27,7 @@ CASES = {
     "doc_heavy_tokens": corpus.doc_heavy_tokens,
     "q_events_distinct_users": relational.q_events_distinct_users,
     "q_events_top_users": relational.q_events_top_users,
+    "q_es_agg": corpus.q_es_agg,
 }
 
 
@@ -141,3 +142,25 @@ def test_span_dedup_drops_intra_doc_repeats(ray_session):
     out = span_dedup(ray.data.from_pandas(df), k=2).to_pandas()
     # chunks: [p q][p q][p] -> second [p q] is a global repeat of the first
     assert out.loc[0, "text"] == "p q p"
+
+
+def test_elastic_terms_agg_metrics(ray_session):
+    import ray.data
+    from nexus_forge_ray.core.filters import elastic_terms_agg
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "b", "c"],
+        "v": [1, 3, 10, 20, 30, 100],
+    })
+    out = elastic_terms_agg(ray.data.from_pandas(df).repartition(3), {
+        "query": {"range": {"v": {"lt": 100}}},
+        "aggs": {"by_g": {"terms": {"field": "g", "size": 2},
+                          "aggs": {"s": {"sum": {"field": "v"}},
+                                   "m": {"max": {"field": "v"}},
+                                   "a": {"avg": {"field": "v"}}}}},
+    })
+    # c filtered out; b (3 docs) before a (2 docs)
+    assert out["key"].tolist() == ["b", "a"]
+    assert out["doc_count"].tolist() == [3, 2]
+    assert out["s"].tolist() == [60, 4]
+    assert out["m"].tolist() == [30, 3]
+    assert out["a"].tolist() == [20.0, 2.0]
