@@ -14,6 +14,8 @@ Terms starting with '?' are variables; anything else matches literally.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pandas as pd
 import ray.data
 
@@ -91,30 +93,56 @@ def bgp_select(triples: ray.data.Dataset,
     return cur.map_batches(lambda df: df[sel], batch_format="pandas")
 
 
-def parse_sparql(query: str) -> tuple[list[str], list[tuple[str, str, str]],
-                                      int | None]:
-    """Parse the SELECT-BGP subset of SPARQL the reference's stores accept
-    for simple graph queries: PREFIX declarations, SELECT with explicit
-    variables, a WHERE block of dot-separated triple patterns ('a' sugar for
-    rdf:type), and an optional LIMIT. Returns (select_vars, patterns, limit).
+class ParsedQuery(NamedTuple):
+    select: list[str]
+    patterns: list[tuple[str, str, str]]
+    limit: int | None
+    distinct: bool = False
+    # cmp filters: (var, op, value, value_is_var); op in _CMP_OPS
+    filters: list[tuple[str, str, object, bool]] = []
+    regex_filters: list[tuple[str, str]] = []       # (var, pattern)
+    order_by: list[tuple[str, bool]] = []           # (var, descending)
 
-    Term forms: ?var, <iri>, prefix:local (expanded), "literal", bare token
-    (kept verbatim). No OPTIONAL/FILTER/UNION — those are native Dataset
-    filters/joins in this engine (`core.filters`, `ops.joins`).
+
+_CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
+            ">": "gt", ">=": "ge"}
+
+
+def parse_sparql(query: str) -> ParsedQuery:
+    """Parse the SELECT-BGP subset of SPARQL the reference's stores accept
+    for simple graph queries: PREFIX declarations, SELECT [DISTINCT] with
+    explicit variables, a WHERE block of dot-separated triple patterns
+    ('a' sugar for rdf:type) and FILTER clauses (one comparison per FILTER:
+    `FILTER(?v OP term)` with OP in =/!=/</<=/>/>=, or
+    `FILTER regex(?v, "pat")`), then optional ORDER BY (?v / ASC(?v) /
+    DESC(?v)) and LIMIT.
+
+    Term forms: ?var, <iri>, prefix:local (expanded), "literal", numbers,
+    bare token (kept verbatim). Numeric FILTER literals compare numerically;
+    everything else compares as strings. No OPTIONAL/UNION — those are
+    native Dataset joins in this engine (`ops.joins`).
     """
     import re
 
     prefixes = dict(re.findall(
         r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>", query))
-    m = re.search(r"(?is)select\s+(.*?)\s+where\s*\{(.*)\}\s*"
-                  r"(?:limit\s+(\d+))?\s*$", query)
+    m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
+                  r"\s*(?:order\s+by\s+((?:\s*(?:asc|desc)\(\s*\?\w+\s*\)"
+                  r"|\s*\?\w+)+))?\s*(?:limit\s+(\d+))?\s*$", query)
     if not m:
-        raise ValueError("unsupported SPARQL (need SELECT ?vars WHERE "
-                         "{ patterns } [LIMIT n])")
-    select = re.findall(r"\?\w+", m.group(1))
+        raise ValueError("unsupported SPARQL (need SELECT [DISTINCT] ?vars "
+                         "WHERE { patterns [FILTER...] } [ORDER BY ...] "
+                         "[LIMIT n])")
+    distinct = bool(m.group(1))
+    select = re.findall(r"\?\w+", m.group(2))
     if not select:
         raise ValueError("SELECT * not supported — name the variables")
-    limit = int(m.group(3)) if m.group(3) else None
+    limit = int(m.group(5)) if m.group(5) else None
+    order_by = [(g1 or g2, (d or "").lower() == "desc")
+                for d, g1, g2 in re.findall(
+                    r"(?i)(?:(asc|desc)\(\s*\?(\w+)\s*\)|\?(\w+))",
+                    m.group(4) or "")]
+    body = m.group(3)
 
     def term(tok: str) -> str:
         if tok.startswith("?") or tok.startswith('"'):
@@ -129,9 +157,56 @@ def parse_sparql(query: str) -> tuple[list[str], list[tuple[str, str, str]],
                 return prefixes[p] + local
         return tok
 
-    # tokenize the whole block: '.' separates patterns ONLY outside <> / ""
-    # (IRIs and literals may contain dots)
-    toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', m.group(2))
+    # pull FILTER clauses out of the body first (their parens may nest)
+    filters: list[tuple[str, str, object, bool]] = []
+    regex_filters: list[tuple[str, str]] = []
+    out_body = []
+    i, n = 0, len(body)
+    while i < n:
+        fm = re.compile(r"(?i)\bfilter\b\s*").search(body, i)
+        if not fm:
+            out_body.append(body[i:])
+            break
+        out_body.append(body[i:fm.start()])
+        fun = re.match(r"(?is)(regex\s*)?\(", body[fm.end():])
+        if not fun:
+            raise ValueError("FILTER must be FILTER(expr) or "
+                             "FILTER regex(?v, \"pat\")")
+        depth, j = 1, fm.end() + fun.end()
+        inner_start = j
+        while j < n and depth:
+            depth += {"(": 1, ")": -1}.get(body[j], 0)
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parens in FILTER")
+        inner = body[inner_start:j - 1].strip()
+        expr = f"regex({inner})" if fun.group(1) else inner
+        rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
+        cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
+                      r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
+        if rm:
+            regex_filters.append((rm.group(1), rm.group(2)))
+        elif cm:
+            var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
+            is_var = rhs.startswith("?")
+            val: object = rhs[1:] if is_var else term(rhs)
+            if not is_var:
+                try:
+                    val = float(rhs)
+                except ValueError:
+                    pass
+            filters.append((var, _CMP_OPS[op], val, is_var))
+        else:
+            raise ValueError(f"unsupported FILTER expression: {expr!r}")
+        i = j
+        # swallow an optional pattern separator after the FILTER
+        while i < n and body[i] in " \t\r\n.":
+            i += 1
+    body = "".join(out_body)
+
+    # tokenize: '.' separates patterns ONLY outside <> / "" (IRIs and
+    # literals may contain dots)
+    toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', body)
     patterns, cur = [], []
     for tok in toks + ["."]:
         if tok == ".":
@@ -144,12 +219,53 @@ def parse_sparql(query: str) -> tuple[list[str], list[tuple[str, str, str]],
             cur.append(tok)
     if not patterns:
         raise ValueError("empty WHERE block")
-    return select, patterns, limit
+    return ParsedQuery(select, patterns, limit, distinct, filters,
+                       regex_filters, order_by)
+
+
+def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
+    """One vectorized mask per batch for every FILTER clause. Numeric
+    literals coerce the binding column (non-numeric bindings drop, SPARQL
+    type-error semantics); strings/IRIs compare lexicographically."""
+    import operator as _op
+    ops = {"eq": _op.eq, "ne": _op.ne, "lt": _op.lt, "le": _op.le,
+           "gt": _op.gt, "ge": _op.ge}
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = pd.Series(True, index=batch.index)
+        for var, op, val, is_var in q.filters:
+            lhs = batch[var]
+            rhs = batch[val] if is_var else val
+            if not is_var and isinstance(val, float):
+                lhs = pd.to_numeric(lhs, errors="coerce")
+            mask &= ops[op](lhs, rhs).fillna(False)
+        for var, pat in q.regex_filters:
+            mask &= batch[var].str.contains(pat, regex=True, na=False)
+        return batch[mask]
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def sparql_select(triples: ray.data.Dataset, query: str,
                   **kw) -> ray.data.Dataset:
-    """Run a SELECT-BGP SPARQL string against a triple Dataset."""
-    select, patterns, limit = parse_sparql(query)
-    out = bgp_select(triples, patterns, select, **kw)
-    return out.limit(limit) if limit is not None else out
+    """Run a SELECT-BGP SPARQL string against a triple Dataset: patterns
+    compile to vectorized filters + bucketed joins, FILTERs to batch masks,
+    DISTINCT to a bucketed dedup, ORDER BY to a distributed sort (which
+    makes a trailing LIMIT a deterministic cut)."""
+    q = parse_sparql(query)
+    sel = [v.lstrip("?") for v in q.select]
+    needed = list(dict.fromkeys(
+        sel + [f[0] for f in q.filters]
+        + [f[2] for f in q.filters if f[3]]
+        + [r[0] for r in q.regex_filters] + [v for v, _ in q.order_by]))
+    out = bgp_select(triples, q.patterns, needed, **kw)
+    if q.filters or q.regex_filters:
+        out = _apply_filters(out, q)
+    out = out.map_batches(lambda df: df[sel], batch_format="pandas")
+    if q.distinct:
+        from nexus_forge_ray.ops.agg import distinct_rows
+        out = distinct_rows(out, sel)
+    if q.order_by:
+        out = out.sort(key=[v for v, _ in q.order_by],
+                       descending=[d for _, d in q.order_by])
+    return out.limit(q.limit) if q.limit is not None else out

@@ -260,6 +260,21 @@ def kg_bgp(sf_dir: str):
     return out
 
 
+def kg_bgp_filter(sf_dir: str):
+    """Full SPARQL string surface — DISTINCT + FILTER + ORDER BY + LIMIT
+    (the ORDER BY makes the LIMIT cut order-load-bearing, so the oracle
+    checks the distributed sort, not just the join): English documents'
+    mentioned entities above an IRI threshold."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT DISTINCT ?d ?e WHERE {
+      ?d v:mentions ?e .
+      ?d v:lang "en" .
+      FILTER(?e > "http://example.org/entity/m")
+    } ORDER BY ?d DESC(?e) LIMIT 100"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_flagship(sf_dir: str):
     """Full DAG over synthesized pages (extract->validate->map->link->triples
     ->canonicalize). Rows-only: page IRIs derive from url hashes."""
@@ -281,5 +296,6 @@ QUERIES = {
     "kg_components": kg_components,
     "kg_assemble": kg_assemble,
     "kg_bgp": kg_bgp,
+    "kg_bgp_filter": kg_bgp_filter,
     "kg_flagship": kg_flagship,
 }

@@ -308,6 +308,15 @@ ORACLES: dict[str, str] = {
         where a.pred = 'http://example.org/vocab/mentions'
           and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
     """,
+    "kg_bgp_filter": f"""
+        with {_KG_TRIPLES_CTE}
+        select distinct a.subj as d, a.obj as e
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
+          and a.obj > 'http://example.org/entity/m'
+        order by d, e desc limit 100
+    """,
     "kg_resolve_exact": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents)

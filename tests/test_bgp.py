@@ -50,12 +50,46 @@ def test_parse_sparql_full_form():
       ?d a <http://example.org/Type.v2> .
       ?d v:lang "en"
     } LIMIT 7"""
-    select, pats, limit = parse_sparql(q)
-    assert select == ["?d", "?e"] and limit == 7
-    assert pats[0] == ("?d", "http://example.org/vocab/mentions", "?e")
-    assert pats[1] == ("?d", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
-                       "http://example.org/Type.v2")
-    assert pats[2] == ("?d", "http://example.org/vocab/lang", "en")
+    p = parse_sparql(q)
+    assert p.select == ["?d", "?e"] and p.limit == 7
+    assert not p.distinct and not p.filters and not p.order_by
+    assert p.patterns[0] == ("?d", "http://example.org/vocab/mentions", "?e")
+    assert p.patterns[1] == ("?d",
+                             "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                             "http://example.org/Type.v2")
+    assert p.patterns[2] == ("?d", "http://example.org/vocab/lang", "en")
+
+
+def test_parse_sparql_filter_order_distinct():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT DISTINCT ?d ?v WHERE {
+      ?d score ?v .
+      FILTER(?v >= 10) .
+      FILTER regex(?d, "^doc") .
+      FILTER(?d != "doc9")
+    } ORDER BY DESC(?v) ?d LIMIT 3"""
+    p = parse_sparql(q)
+    assert p.distinct and p.limit == 3
+    assert p.filters == [("v", "ge", 10.0, False), ("d", "ne", "doc9", False)]
+    assert p.regex_filters == [("d", "^doc")]
+    assert p.order_by == [("v", True), ("d", False)]
+
+
+def test_sparql_filter_order_limit_end_to_end(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": [f"doc{i}" for i in range(6)] + ["x1"],
+        "pred": ["score"] * 6 + ["score"],
+        "obj":  ["5", "40", "30", "20", "10", "40", "99"],
+    })
+    out = KnowledgeGraphForge().sparql(
+        """SELECT DISTINCT ?d ?v WHERE {
+             ?d score ?v . FILTER(?v >= 10) . FILTER regex(?d, "^doc")
+           } ORDER BY DESC(?v) ?d LIMIT 3""",
+        ray.data.from_pandas(t).repartition(3)).to_pandas()
+    # numeric compare keeps 40,30,20,10,40; order by value desc then subj
+    assert list(map(tuple, out.to_numpy())) == \
+        [("doc1", "40"), ("doc5", "40"), ("doc2", "30")]
 
 
 def test_sparql_select_end_to_end(ray_session):
