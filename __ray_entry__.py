@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
+        "doc_tfidf": corpus.doc_tfidf,
+        "doc_inverted_index": corpus.doc_inverted_index,
         "doc_mixture": corpus.doc_mixture,
         "doc_pack_sequences": corpus.doc_pack_sequences,
         "doc_pii_redact": corpus.doc_pii_redact,

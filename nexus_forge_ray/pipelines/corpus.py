@@ -353,3 +353,66 @@ def q_es_agg(sf_dir: str):
         pa.array(out["avg_chars"], type=pa.float64()), ndigits=2,
         round_mode="half_towards_infinity").to_pandas()
     return out
+
+
+def doc_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document (feature extraction for ranking /
+    keyword tagging). Fully distributed: per-(doc, token) counts and
+    document frequencies are bucketed partial aggregations, the DF
+    attachment is a bucketed join on token (web-scale vocabularies don't
+    broadcast), and the per-doc cut is grouped_topk — the second shuffle
+    moves k x docs rows only. N (corpus size) is the one driver scalar."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import grouped_topk, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    toks = tx.token_rows(docs)
+    tf = hash_groupby_agg(toks, ["doc_id", "token"],
+                          {"tf": ("token", "count")}, num_buckets=16)
+    dfreq = hash_groupby_agg(tf, "token", {"df": ("token", "count")},
+                             num_buckets=16)
+    joined = partitioned_join(tf, dfreq, on="token", num_buckets=16,
+                              lcols=["doc_id", "token", "tf"],
+                              rcols=["token", "df"])
+    scored = joined.map_batches(
+        lambda d: d.assign(tfidf=d["tf"].astype("float64")
+                           * np.log(float(n_docs)
+                                    / d["df"].astype("float64"))),
+        batch_format="pandas")
+    top = grouped_topk(scored, "doc_id", "tfidf", k=3, ascending=False,
+                       tiebreak=["token"]).to_pandas()
+    top["tfidf"] = pc.round(pa.array(top["tfidf"], type=pa.float64()),
+                            ndigits=4,
+                            round_mode="half_towards_infinity").to_pandas()
+    top["tf"] = top["tf"].astype("int64")
+    return top[["doc_id", "token", "tf", "tfidf"]]
+
+
+def doc_inverted_index(sf_dir: str):
+    """Posting-list construction (the search-index precursor): distinct
+    (token, doc_id) pairs, one bucketed-by-token shuffle, then per-token
+    sorted comma-joined postings + document frequency. Stopword/singleton
+    pruning is an upstream vectorized filter when a real corpus needs it —
+    the synthetic vocabulary is small enough to index whole."""
+    from nexus_forge_ray.utils import stable_hash_u64
+
+    toks = tx.token_rows(_docs(sf_dir, ["doc_id", "text"]))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates(subset=["token", "doc_id"]).copy()
+        b["__bucket"] = (stable_hash_u64(b["token"])
+                         % np.uint64(16)).astype("int32")
+        return b
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["token", "doc_id"]) \
+            .sort_values(["token", "doc_id"])
+        agg = g.groupby("token")["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(s.astype(str)))
+        return agg.reset_index().astype({"df": "int64"})
+
+    return toks.map_batches(partial, batch_format="pandas") \
+        .groupby("__bucket").map_groups(build, batch_format="pandas")

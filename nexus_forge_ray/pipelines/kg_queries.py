@@ -275,6 +275,21 @@ def kg_bgp_filter(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_degree_dist(sf_dir: str):
+    """Graph degree distribution (the KG-health rollup): per-subject
+    out-degree, then subjects-per-degree — two bucketed partial-agg
+    groupbys, the second over at most max_degree rows."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    t = kg_triples(sf_dir)
+    deg = hash_groupby_agg(t, "subj", {"degree": ("pred", "count")},
+                           num_buckets=16)
+    dist = hash_groupby_agg(deg, "degree", {"n_subjects": ("subj", "count")},
+                            num_buckets=4)
+    return dist.map_batches(
+        lambda df: df.astype({"degree": "int64", "n_subjects": "int64"}),
+        batch_format="pandas")
+
+
 def kg_flagship(sf_dir: str):
     """Full DAG over synthesized pages (extract->validate->map->link->triples
     ->canonicalize). Rows-only: page IRIs derive from url hashes."""
@@ -297,5 +312,6 @@ QUERIES = {
     "kg_assemble": kg_assemble,
     "kg_bgp": kg_bgp,
     "kg_bgp_filter": kg_bgp_filter,
+    "kg_degree_dist": kg_degree_dist,
     "kg_flagship": kg_flagship,
 }

@@ -502,6 +502,35 @@ ORACLES: dict[str, str] = {
         from (select unnest(string_split(text, ' ')) as tok from documents)
         group by tok having count(*) >= 10
     """,
+    "doc_tfidf": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as token
+                      from documents),
+             tf as (select doc_id, token, count(*)::bigint as tf
+                    from toks group by 1, 2),
+             dfreq as (select token, count(*) as df from tf group by 1),
+             n as (select count(*)::double as n_docs from documents),
+             scored as (select tf.doc_id, tf.token, tf.tf,
+                               tf.tf * ln(n.n_docs / dfreq.df) as tfidf_raw
+                        from tf join dfreq using (token) cross join n)
+        select doc_id, token, tf, round(tfidf_raw, 4) as tfidf
+        from scored
+        qualify row_number() over (partition by doc_id
+                                   order by tfidf_raw desc, token) <= 3
+    """,
+    "doc_inverted_index": """
+        with pairs as (select distinct doc_id, tok as token
+                       from (select doc_id,
+                                    unnest(string_split(text, ' ')) as tok
+                             from documents))
+        select token, count(*)::bigint as df,
+               string_agg(doc_id::varchar, ',' order by doc_id) as postings
+        from pairs group by token
+    """,
+    "kg_degree_dist": f"""
+        with {_KG_TRIPLES_CTE},
+             d as (select subj, count(*)::bigint as degree from t group by 1)
+        select degree, count(*)::bigint as n_subjects from d group by 1
+    """,
     "q_es_agg": """
         select source as key, count(*)::bigint as doc_count,
                round(avg(n_chars), 2) as avg_chars

@@ -28,6 +28,8 @@ CASES = {
     "q_events_distinct_users": relational.q_events_distinct_users,
     "q_events_top_users": relational.q_events_top_users,
     "q_es_agg": corpus.q_es_agg,
+    "doc_tfidf": corpus.doc_tfidf,
+    "doc_inverted_index": corpus.doc_inverted_index,
 }
 
 
