@@ -102,6 +102,7 @@ class ParsedQuery(NamedTuple):
     filters: list[tuple[str, str, object, bool]] = []
     regex_filters: list[tuple[str, str]] = []       # (var, pattern)
     order_by: list[tuple[str, bool]] = []           # (var, descending)
+    optionals: list[list[tuple[str, str, str]]] = []  # OPTIONAL {...} groups
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -117,10 +118,12 @@ def parse_sparql(query: str) -> ParsedQuery:
     `FILTER regex(?v, "pat")`), then optional ORDER BY (?v / ASC(?v) /
     DESC(?v)) and LIMIT.
 
-    Term forms: ?var, <iri>, prefix:local (expanded), "literal", numbers,
-    bare token (kept verbatim). Numeric FILTER literals compare numerically;
-    everything else compares as strings. No OPTIONAL/UNION — those are
-    native Dataset joins in this engine (`ops.joins`).
+    OPTIONAL { patterns } groups are supported (left-join semantics,
+    one level, no FILTER inside the group). Term forms: ?var, <iri>,
+    prefix:local (expanded), "literal", numbers, bare token (kept
+    verbatim). Numeric FILTER literals compare numerically; everything
+    else compares as strings. No UNION — run one query per branch and
+    `Dataset.union` the results.
     """
     import re
 
@@ -157,7 +160,14 @@ def parse_sparql(query: str) -> ParsedQuery:
                 return prefixes[p] + local
         return tok
 
-    # pull FILTER clauses out of the body first (their parens may nest)
+    # pull OPTIONAL { ... } groups out of the body first (patterns contain
+    # no braces, so the groups never nest)
+    optionals_raw: list[str] = []
+    body = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
+                  lambda mm: (optionals_raw.append(mm.group(1)), " ")[1],
+                  body)
+
+    # then pull FILTER clauses (their parens may nest)
     filters: list[tuple[str, str, object, bool]] = []
     regex_filters: list[tuple[str, str]] = []
     out_body = []
@@ -204,23 +214,30 @@ def parse_sparql(query: str) -> ParsedQuery:
             i += 1
     body = "".join(out_body)
 
-    # tokenize: '.' separates patterns ONLY outside <> / "" (IRIs and
-    # literals may contain dots)
-    toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', body)
-    patterns, cur = [], []
-    for tok in toks + ["."]:
-        if tok == ".":
-            if cur:
-                if len(cur) != 3:
-                    raise ValueError(f"pattern needs 3 terms: {cur!r}")
-                patterns.append(tuple(term(t) for t in cur))
-                cur = []
-        else:
-            cur.append(tok)
+    def patterns_of(text: str) -> list[tuple[str, str, str]]:
+        # tokenize: '.' separates patterns ONLY outside <> / "" (IRIs and
+        # literals may contain dots)
+        toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', text)
+        pats, cur = [], []
+        for tok in toks + ["."]:
+            if tok == ".":
+                if cur:
+                    if len(cur) != 3:
+                        raise ValueError(f"pattern needs 3 terms: {cur!r}")
+                    pats.append(tuple(term(t) for t in cur))
+                    cur = []
+            else:
+                cur.append(tok)
+        return pats
+
+    patterns = patterns_of(body)
     if not patterns:
         raise ValueError("empty WHERE block")
+    optionals = [patterns_of(g) for g in optionals_raw]
+    if any(not g for g in optionals):
+        raise ValueError("empty OPTIONAL block")
     return ParsedQuery(select, patterns, limit, distinct, filters,
-                       regex_filters, order_by)
+                       regex_filters, order_by, optionals)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -250,15 +267,36 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                   **kw) -> ray.data.Dataset:
     """Run a SELECT-BGP SPARQL string against a triple Dataset: patterns
     compile to vectorized filters + bucketed joins, FILTERs to batch masks,
+    OPTIONAL groups to bucketed LEFT joins (unmatched bindings stay null),
     DISTINCT to a bucketed dedup, ORDER BY to a distributed sort (which
     makes a trailing LIMIT a deterministic cut)."""
+    from nexus_forge_ray.ops.joins import partitioned_join
+
     q = parse_sparql(query)
+    triples = triples.materialize()     # scanned by every pattern group
     sel = [v.lstrip("?") for v in q.select]
-    needed = list(dict.fromkeys(
+    req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
+    opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
+                                   if _is_var(t))) for g in q.optionals]
+    wanted = list(dict.fromkeys(
         sel + [f[0] for f in q.filters]
         + [f[2] for f in q.filters if f[3]]
         + [r[0] for r in q.regex_filters] + [v for v, _ in q.order_by]))
+    shared_per_group = [[v for v in gv if v in req_vars] for gv in opt_vars]
+    needed = list(dict.fromkeys(
+        [v for v in wanted if v in req_vars]
+        + [v for sh in shared_per_group for v in sh]))
     out = bgp_select(triples, q.patterns, needed, **kw)
+    bound = list(needed)
+    for gpats, gv, shared in zip(q.optionals, opt_vars, shared_per_group):
+        if not shared:
+            raise ValueError(f"OPTIONAL {gpats} shares no variable with the "
+                             "required patterns")
+        opt_ds = bgp_select(triples, gpats, gv, **kw)
+        out = partitioned_join(out, opt_ds, on=shared[0],
+                               extra_keys=shared[1:], how="left",
+                               lcols=bound, rcols=gv)
+        bound = list(dict.fromkeys(bound + gv))
     if q.filters or q.regex_filters:
         out = _apply_filters(out, q)
     out = out.map_batches(lambda df: df[sel], batch_format="pandas")

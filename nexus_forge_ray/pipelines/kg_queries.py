@@ -275,6 +275,21 @@ def kg_bgp_filter(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_optional(sf_dir: str):
+    """OPTIONAL (left-join) SPARQL surface: every document with its
+    language, plus each mentioned entity where any exists — unmatched
+    bindings come back unbound and are blanked for the SQL comparison."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?l ?e WHERE {
+      ?d v:lang ?l .
+      OPTIONAL { ?d v:mentions ?e }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, kg_triples(sf_dir)).to_pandas()
+    out["e"] = out["e"].fillna("")
+    return out
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -288,6 +303,28 @@ def kg_degree_dist(sf_dir: str):
     return dist.map_batches(
         lambda df: df.astype({"degree": "int64", "n_subjects": "int64"}),
         batch_format="pandas")
+
+
+def kg_pagerank(sf_dir: str):
+    """3-iteration PageRank over the doc->entity mention graph
+    (`kg.pagerank`): loop-invariant degree-annotated edges, one bucketed
+    join + bucketed sum per iteration, dangling mass as the only
+    per-iteration driver scalar. Entities (no out-edges) are the dangling
+    set, so this exercises sink redistribution too."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.pagerank import pagerank
+    t = kg_triples(sf_dir)
+    edges = t.map_batches(
+        lambda df: df.loc[df["pred"] == KB.PRED_MENTIONS, ["subj", "obj"]]
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas")
+    pr = pagerank(edges, iters=3).to_pandas()
+    pr["rank"] = pc.round(pa.array(pr["rank"], type=pa.float64()),
+                          ndigits=8,
+                          round_mode="half_towards_infinity").to_pandas()
+    return pr[["node", "rank"]]
 
 
 def kg_flagship(sf_dir: str):
@@ -313,5 +350,7 @@ QUERIES = {
     "kg_bgp": kg_bgp,
     "kg_bgp_filter": kg_bgp_filter,
     "kg_degree_dist": kg_degree_dist,
+    "kg_bgp_optional": kg_bgp_optional,
+    "kg_pagerank": kg_pagerank,
     "kg_flagship": kg_flagship,
 }

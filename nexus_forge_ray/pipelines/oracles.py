@@ -119,6 +119,31 @@ _SHINGLE_PAIRS = """
                    join sizes sb on id_b = sb.doc_id)
 """
 
+def _pagerank_cte(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank matching kg.pagerank's formula:
+    r_i = (1-d)/N + d*(contrib_sum + dangling_mass/N)."""
+    parts = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        d{i} as (select coalesce(sum(r.r), 0) as dm from {prev} r
+                 left join deg on r.node = deg.src where deg.src is null),
+        c{i} as (select e.dst as node, sum({prev}.r / deg.outd) as s
+                 from e join {prev} on e.src = {prev}.node
+                        join deg on e.src = deg.src group by 1),
+        r{i} as (select nodes.node,
+                        (1 - {d}) / nn.n
+                        + {d} * (coalesce(c{i}.s, 0)
+                                 + (select dm from d{i}) / nn.n) as r
+                 from nodes cross join nn
+                 left join c{i} on nodes.node = c{i}.node)""")
+        prev = f"r{i}"
+    return ",".join(parts), prev
+
+
+_PR_ITERS, _PR_LAST = _pagerank_cte()
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         select l_returnflag, l_linestatus,
@@ -525,6 +550,26 @@ ORACLES: dict[str, str] = {
         select token, count(*)::bigint as df,
                string_agg(doc_id::varchar, ',' order by doc_id) as postings
         from pairs group by token
+    """,
+    "kg_bgp_optional": f"""
+        with {_KG_TRIPLES_CTE}
+        select la.subj as d, la.obj as l, coalesce(mm.obj, '') as e
+        from t la
+        left join t mm on la.subj = mm.subj
+                      and mm.pred = 'http://example.org/vocab/mentions'
+        where la.pred = 'http://example.org/vocab/lang'
+    """,
+    "kg_pagerank": f"""
+        with {_KG_TRIPLES_CTE},
+        e as (select subj as src, obj as dst from t
+              where pred = 'http://example.org/vocab/mentions'),
+        nodes as (select distinct node from
+                  (select src as node from e union all select dst from e)),
+        nn as (select count(*)::double as n from nodes),
+        deg as (select src, count(*)::double as outd from e group by 1),
+        r0 as (select node, 1.0 / nn.n as r from nodes cross join nn),
+        {_PR_ITERS}
+        select node, round(r, 8) as rank from {_PR_LAST}
     """,
     "kg_degree_dist": f"""
         with {_KG_TRIPLES_CTE},

@@ -132,3 +132,25 @@ def test_elastic_dsl_rejects_should():
     with _pytest.raises(ValueError, match="should"):
         filters_from_elastic(
             {"bool": {"should": [{"term": {"a": 1}}]}})
+
+
+def test_sparql_optional_left_join(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    out = KnowledgeGraphForge().sparql(
+        """SELECT ?d ?l ?e WHERE {
+             ?d lang ?l .
+             OPTIONAL { ?d mentions ?e }
+           }""", _ds()).to_pandas()
+    rows = {(r.d, r.l, None if pd.isna(r.e) else r.e)
+            for r in out.itertuples()}
+    # d3 has a lang but no mentions -> survives with e unbound
+    assert rows == {("d1", "en", "e1"), ("d2", "fr", "e2"),
+                    ("d3", "en", None)}
+
+
+def test_sparql_optional_requires_shared_var(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    with pytest.raises(ValueError, match="shares no variable"):
+        sparql_select(_ds(),
+                      "SELECT ?d WHERE { ?d lang ?l . "
+                      "OPTIONAL { ?x mentions ?y } }").to_pandas()

@@ -10,7 +10,8 @@ from .helpers import assert_frames_match, to_pandas
 ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_validate_customers", "kg_actions_summary", "kg_resolve_fuzzy",
                 "kg_entity_popularity", "kg_triples_typed",
-                "kg_bgp_filter", "kg_degree_dist"]
+                "kg_bgp_filter", "kg_degree_dist", "kg_bgp_optional",
+                "kg_pagerank"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
@@ -31,3 +32,26 @@ def test_kg_assemble_rows(sf_dir):
     out = to_pandas(kg_queries.kg_assemble(sf_dir))
     assert (out["n_props"] >= 1).all()
     assert out["subj"].str.startswith("http://example.org/doc/").all()
+
+
+def test_pagerank_mass_and_order(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.pagerank import pagerank
+    # star: hub -> a, b, c; plus chain a -> b. b should outrank a and c.
+    edges = pd.DataFrame({"src": ["hub", "hub", "hub", "a"],
+                          "dst": ["a", "b", "c", "b"]})
+    pr = pagerank(ray.data.from_pandas(edges).repartition(2),
+                  iters=10).to_pandas().set_index("node")["rank"]
+    assert abs(pr.sum() - 1.0) < 1e-9          # mass conserved
+    assert pr["b"] > pr["a"] > pr["c"] or pr["b"] > pr["c"]
+    assert pr["b"] == pr.max()
+
+
+def test_pagerank_empty_edges(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.pagerank import pagerank
+    edges = pd.DataFrame({"src": pd.Series(dtype=object),
+                          "dst": pd.Series(dtype=object)})
+    assert pagerank(ray.data.from_pandas(edges)).count() == 0
