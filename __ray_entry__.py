@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
+        "q_es_should": corpus.q_es_should,
         "doc_tfidf": corpus.doc_tfidf,
         "doc_inverted_index": corpus.doc_inverted_index,
         "doc_mixture": corpus.doc_mixture,

@@ -41,6 +41,14 @@ class Filter:
         return ".".join(self.path)
 
 
+@dataclass(frozen=True)
+class AnyOf:
+    """Disjunction of conjunctive branches (ES bool.should): a row passes
+    when at least one branch's filters all pass. Vectorized as an OR of
+    per-branch masks — still one pass over each batch."""
+    branches: tuple[tuple, ...]   # each branch: tuple of Filter/AnyOf
+
+
 def filters_from_dict(d: dict, prefix: tuple = ()) -> list[Filter]:
     """{"a": {"b": v}} -> [Filter(("a","b"), "__eq__", v)] (paths.py:108-121)."""
     out: list[Filter] = []
@@ -52,13 +60,26 @@ def filters_from_dict(d: dict, prefix: tuple = ()) -> list[Filter]:
     return out
 
 
-def apply_filters_frame(df: pd.DataFrame, filters: list[Filter]) -> pd.DataFrame:
+def _mask_of(df: pd.DataFrame, f: "Filter | AnyOf") -> pd.Series:
+    if isinstance(f, AnyOf):
+        m = pd.Series(False, index=df.index)
+        for branch in f.branches:
+            bm = pd.Series(True, index=df.index)
+            for sub in branch:
+                bm &= _mask_of(df, sub)
+            m |= bm
+        return m
+    col = f.column()
+    if col not in df.columns:
+        return pd.Series(False, index=df.index)
+    return OPERATORS[f.operator](df[col], f.value).fillna(False)
+
+
+def apply_filters_frame(df: pd.DataFrame,
+                        filters: list["Filter | AnyOf"]) -> pd.DataFrame:
     mask = pd.Series(True, index=df.index)
     for f in filters:
-        col = f.column()
-        if col not in df.columns:
-            return df.iloc[0:0]
-        mask &= OPERATORS[f.operator](df[col], f.value)
+        mask &= _mask_of(df, f)
     return df[mask.fillna(False)]
 
 
@@ -92,8 +113,10 @@ def filters_from_elastic(query: dict) -> list[Filter]:
     Supported: {"query": ...} wrapper; bool.must / bool.filter (AND);
     bool.must_not over term clauses (__ne__); term {"f": v} or
     {"f": {"value": v}}; range gt/gte/lt/lte; match (treated as term
-    equality — no analyzer in this engine); match_all. `should`
-    (disjunction) has no conjunctive Filter form and raises.
+    equality — no analyzer in this engine); match_all; bool.should
+    (disjunction) compiled to an `AnyOf` mask — enforced when it is the
+    only clause group or when `minimum_should_match` >= 1, score-only
+    (ignored) next to must/filter, matching ES defaults.
     """
     _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__",
                   "lt": "__lt__", "lte": "__le__"}
@@ -107,14 +130,15 @@ def filters_from_elastic(query: dict) -> list[Filter]:
         if kind == "bool":
             if negate:
                 raise ValueError("nested bool under must_not unsupported")
-            out: list[Filter] = []
+            out: list = []
             for sub in list(body.get("must", [])) + list(body.get("filter", [])):
                 out.extend(clause(sub))
             for sub in body.get("must_not", []):
                 out.extend(clause(sub, negate=True))
-            if body.get("should"):
-                raise ValueError("bool.should (disjunction) unsupported — "
-                                 "run one search per branch and union")
+            should = body.get("should") or []
+            msm = int(body.get("minimum_should_match", 0))
+            if should and (not out or msm >= 1):
+                out.append(AnyOf(tuple(tuple(clause(s)) for s in should)))
             return out
         if kind in ("term", "match"):
             (field, v), = body.items()

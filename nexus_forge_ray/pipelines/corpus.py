@@ -416,3 +416,16 @@ def doc_inverted_index(sf_dir: str):
 
     return toks.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(build, batch_format="pandas")
+
+
+def q_es_should(sf_dir: str):
+    """ES-DSL disjunction (bool.should) through the facade: long documents
+    OR documents from a head source — one vectorized OR-of-branch-masks per
+    batch, no per-branch rescan."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"bool": {"should": [
+        {"range": {"n_chars": {"gte": 400}}},
+        {"term": {"source": "src1"}}]}}}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "source", "n_chars"]))
+    return out.select_columns(["doc_id", "source", "n_chars"])

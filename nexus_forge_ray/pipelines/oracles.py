@@ -119,7 +119,7 @@ _SHINGLE_PAIRS = """
                    join sizes sb on id_b = sb.doc_id)
 """
 
-def _pagerank_cte(iters: int = 3, d: float = 0.85) -> str:
+def _pagerank_cte(iters: int = 3, d: float = 0.85) -> tuple[str, str]:
     """Unrolled fixed-iteration PageRank matching kg.pagerank's formula:
     r_i = (1-d)/N + d*(contrib_sum + dangling_mass/N)."""
     parts = []
@@ -575,6 +575,10 @@ ORACLES: dict[str, str] = {
         with {_KG_TRIPLES_CTE},
              d as (select subj, count(*)::bigint as degree from t group by 1)
         select degree, count(*)::bigint as n_subjects from d group by 1
+    """,
+    "q_es_should": """
+        select doc_id, source, n_chars from documents
+        where n_chars >= 400 or source = 'src1'
     """,
     "q_es_agg": """
         select source as key, count(*)::bigint as doc_count,

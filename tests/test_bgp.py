@@ -126,12 +126,27 @@ def test_elastic_dsl_search(ray_session):
     assert out["doc_id"].tolist() == [2]
 
 
-def test_elastic_dsl_rejects_should():
-    import pytest as _pytest
-    from nexus_forge_ray.core.filters import filters_from_elastic
-    with _pytest.raises(ValueError, match="should"):
-        filters_from_elastic(
-            {"bool": {"should": [{"term": {"a": 1}}]}})
+def test_elastic_dsl_should_disjunction(ray_session):
+    from nexus_forge_ray.core.filters import filters_from_elastic, search
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "lang": ["en", "fr", "de", "en"],
+                         "n": [1, 50, 2, 3]})
+    ds = ray.data.from_pandas(docs)
+    # bare should: enforced disjunction
+    f = filters_from_elastic({"bool": {"should": [
+        {"term": {"lang": "fr"}}, {"range": {"n": {"lte": 1}}}]}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 2]
+    # should next to must without minimum_should_match: score-only, ignored
+    f = filters_from_elastic({"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "should": [{"term": {"n": 1}}]}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 4]
+    # minimum_should_match=1 makes it filter alongside must
+    f = filters_from_elastic({"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "should": [{"term": {"n": 1}}],
+        "minimum_should_match": 1}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1]
 
 
 def test_sparql_optional_left_join(ray_session):

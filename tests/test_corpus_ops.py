@@ -30,6 +30,7 @@ CASES = {
     "q_es_agg": corpus.q_es_agg,
     "doc_tfidf": corpus.doc_tfidf,
     "doc_inverted_index": corpus.doc_inverted_index,
+    "q_es_should": corpus.q_es_should,
 }
 
 
