@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_running": relational.q_events_running,
         "q_events_distinct_users": relational.q_events_distinct_users,
         "q_events_top_users": relational.q_events_top_users,
+        "q_events_pivot": relational.q_events_pivot,
+        "q_events_gap": relational.q_events_gap,
+        "q_revenue_rollup": relational.q_revenue_rollup,
         "q_events_range": relational.q_events_range,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,

@@ -576,6 +576,33 @@ ORACLES: dict[str, str] = {
              d as (select subj, count(*)::bigint as degree from t group by 1)
         select degree, count(*)::bigint as n_subjects from d group by 1
     """,
+    "q_events_pivot": """
+        select date_trunc('hour', ts) as window_start,
+               sum(case when event_type = 'click' then 1 else 0 end)::bigint as n_click,
+               sum(case when event_type = 'error' then 1 else 0 end)::bigint as n_error,
+               sum(case when event_type = 'purchase' then 1 else 0 end)::bigint as n_purchase,
+               sum(case when event_type = 'signup' then 1 else 0 end)::bigint as n_signup,
+               sum(case when event_type = 'view' then 1 else 0 end)::bigint as n_view
+        from events group by 1
+    """,
+    "q_revenue_rollup": """
+        select coalesce(c_mktsegment, 'ALL') as c_mktsegment,
+               coalesce(o_orderpriority, 'ALL') as o_orderpriority,
+               round(sum(o_totalprice), 2) as revenue,
+               count(*)::bigint as n_orders
+        from orders join customer on o_custkey = c_custkey
+        group by rollup(c_mktsegment, o_orderpriority)
+    """,
+    "q_events_gap": """
+        with g as (select user_id,
+                          epoch(ts - lag(ts) over (partition by user_id
+                                                   order by ts)) as gap
+                   from events)
+        select user_id, count(gap)::bigint as n_gaps,
+               round(avg(gap), 2) as avg_gap_s,
+               round(max(gap), 2) as max_gap_s
+        from g where gap is not null group by 1
+    """,
     "q_es_should": """
         select doc_id, source, n_chars from documents
         where n_chars >= 400 or source = 'src1'

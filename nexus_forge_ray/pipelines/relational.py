@@ -570,3 +570,91 @@ def q_order_priority_count(sf_dir: str) -> pd.DataFrame:
                            num_buckets=4).to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long -> wide feature matrix): per-hour event counts, one
+    column per event type. Conditional partial counts inside map_batches,
+    so the shuffle moves one pre-pivoted row per (batch, hour) — the pivot
+    itself never reshuffles."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"window_start": df["ts"].dt.floor("h")})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        return out
+
+    agg = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"), "window_start",
+        {f"n_{t}": (f"n_{t}", "sum") for t in EVENT_TYPES},
+        num_buckets=16).to_pandas()
+    for t in EVENT_TYPES:
+        agg[f"n_{t}"] = agg[f"n_{t}"].astype("int64")
+    return agg
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (subtotal hierarchy): order revenue by market segment and
+    order priority, with per-segment subtotals and a grand total. The
+    finest level is a bucketed join + partial-agg groupby; subtotals
+    derive from those ~25 aggregated rows on the driver — never from raw
+    data (the standard distributed rollup shape)."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+    joined = partitioned_join(
+        orders, cust, on="o_custkey", num_buckets=16,
+        lcols=["o_custkey", "o_orderpriority", "o_totalprice"],
+        rcols=["o_custkey", "c_mktsegment"])
+    base = hash_groupby_agg(
+        joined, ["c_mktsegment", "o_orderpriority"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")}, num_buckets=8).to_pandas()
+    seg = base.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+    seg["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({"c_mktsegment": ["ALL"], "o_orderpriority": ["ALL"],
+                          "revenue": [base["revenue"].sum()],
+                          "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base, seg, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["c_mktsegment", "o_orderpriority", "revenue", "n_orders"]]
+
+
+def q_events_gap(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event-gap stats (lag-diff window): bucket by user
+    hash, sort each user's log once, vectorized diff, per-user aggregate
+    inside the same group — one shuffle total."""
+    from nexus_forge_ray.utils import stable_hash_u64
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["user_id"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        g = g.assign(gap=gap).dropna(subset=["gap"])
+        out = g.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), avg_gap_s=("gap", "mean"),
+            max_gap_s=("gap", "max"))
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        out["avg_gap_s"] = out["avg_gap_s"].round(2)
+        out["max_gap_s"] = out["max_gap_s"].round(2)
+        return out
+
+    return ds.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(gaps, batch_format="pandas")

@@ -31,6 +31,9 @@ CASES = {
     "doc_tfidf": corpus.doc_tfidf,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
+    "q_events_pivot": relational.q_events_pivot,
+    "q_events_gap": relational.q_events_gap,
+    "q_revenue_rollup": relational.q_revenue_rollup,
 }
 
 
