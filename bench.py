@@ -87,6 +87,9 @@ def run_bench() -> dict:
         timed("q_events_distinct_users",
               lambda: relational.q_events_distinct_users(SF_DIR))
         timed("kg_triples", lambda: kg_triples(SF_DIR).count())
+        timed("doc_tfidf", lambda: corpus.doc_tfidf(SF_DIR))
+        from nexus_forge_ray.pipelines.kg_queries import kg_pagerank
+        timed("kg_pagerank", lambda: kg_pagerank(SF_DIR))
 
     n_pages = n_docs * REPLICATE
     result = {

@@ -33,12 +33,17 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
 
     Nodes are the vertices touched by at least one edge (isolated records
     carry no rank mass to move). Deterministic for a fixed input."""
+    # the edge table feeds node extraction, degree counting AND the degree
+    # join — materialize once so a lazy upstream pipeline (e.g. mention
+    # detection) doesn't re-execute per consumer
+    edges = edges.materialize()
     srcs = edges.map_batches(
         lambda df: pd.DataFrame({"node": df[src]}), batch_format="pandas")
     dsts = edges.map_batches(
         lambda df: pd.DataFrame({"node": df[dst]}), batch_format="pandas")
     nodes = distinct_rows(srcs.union(dsts), "node",
-                          num_buckets=num_buckets).materialize()
+                          num_buckets=num_buckets) \
+        .repartition(num_buckets).materialize()
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -50,10 +55,10 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
     edeg = partitioned_join(edges, deg, on=src,
                             num_buckets=num_buckets,
                             lcols=[src, dst], rcols=[src, "outd"]) \
-        .materialize()                       # loop-invariant
+        .repartition(num_buckets).materialize()   # loop-invariant
     deg_keys = deg.map_batches(
         lambda df: pd.DataFrame({"node": df[src]}),
-        batch_format="pandas").materialize()
+        batch_format="pandas").repartition(num_buckets).materialize()
 
     ranks = nodes.map_batches(
         lambda df: df.assign(rank=1.0 / n), batch_format="pandas") \
@@ -83,11 +88,14 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
         joined = partitioned_join(nodes, sums, on="node",
                                   num_buckets=num_buckets, how="left",
                                   lcols=["node"], rcols=["node", "s"])
+        # repartition before materializing: the union+groupby chain breeds
+        # blocks each iteration (many empty), and per-block overhead would
+        # otherwise grow the wall time superlinearly with iteration count
         ranks = joined.map_batches(
             lambda df: pd.DataFrame({
                 "node": df["node"],
                 "rank": base + damping
                 * pd.to_numeric(df["s"], errors="coerce")
                     .fillna(0.0).to_numpy()}),
-            batch_format="pandas").materialize()
+            batch_format="pandas").repartition(num_buckets).materialize()
     return ranks
