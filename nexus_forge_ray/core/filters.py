@@ -26,6 +26,12 @@ OPERATORS = {
     "__eq__": operator.eq, "__ne__": operator.ne,
     "__lt__": operator.lt, "__le__": operator.le,
     "__gt__": operator.gt, "__ge__": operator.ge,
+    # string/presence predicates (ES exists / prefix / wildcard / regexp)
+    "__exists__": lambda col, _v: col.notna(),
+    "__missing__": lambda col, _v: col.isna(),
+    "__prefix__": lambda col, v: col.astype("string").str.startswith(v),
+    "__regex__": lambda col, v: col.astype("string").str.contains(
+        v, regex=True, na=False),
 }
 
 
@@ -113,10 +119,12 @@ def filters_from_elastic(query: dict) -> list[Filter]:
     Supported: {"query": ...} wrapper; bool.must / bool.filter (AND);
     bool.must_not over term clauses (__ne__); term {"f": v} or
     {"f": {"value": v}}; range gt/gte/lt/lte; match (treated as term
-    equality — no analyzer in this engine); match_all; bool.should
-    (disjunction) compiled to an `AnyOf` mask — enforced when it is the
-    only clause group or when `minimum_should_match` >= 1, score-only
-    (ignored) next to must/filter, matching ES defaults.
+    equality — no analyzer in this engine); match_all; exists (negatable
+    under must_not); prefix; wildcard (*/? translated to an anchored
+    regex); regexp (anchored, per ES); bool.should (disjunction) compiled
+    to an `AnyOf` mask — enforced when it is the only clause group or
+    when `minimum_should_match` >= 1, score-only (ignored) next to
+    must/filter, matching ES defaults.
     """
     _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__",
                   "lt": "__lt__", "lte": "__le__"}
@@ -145,6 +153,23 @@ def filters_from_elastic(query: dict) -> list[Filter]:
             if isinstance(v, dict):
                 v = v.get("value", v.get("query"))
             return [Filter(field, "__ne__" if negate else "__eq__", v)]
+        if kind == "exists":
+            return [Filter(body["field"],
+                           "__missing__" if negate else "__exists__", None)]
+        if kind in ("prefix", "wildcard", "regexp"):
+            if negate:
+                raise ValueError(f"{kind} under must_not unsupported")
+            (field, v), = body.items()
+            if isinstance(v, dict):
+                v = v.get("value")
+            if kind == "prefix":
+                return [Filter(field, "__prefix__", v)]
+            if kind == "wildcard":
+                import re as _re
+                pat = "".join(".*" if ch == "*" else "." if ch == "?"
+                              else _re.escape(ch) for ch in v)
+                return [Filter(field, "__regex__", f"^(?:{pat})$")]
+            return [Filter(field, "__regex__", f"^(?:{v})$")]  # regexp
         if kind == "range":
             if negate:
                 raise ValueError("range under must_not unsupported")

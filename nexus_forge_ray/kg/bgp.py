@@ -103,6 +103,8 @@ class ParsedQuery(NamedTuple):
     regex_filters: list[tuple[str, str]] = []       # (var, pattern)
     order_by: list[tuple[str, bool]] = []           # (var, descending)
     optionals: list[list[tuple[str, str, str]]] = []  # OPTIONAL {...} groups
+    # { g1 } UNION { g2 } ... branches; mutually exclusive with `patterns`
+    union_groups: list[list[tuple[str, str, str]]] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -119,11 +121,12 @@ def parse_sparql(query: str) -> ParsedQuery:
     DESC(?v)) and LIMIT.
 
     OPTIONAL { patterns } groups are supported (left-join semantics,
-    one level, no FILTER inside the group). Term forms: ?var, <iri>,
-    prefix:local (expanded), "literal", numbers, bare token (kept
-    verbatim). Numeric FILTER literals compare numerically; everything
-    else compares as strings. No UNION — run one query per branch and
-    `Dataset.union` the results.
+    one level, no FILTER inside the group), as is a WHERE body that is a
+    chain of { group } UNION { group } (branches execute independently
+    and union; every branch must bind the selected variables). Term
+    forms: ?var, <iri>, prefix:local (expanded), "literal", numbers,
+    bare token (kept verbatim). Numeric FILTER literals compare
+    numerically; everything else compares as strings.
     """
     import re
 
@@ -230,14 +233,27 @@ def parse_sparql(query: str) -> ParsedQuery:
                 cur.append(tok)
         return pats
 
-    patterns = patterns_of(body)
-    if not patterns:
-        raise ValueError("empty WHERE block")
+    # a WHERE body that is a chain of { group } UNION { group } becomes
+    # branch pattern-lists executed independently and unioned
+    union_groups: list[list[tuple[str, str, str]]] = []
+    um = re.match(r"(?is)^\s*\{([^{}]*)\}(\s*union\s*\{[^{}]*\})+\s*$", body)
+    if um:
+        union_groups = [patterns_of(g) for g in
+                        re.findall(r"\{([^{}]*)\}", body)]
+        if any(not g for g in union_groups):
+            raise ValueError("empty UNION branch")
+        patterns: list[tuple[str, str, str]] = []
+    else:
+        patterns = patterns_of(body)
+        if not patterns:
+            raise ValueError("empty WHERE block")
     optionals = [patterns_of(g) for g in optionals_raw]
     if any(not g for g in optionals):
         raise ValueError("empty OPTIONAL block")
+    if union_groups and optionals:
+        raise ValueError("OPTIONAL inside a UNION query is unsupported")
     return ParsedQuery(select, patterns, limit, distinct, filters,
-                       regex_filters, order_by, optionals)
+                       regex_filters, order_by, optionals, union_groups)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -275,19 +291,36 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     q = parse_sparql(query)
     triples = triples.materialize()     # scanned by every pattern group
     sel = [v.lstrip("?") for v in q.select]
-    req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
-    opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
-                                   if _is_var(t))) for g in q.optionals]
     wanted = list(dict.fromkeys(
         sel + [f[0] for f in q.filters]
         + [f[2] for f in q.filters if f[3]]
         + [r[0] for r in q.regex_filters] + [v for v, _ in q.order_by]))
-    shared_per_group = [[v for v in gv if v in req_vars] for gv in opt_vars]
-    needed = list(dict.fromkeys(
-        [v for v in wanted if v in req_vars]
-        + [v for sh in shared_per_group for v in sh]))
-    out = bgp_select(triples, q.patterns, needed, **kw)
-    bound = list(needed)
+    if q.union_groups:
+        branches = []
+        for g in q.union_groups:
+            gvars = {t[1:] for pat in g for t in pat if _is_var(t)}
+            missing = [v for v in wanted if v not in gvars]
+            if missing:
+                raise ValueError(f"UNION branch {g} does not bind {missing}"
+                                 " — branches must bind the selected/"
+                                 "filtered variables")
+            branches.append(bgp_select(triples, g, wanted, **kw))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        bound = list(wanted)
+        opt_vars, shared_per_group = [], []
+    else:
+        req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
+        opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
+                                       if _is_var(t))) for g in q.optionals]
+        shared_per_group = [[v for v in gv if v in req_vars]
+                            for gv in opt_vars]
+        needed = list(dict.fromkeys(
+            [v for v in wanted if v in req_vars]
+            + [v for sh in shared_per_group for v in sh]))
+        out = bgp_select(triples, q.patterns, needed, **kw)
+        bound = list(needed)
     for gpats, gv, shared in zip(q.optionals, opt_vars, shared_per_group):
         if not shared:
             raise ValueError(f"OPTIONAL {gpats} shares no variable with the "

@@ -290,6 +290,20 @@ def kg_bgp_optional(sf_dir: str):
     return out
 
 
+def kg_bgp_union(sf_dir: str):
+    """SPARQL UNION surface (bag semantics — no implicit dedup, matching
+    UNION ALL in the oracle): French documents plus documents mentioning
+    the 'query' entity."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d WHERE {
+      { ?d v:lang "fr" }
+      UNION
+      { ?d v:mentions <http://example.org/entity/query> }
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -352,5 +366,6 @@ QUERIES = {
     "kg_degree_dist": kg_degree_dist,
     "kg_bgp_optional": kg_bgp_optional,
     "kg_pagerank": kg_pagerank,
+    "kg_bgp_union": kg_bgp_union,
     "kg_flagship": kg_flagship,
 }

@@ -559,6 +559,15 @@ ORACLES: dict[str, str] = {
                       and mm.pred = 'http://example.org/vocab/mentions'
         where la.pred = 'http://example.org/vocab/lang'
     """,
+    "kg_bgp_union": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d from t
+        where pred = 'http://example.org/vocab/lang' and obj = 'fr'
+        union all
+        select subj as d from t
+        where pred = 'http://example.org/vocab/mentions'
+          and obj = 'http://example.org/entity/query'
+    """,
     "kg_pagerank": f"""
         with {_KG_TRIPLES_CTE},
         e as (select subj as src, obj as dst from t

@@ -169,3 +169,45 @@ def test_sparql_optional_requires_shared_var(ray_session):
         sparql_select(_ds(),
                       "SELECT ?d WHERE { ?d lang ?l . "
                       "OPTIONAL { ?x mentions ?y } }").to_pandas()
+
+
+def test_elastic_dsl_exists_prefix_wildcard(ray_session):
+    from nexus_forge_ray.core.filters import filters_from_elastic, search
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "tag": ["alpha", "beta", None, "alphabet"],
+                         "site": ["a.example.com", "b.example.org",
+                                  "c.example.com", None]})
+    ds = ray.data.from_pandas(docs)
+
+    f = filters_from_elastic({"query": {"exists": {"field": "tag"}}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 2, 4]
+
+    f = filters_from_elastic({"bool": {"must_not": [
+        {"exists": {"field": "tag"}}]}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [3]
+
+    f = filters_from_elastic({"prefix": {"tag": "alpha"}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 4]
+
+    f = filters_from_elastic({"wildcard": {"site": "*.example.com"}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 3]
+
+    f = filters_from_elastic({"regexp": {"tag": "alpha(bet)?"}})
+    assert search(ds, *f).to_pandas()["doc_id"].tolist() == [1, 4]
+
+
+def test_sparql_union_branches(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    out = KnowledgeGraphForge().sparql(
+        """SELECT ?d WHERE {
+             { ?d lang "fr" } UNION { ?d mentions "e1" }
+           }""", _ds()).to_pandas()
+    assert sorted(out["d"].tolist()) == ["d1", "d2"]
+
+
+def test_sparql_union_branch_must_bind(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    with pytest.raises(ValueError, match="does not bind"):
+        sparql_select(_ds(),
+                      'SELECT ?d ?e WHERE { { ?d lang "fr" } UNION '
+                      '{ ?d mentions ?e } }').to_pandas()
