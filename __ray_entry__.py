@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_range": relational.q_events_range,
         "q_customers_no_orders": relational.q_customers_no_orders,
         "q_order_priority_count": relational.q_order_priority_count,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "q_price_corr": relational.q_price_corr,
+        "q_price_histogram": relational.q_price_histogram,
+        "q_supplier_best": relational.q_supplier_best,
         # text / dedup / similarity (oracle-checked where SQL-expressible)
         "doc_token_counts": corpus.doc_token_counts,
         "doc_fingerprint": corpus.doc_fingerprint,
@@ -81,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": corpus.doc_normalize,
         "doc_decontaminate": corpus.doc_decontaminate,
         "doc_top_per_lang": corpus.doc_top_per_lang,
+        "doc_sample": corpus.doc_sample,
+        "doc_sample_stratified": corpus.doc_sample_stratified,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

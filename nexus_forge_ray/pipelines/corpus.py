@@ -429,3 +429,41 @@ def q_es_should(sf_dir: str):
     out = KnowledgeGraphForge().elastic(
         body, data=_docs(sf_dir, ["doc_id", "source", "n_chars"]))
     return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+# ------------------------------------------------ deterministic sampling
+
+def doc_sample(sf_dir: str):
+    """Deterministic 10% hash sample: keep iff md5(doc_id) % 100 < 10.
+
+    Hash-based sampling (vs random) is the web-scale idiom — reproducible
+    across reruns/engines (the basis equals DuckDB's md5_number_lower, so
+    the sample is exactly SQL-checkable), embarrassingly parallel, and
+    stable under repartitioning. One vectorized filter, no shuffle."""
+    from nexus_forge_ray.utils import md5_u64
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df["doc_id"].astype(str)) % np.uint64(100)
+        return df.loc[h < 10, ["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SAMPLE_RATES = {"en": 5, "zh": 80}   # % kept per language; others 50
+
+
+def doc_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling — rebalance a corpus mixture by
+    down-sampling the head language and up-weighting tails, the standard
+    pretraining-mixture move. Per-row rate lookup is a vectorized map; no
+    shuffle; exact SQL oracle via md5_number_lower."""
+    from nexus_forge_ray.utils import md5_u64
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df["doc_id"].astype(str)) % np.uint64(100)
+        rates = df["lang"].map(SAMPLE_RATES).fillna(50).to_numpy(dtype="uint64")
+        return df.loc[h < rates, ["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")

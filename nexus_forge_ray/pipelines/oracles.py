@@ -842,4 +842,62 @@ ORACLES: dict[str, str] = {
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
     """,
+    "q10_returned_revenue": """
+        select c.c_custkey, c.c_name, c.c_acctbal,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue
+        from lineitem l
+        join orders o on l.l_orderkey = o.o_orderkey
+        join customer c on o.o_custkey = c.c_custkey
+        where l.l_returnflag = 'R'
+        group by c.c_custkey, c.c_name, c.c_acctbal
+        order by revenue desc, c.c_custkey
+        limit 20
+    """,
+    "q17_small_quantity_revenue": """
+        select round(sum(l.l_extendedprice) / 7.0, 2) as avg_yearly
+        from lineitem l
+        join (select l_partkey,
+                     0.2::double * (sum(l_quantity) / count(l_quantity)) as thr
+              from lineitem group by l_partkey) t
+          on l.l_partkey = t.l_partkey
+        where l.l_quantity < t.thr
+    """,
+    "q18_large_orders": """
+        select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, t.sum_qty
+        from (select l_orderkey, sum(l_quantity) as sum_qty
+              from lineitem group by l_orderkey
+              having sum(l_quantity) > 200) t
+        join orders o on t.l_orderkey = o.o_orderkey
+        join customer c on o.o_custkey = c.c_custkey
+        order by o.o_totalprice desc, o.o_orderkey
+        limit 100
+    """,
+    "q_price_corr": """
+        select round(corr(l_quantity, l_extendedprice), 6) as corr_qty_price
+        from lineitem
+    """,
+    "q_price_histogram": """
+        select cast(floor(o_totalprice / 50000.0) as bigint) as bucket,
+               count(*) as n,
+               round(min(o_totalprice), 2) as min_price,
+               round(max(o_totalprice), 2) as max_price
+        from orders group by 1
+    """,
+    "doc_sample": """
+        select doc_id, lang from documents
+        where md5_number_lower(cast(doc_id as varchar)) % 100 < 10
+    """,
+    "doc_sample_stratified": """
+        select doc_id, lang from documents
+        where md5_number_lower(cast(doc_id as varchar)) % 100 <
+              case lang when 'en' then 5 when 'zh' then 80 else 50 end
+    """,
+    "q_supplier_best": """
+        select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
+        from supplier s join nation n on s.s_nationkey = n.n_nationkey
+        qualify row_number() over (
+            partition by s.s_nationkey
+            order by s.s_acctbal desc, s.s_suppkey) = 1
+    """,
 }

@@ -658,3 +658,178 @@ def q_events_gap(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(add_bkt, batch_format="pandas") \
         .groupby("__bkt").map_groups(gaps, batch_format="pandas")
+
+
+# ------------------------------------------------- round-2 additions (batch)
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 analogue: revenue lost to returned items per customer,
+    top 20. Returned-lineitem revenue aggregates per order inside one
+    bucketed agg+join shuffle (never raw rows), re-aggregates per customer,
+    then a bucketed join attaches customer attributes — the driver only
+    ever sees per-block top-k partials."""
+    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_agg_join
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def returned_rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["l_returnflag"] == "R"]
+        out = pd.DataFrame({
+            "l_orderkey": m["l_orderkey"],
+            "rev": m["l_extendedprice"] * (1 - m["l_discount"]),
+        })
+        return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    per_order = partitioned_agg_join(
+        line.map_batches(returned_rev, batch_format="pandas"),
+        orders, on="l_orderkey", aggs={"rev": ("rev", "sum")}, num_buckets=16,
+        lcols=["l_orderkey", "rev"], rcols=["l_orderkey", "o_custkey"])
+    per_cust = hash_groupby_agg(per_order, "o_custkey",
+                                {"rev": ("rev", "sum")}, num_buckets=16)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    joined = partitioned_join(
+        per_cust, cust, on="o_custkey", num_buckets=16,
+        lcols=["o_custkey", "rev"],
+        rcols=["o_custkey", "c_name", "c_acctbal"])
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["rev"].round(2)
+        return df[["o_custkey", "c_name", "c_acctbal", "revenue"]]
+
+    top = global_topk(joined.map_batches(rounded, batch_format="pandas"),
+                      ["revenue", "o_custkey"], 20, ascending=[False, True])
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    return top[["c_custkey", "c_name", "c_acctbal", "revenue"]]
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 analogue (decorrelated subquery): per-part 20%-of-average
+    quantity threshold computed by bucketed partial aggregation, joined back
+    onto lineitem in ONE bucketed shuffle (agg side is one row per part), then
+    a filtered global sum. The classic correlated-subquery -> agg+join plan."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
+    thr = hash_groupby_agg(
+        line, "l_partkey",
+        {"qty_sum": ("l_quantity", "sum"), "qty_n": ("l_quantity", "count")},
+        num_buckets=16)
+    joined = partitioned_join(
+        line, thr, on="l_partkey", num_buckets=16,
+        lcols=["l_partkey", "l_quantity", "l_extendedprice"],
+        rcols=["l_partkey", "qty_sum", "qty_n"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        small = df[df["l_quantity"] < 0.2 * (df["qty_sum"] / df["qty_n"])]
+        return pd.DataFrame({"s": [float(small["l_extendedprice"].sum())]})
+
+    total = joined.map_batches(partial, batch_format="pandas") \
+        .to_pandas()["s"].sum()
+    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 analogue: orders whose total quantity exceeds 200, with
+    customer names, top 100 by price. Per-order quantity via bucketed
+    partial agg; the HAVING filter runs distributed before either join, so
+    both joins see only the qualifying (small) key set."""
+    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    qty = hash_groupby_agg(line, "l_orderkey",
+                           {"sum_qty": ("l_quantity", "sum")}, num_buckets=16)
+    big = qty.map_batches(lambda df: df[df["sum_qty"] > 200],
+                          batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = partitioned_join(
+        big.map_batches(
+            lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas"),
+        orders, on="o_orderkey", num_buckets=16,
+        lcols=["o_orderkey", "sum_qty"],
+        rcols=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    full = partitioned_join(
+        joined, cust, on="o_custkey", num_buckets=16,
+        lcols=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+               "sum_qty"],
+        rcols=["o_custkey", "c_name"])
+    top = global_topk(full, ["o_totalprice", "o_orderkey"], 100,
+                      ascending=[False, True])
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    top["sum_qty"] = top["sum_qty"].astype("float64")
+    return top[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+def q_price_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation via distributed moments: each batch emits the six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy); the driver combines a
+    handful of partial rows. One pass, no shuffle."""
+    line = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype="float64")
+        y = df["l_extendedprice"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "n": [float(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()],
+        })
+
+    m = line.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    cov = m["sxy"] - m["sx"] * m["sy"] / m["n"]
+    vx = m["sxx"] - m["sx"] ** 2 / m["n"]
+    vy = m["syy"] - m["sy"] ** 2 / m["n"]
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({"corr_qty_price": [round(float(corr), 6)]})
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of order totals (50k buckets): vectorized
+    floor-div binning inside map_batches, then a tiny bucketed count/min/max
+    groupby — the distributed histogram shape."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": np.floor(df["o_totalprice"] / 50000.0).astype("int64"),
+            "o_totalprice": df["o_totalprice"],
+        })
+
+    out = hash_groupby_agg(
+        orders.map_batches(binned, batch_format="pandas"), "bucket",
+        {"n": ("o_totalprice", "count"),
+         "min_price": ("o_totalprice", "min"),
+         "max_price": ("o_totalprice", "max")}, num_buckets=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["min_price"] = out["min_price"].round(2)
+    out["max_price"] = out["max_price"].round(2)
+    return out
+
+
+def q_supplier_best(sf_dir: str) -> pd.DataFrame:
+    """argmax-per-group: the highest-acctbal supplier in each nation
+    (deterministic tie-break on s_suppkey), nation names attached from a
+    broadcast dimension. grouped_topk keeps the shuffle at one row per
+    (batch, nation)."""
+    from nexus_forge_ray.ops.agg import grouped_topk
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    best = grouped_topk(supp, "s_nationkey", "s_acctbal", 1,
+                        ascending=False, tiebreak=["s_suppkey"],
+                        num_buckets=4).to_pandas()
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = best.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    return out[["n_name", "s_suppkey", "s_name", "s_acctbal"]]

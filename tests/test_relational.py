@@ -27,6 +27,14 @@ CASES = {
     "q_events_sessions": relational.q_events_sessions,
     "q_customers_no_orders": relational.q_customers_no_orders,
     "q_order_priority_count": relational.q_order_priority_count,
+    "q10_returned_revenue": relational.q10_returned_revenue,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_orders": relational.q18_large_orders,
+    "q_price_corr": relational.q_price_corr,
+    "q_price_histogram": relational.q_price_histogram,
+    "q_supplier_best": relational.q_supplier_best,
+    "doc_sample": corpus.doc_sample,
+    "doc_sample_stratified": corpus.doc_sample_stratified,
 }
 
 
