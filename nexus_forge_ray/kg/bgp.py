@@ -105,6 +105,10 @@ class ParsedQuery(NamedTuple):
     optionals: list[list[tuple[str, str, str]]] = []  # OPTIONAL {...} groups
     # { g1 } UNION { g2 } ... branches; mutually exclusive with `patterns`
     union_groups: list[list[tuple[str, str, str]]] = []
+    group_by: list[str] = []                        # GROUP BY ?vars
+    # (func, source_var|"*", alias); func in count/sum/min/max/avg
+    aggregates: list[tuple[str, str, str]] = []
+    values_clauses: list[tuple[str, list[object]]] = []  # VALUES ?v {...}
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -123,7 +127,11 @@ def parse_sparql(query: str) -> ParsedQuery:
     OPTIONAL { patterns } groups are supported (left-join semantics,
     one level, no FILTER inside the group), as is a WHERE body that is a
     chain of { group } UNION { group } (branches execute independently
-    and union; every branch must bind the selected variables). Term
+    and union; every branch must bind the selected variables).
+    GROUP BY ?vars with aggregate projections `(FUNC(?v) AS ?alias)`
+    (COUNT/SUM/MIN/MAX/AVG, COUNT(*) allowed) and inline
+    `VALUES ?v { t1 t2 ... }` bindings (the var must also be
+    pattern-bound) complete the analytics surface. Term
     forms: ?var, <iri>, prefix:local (expanded), "literal", numbers,
     bare token (kept verbatim). Numeric FILTER literals compare
     numerically; everything else compares as strings.
@@ -133,21 +141,41 @@ def parse_sparql(query: str) -> ParsedQuery:
     prefixes = dict(re.findall(
         r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>", query))
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
+                  r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
                   r"\s*(?:order\s+by\s+((?:\s*(?:asc|desc)\(\s*\?\w+\s*\)"
                   r"|\s*\?\w+)+))?\s*(?:limit\s+(\d+))?\s*$", query)
     if not m:
         raise ValueError("unsupported SPARQL (need SELECT [DISTINCT] ?vars "
-                         "WHERE { patterns [FILTER...] } [ORDER BY ...] "
-                         "[LIMIT n])")
+                         "WHERE { patterns [FILTER...] } [GROUP BY ...] "
+                         "[ORDER BY ...] [LIMIT n])")
     distinct = bool(m.group(1))
-    select = re.findall(r"\?\w+", m.group(2))
+    # aggregate projections: (FUNC(?v | *) AS ?alias)
+    agg_re = re.compile(
+        r"(?is)\(\s*(count|sum|min|max|avg)\s*\(\s*(\*|\?\w+)\s*\)"
+        r"\s+as\s+\?(\w+)\s*\)")
+    aggregates = [(f.lower(), v if v == "*" else v[1:], a)
+                  for f, v, a in agg_re.findall(m.group(2))]
+    plain = re.findall(r"\?\w+", agg_re.sub(" ", m.group(2)))
+    select = plain + ["?" + a for _, _, a in aggregates]
     if not select:
         raise ValueError("SELECT * not supported — name the variables")
-    limit = int(m.group(5)) if m.group(5) else None
+    group_by = re.findall(r"\?(\w+)", m.group(4) or "")
+    if aggregates:
+        if sorted(v[1:] for v in plain) != sorted(group_by):
+            raise ValueError("non-aggregated SELECT variables must exactly "
+                             "match the GROUP BY variables")
+        bad = [f for f, v, _ in aggregates
+               if v == "*" and f != "count"]
+        if bad:
+            raise ValueError(f"only COUNT accepts *: {bad}")
+    elif group_by:
+        raise ValueError("GROUP BY requires at least one aggregate "
+                         "in the SELECT clause")
+    limit = int(m.group(6)) if m.group(6) else None
     order_by = [(g1 or g2, (d or "").lower() == "desc")
                 for d, g1, g2 in re.findall(
                     r"(?i)(?:(asc|desc)\(\s*\?(\w+)\s*\)|\?(\w+))",
-                    m.group(4) or "")]
+                    m.group(5) or "")]
     body = m.group(3)
 
     def term(tok: str) -> str:
@@ -162,6 +190,17 @@ def parse_sparql(query: str) -> ParsedQuery:
             if p in prefixes:
                 return prefixes[p] + local
         return tok
+
+    # pull VALUES ?v { term term ... } inline-binding clauses first (the
+    # var must also be bound by a pattern; compiles to a vectorized isin)
+    values_clauses: list[tuple[str, list[object]]] = []
+
+    def _values(mm) -> str:
+        toks = re.findall(r'<[^>]*>|"[^"]*"|\S+', mm.group(2))
+        values_clauses.append((mm.group(1), [term(t) for t in toks]))
+        return " "
+
+    body = re.sub(r"(?is)\bvalues\s+\?(\w+)\s*\{([^{}]*)\}", _values, body)
 
     # pull OPTIONAL { ... } groups out of the body first (patterns contain
     # no braces, so the groups never nest)
@@ -253,7 +292,8 @@ def parse_sparql(query: str) -> ParsedQuery:
     if union_groups and optionals:
         raise ValueError("OPTIONAL inside a UNION query is unsupported")
     return ParsedQuery(select, patterns, limit, distinct, filters,
-                       regex_filters, order_by, optionals, union_groups)
+                       regex_filters, order_by, optionals, union_groups,
+                       group_by, aggregates, values_clauses)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -274,9 +314,63 @@ def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             mask &= ops[op](lhs, rhs).fillna(False)
         for var, pat in q.regex_filters:
             mask &= batch[var].str.contains(pat, regex=True, na=False)
+        for var, vals in q.values_clauses:
+            mask &= batch[var].isin(vals)
         return batch[mask]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
+    """GROUP BY execution: per-batch pandas partials (sum/min/max, non-null
+    counts; avg as sum+count) feed one bucketed shuffle via hash_groupby_agg —
+    the exchange moves one row per (batch, group), never the bindings.
+    Numeric aggregates coerce string literals with to_numeric (SPARQL bag
+    semantics: non-numeric bindings contribute nothing)."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    keys = list(q.group_by) or ["__all"]
+    # partial column plan: alias -> (partial producer, final how, finisher)
+    numeric = {"sum", "min", "max", "avg"}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=batch.index)
+        for k in q.group_by:
+            out[k] = batch[k]
+        if not q.group_by:
+            out["__all"] = 0
+        for func, var, alias in q.aggregates:
+            if func == "count":
+                out[alias] = (1.0 if var == "*"
+                              else batch[var].notna().astype("float64"))
+            else:
+                out[alias] = pd.to_numeric(batch[var], errors="coerce")
+            if func == "avg":
+                out[alias + "__n"] = out[alias].notna().astype("float64")
+        return out
+
+    aggs = {}
+    for func, _, alias in q.aggregates:
+        how = {"count": "sum", "sum": "sum", "min": "min",
+               "max": "max", "avg": "sum"}[func]
+        aggs[alias] = (alias, how)
+        if func == "avg":
+            aggs[alias + "__n"] = (alias + "__n", "sum")
+    out = hash_groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                           keys, aggs, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for func, _, alias in q.aggregates:
+            if func == "avg":
+                df[alias] = df[alias] / df[alias + "__n"]
+                df = df.drop(columns=[alias + "__n"])
+            elif func == "count":
+                df[alias] = df[alias].astype("int64")
+        sel = [v.lstrip("?") for v in q.select]
+        return df[sel]
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def sparql_select(triples: ray.data.Dataset, query: str,
@@ -291,10 +385,15 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     q = parse_sparql(query)
     triples = triples.materialize()     # scanned by every pattern group
     sel = [v.lstrip("?") for v in q.select]
+    aliases = {a for _, _, a in q.aggregates}
     wanted = list(dict.fromkeys(
-        sel + [f[0] for f in q.filters]
+        [v for v in sel if v not in aliases]
+        + [v for _, v, _ in q.aggregates if v != "*"]
+        + [f[0] for f in q.filters]
         + [f[2] for f in q.filters if f[3]]
-        + [r[0] for r in q.regex_filters] + [v for v, _ in q.order_by]))
+        + [r[0] for r in q.regex_filters]
+        + [v for v, _ in q.values_clauses]
+        + [v for v, _ in q.order_by if v not in aliases]))
     if q.union_groups:
         branches = []
         for g in q.union_groups:
@@ -330,9 +429,12 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                extra_keys=shared[1:], how="left",
                                lcols=bound, rcols=gv)
         bound = list(dict.fromkeys(bound + gv))
-    if q.filters or q.regex_filters:
+    if q.filters or q.regex_filters or q.values_clauses:
         out = _apply_filters(out, q)
-    out = out.map_batches(lambda df: df[sel], batch_format="pandas")
+    if q.aggregates:
+        out = _aggregate_groups(out, q)
+    else:
+        out = out.map_batches(lambda df: df[sel], batch_format="pandas")
     if q.distinct:
         from nexus_forge_ray.ops.agg import distinct_rows
         out = distinct_rows(out, sel)

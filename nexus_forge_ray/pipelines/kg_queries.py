@@ -304,6 +304,29 @@ def kg_bgp_union(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_groupby(sf_dir: str):
+    """SPARQL GROUP BY + aggregate surface: mention count per entity —
+    the bindings shuffle once as per-batch partial counts, never raw."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?e (COUNT(?d) AS ?n) WHERE {
+      ?d v:mentions ?e .
+    } GROUP BY ?e"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
+def kg_bgp_values(sf_dir: str):
+    """SPARQL VALUES inline-binding surface: documents restricted to an
+    enumerated language set — one vectorized isin mask, no extra join."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?l WHERE {
+      ?d v:lang ?l .
+      VALUES ?l { "fr" "zh" }
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -367,5 +390,7 @@ QUERIES = {
     "kg_bgp_optional": kg_bgp_optional,
     "kg_pagerank": kg_pagerank,
     "kg_bgp_union": kg_bgp_union,
+    "kg_bgp_groupby": kg_bgp_groupby,
+    "kg_bgp_values": kg_bgp_values,
     "kg_flagship": kg_flagship,
 }

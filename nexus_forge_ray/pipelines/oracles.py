@@ -342,6 +342,17 @@ ORACLES: dict[str, str] = {
           and a.obj > 'http://example.org/entity/m'
         order by d, e desc limit 100
     """,
+    "kg_bgp_groupby": f"""
+        with {_KG_TRIPLES_CTE}
+        select obj as e, count(subj) as n from t
+        where pred = 'http://example.org/vocab/mentions'
+        group by obj
+    """,
+    "kg_bgp_values": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d, obj as l from t
+        where pred = 'http://example.org/vocab/lang' and obj in ('fr', 'zh')
+    """,
     "kg_resolve_exact": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents)

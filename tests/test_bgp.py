@@ -211,3 +211,51 @@ def test_sparql_union_branch_must_bind(ray_session):
         sparql_select(_ds(),
                       'SELECT ?d ?e WHERE { { ?d lang "fr" } UNION '
                       '{ ?d mentions ?e } }').to_pandas()
+
+
+def test_sparql_group_by_count(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+    out = sparql_select(_ds(), q).to_pandas().sort_values("p")
+    assert dict(zip(out["p"], out["n"])) == {
+        "lang": 3, "loop": 1, "mentions": 2}
+
+
+def test_sparql_global_aggregates(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    scores = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "b", "c"], "pred": ["score"] * 3,
+        "obj": ["1.0", "3.0", "oops"],
+    }))
+    q = ("SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s) (AVG(?v) AS ?a) "
+         "(MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { ?x <score> ?v }")
+    out = sparql_select(scores, q).to_pandas()
+    # 'oops' is non-numeric: contributes to COUNT(*) only
+    assert out["n"].iloc[0] == 3
+    assert out["s"].iloc[0] == 4.0 and out["a"].iloc[0] == 2.0
+    assert out["lo"].iloc[0] == 1.0 and out["hi"].iloc[0] == 3.0
+
+
+def test_sparql_values_inline_binding(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = 'SELECT ?d ?l WHERE { ?d <lang> ?l . VALUES ?l { "en" } }'
+    out = sparql_select(_ds(), q).to_pandas()
+    assert sorted(out["d"]) == ["d1", "d3"]
+    assert set(out["l"]) == {"en"}
+
+
+def test_sparql_group_by_rejects_unaggregated_select():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sparql(
+            "SELECT ?s ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")
+    with pytest.raises(ValueError, match="COUNT accepts"):
+        parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
+
+
+def test_sparql_group_by_order_by_alias(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = ("SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+         "GROUP BY ?p ORDER BY DESC(?n) LIMIT 1")
+    out = sparql_select(_ds(), q).to_pandas()
+    assert out["p"].tolist() == ["lang"] and out["n"].tolist() == [3]
