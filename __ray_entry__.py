@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
         "q_es_should": corpus.q_es_should,
+        "q_es_date_histogram": corpus.q_es_date_histogram,
         "doc_tfidf": corpus.doc_tfidf,
         "doc_inverted_index": corpus.doc_inverted_index,
         "doc_mixture": corpus.doc_mixture,

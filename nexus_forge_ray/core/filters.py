@@ -181,33 +181,60 @@ def filters_from_elastic(query: dict) -> list[Filter]:
     return clause(query.get("query", query))
 
 
-_METRIC_HOWS = {"sum": "sum", "min": "min", "max": "max", "avg": None}
+_METRIC_HOWS = {"sum": "sum", "min": "min", "max": "max", "avg": None,
+                "cardinality": None}
+
+_CALENDAR_FLOORS = {"minute": "min", "hour": "h", "day": "D", "week": "W"}
 
 
 def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
-    """Run the ES-DSL `aggs` subset natively: one named `terms` bucket
-    aggregation (with optional avg/sum/min/max metric sub-aggs), over the
-    rows selected by the body's `query` section.
+    """Run the ES-DSL `aggs` subset natively: one named `terms` or
+    `date_histogram` bucket aggregation (with optional avg/sum/min/max/
+    cardinality metric sub-aggs), over the rows selected by the body's
+    `query` section.
 
-    Semantics mirror Elasticsearch: buckets ordered by doc_count desc (key
-    asc tiebreak), `size` buckets returned (default 10). Output columns:
-    `key`, `doc_count`, then one column per metric sub-agg name.
+    Semantics mirror Elasticsearch: `terms` buckets ordered by doc_count
+    desc (key asc tiebreak) with `size` buckets returned (default 10);
+    `date_histogram` buckets (calendar_interval minute/hour/day/week, or
+    fixed_interval pandas offsets like "30min") ordered by key ascending,
+    all buckets returned. `cardinality` is an exact distinct count here
+    (the engine's HLL sketch in ops.sketches is the approximate scale
+    path ES actually uses; exact keeps the oracle checkable).
 
     Scale shape: the filter is a vectorized mask; bucket counts/partials
-    come from `hash_groupby_agg` (pre-aggregated before the shuffle); the
-    final size-k cut is a partial-topk merge — the driver only ever sees
-    <= size x blocks aggregated bucket rows, never documents.
+    come from `hash_groupby_agg` (pre-aggregated before the shuffle);
+    cardinality sub-aggs dedup (bucket, value) pairs map-side before one
+    bucketed distinct + count; the final size-k cut is a partial-topk
+    merge — the driver only ever sees aggregated bucket rows, never
+    documents.
     """
-    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+    from nexus_forge_ray.ops.agg import (distinct_rows, global_topk,
+                                         hash_groupby_agg)
 
     aggs = body.get("aggs") or body.get("aggregations") or {}
     if len(aggs) != 1:
         raise ValueError("exactly one top-level agg supported")
     (_, spec), = aggs.items()
-    if "terms" not in spec:
-        raise ValueError("only `terms` bucket aggregations supported")
-    field = spec["terms"]["field"]
-    size = int(spec["terms"].get("size", 10))
+    if "terms" in spec:
+        field = spec["terms"]["field"]
+        size = int(spec["terms"].get("size", 10))
+        key_of = None
+    elif "date_histogram" in spec:
+        h = spec["date_histogram"]
+        field, size = h["field"], None
+        if "calendar_interval" in h:
+            freq = _CALENDAR_FLOORS.get(h["calendar_interval"])
+            if freq is None:
+                raise ValueError("calendar_interval must be one of "
+                                 f"{sorted(_CALENDAR_FLOORS)}")
+        else:
+            freq = h["fixed_interval"]
+
+        def key_of(col: pd.Series) -> pd.Series:
+            return pd.to_datetime(col).dt.floor(freq)
+    else:
+        raise ValueError("only `terms` / `date_histogram` bucket "
+                         "aggregations supported")
 
     metrics: dict[str, tuple[str, str]] = {}   # out_name -> (field, kind)
     for name, sub in (spec.get("aggs") or {}).items():
@@ -220,20 +247,43 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
         ds = search(ds, *filters_from_elastic(body["query"]),
                     include_deprecated=True)
 
+    if key_of is not None:
+        src = field
+
+        def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__key"] = key_of(df[src])
+            return df
+        ds = ds.map_batches(bucketed, batch_format="pandas")
+        field = "__key"
+
     plan: dict[str, tuple[str, str]] = {"doc_count": (field, "count")}
     for name, (mfield, kind) in metrics.items():
         if kind == "avg":
             plan[f"__sum_{name}"] = (mfield, "sum")
-        else:
+        elif kind != "cardinality":
             plan[name] = (mfield, kind)
     grouped = hash_groupby_agg(ds, field, plan, num_buckets=16)
 
-    out = global_topk(grouped, ["doc_count", field], size,
-                      ascending=[False, True])
+    if size is not None:
+        out = global_topk(grouped, ["doc_count", field], size,
+                          ascending=[False, True])
+    else:
+        out = grouped.to_pandas().sort_values(field).reset_index(drop=True)
     out = out.rename(columns={field: "key"})
     out["doc_count"] = out["doc_count"].astype("int64")
-    for name, (_, kind) in metrics.items():
+    for name, (mfield, kind) in metrics.items():
         if kind == "avg":
             out[name] = out.pop(f"__sum_{name}") / out["doc_count"]
+        elif kind == "cardinality":
+            pairs = distinct_rows(ds, [field, mfield], num_buckets=16,
+                                  keep_cols=[])
+            card = hash_groupby_agg(pairs, field,
+                                    {name: (mfield, "count")},
+                                    num_buckets=8).to_pandas() \
+                .rename(columns={field: "key"})
+            card[name] = card[name].astype("int64")
+            out = out.merge(card, on="key", how="left")
+            out[name] = out[name].fillna(0).astype("int64")
     cols = ["key", "doc_count"] + list(metrics)
     return out[cols].reset_index(drop=True)

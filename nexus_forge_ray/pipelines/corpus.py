@@ -467,3 +467,24 @@ def doc_sample_stratified(sf_dir: str):
         return df.loc[h < rates, ["doc_id", "lang"]]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def q_es_date_histogram(sf_dir: str):
+    """ES date_histogram bucket agg with sum + exact-cardinality sub-aggs
+    over the events stream: hourly buckets, per-bucket revenue and distinct
+    users. Cardinality dedups (bucket, user) pairs map-side before one
+    bucketed distinct — the classic exact-count-distinct shuffle shape."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"per_hour": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"revenue": {"sum": {"field": "value"}},
+                     "users": {"cardinality": {"field": "user_id"}}}}},
+    }
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id", "value"])
+    out = forge.elastic(body, data=ev)
+    out["revenue"] = out["revenue"].round(2)
+    return out

@@ -904,6 +904,14 @@ ORACLES: dict[str, str] = {
         where md5_number_lower(cast(doc_id as varchar)) % 100 <
               case lang when 'en' then 5 when 'zh' then 80 else 50 end
     """,
+    "q_es_date_histogram": """
+        select date_trunc('hour', ts) as key,
+               count(*) as doc_count,
+               round(sum(value), 2) as revenue,
+               count(distinct user_id) as users
+        from events where event_type = 'purchase'
+        group by 1
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

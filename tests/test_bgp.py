@@ -259,3 +259,23 @@ def test_sparql_group_by_order_by_alias(ray_session):
          "GROUP BY ?p ORDER BY DESC(?n) LIMIT 1")
     out = sparql_select(_ds(), q).to_pandas()
     assert out["p"].tolist() == ["lang"] and out["n"].tolist() == [3]
+
+
+def test_elastic_date_histogram_cardinality(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    rows = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:55",
+                              "2024-01-01 11:10", "2024-01-01 11:20"]),
+        "user": [1, 1, 2, 3],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    body = {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"total": {"sum": {"field": "v"}},
+                 "users": {"cardinality": {"field": "user"}}}}}}
+    out = KnowledgeGraphForge().elastic(body, data=ray.data.from_pandas(rows))
+    assert out["key"].tolist() == pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 11:00"]).tolist()
+    assert out["doc_count"].tolist() == [2, 2]
+    assert out["total"].tolist() == [3.0, 7.0]
+    assert out["users"].tolist() == [1, 2]  # user 1 deduped in hour 10
