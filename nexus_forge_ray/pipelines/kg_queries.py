@@ -327,6 +327,84 @@ def kg_bgp_values(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_cooccur(sf_dir: str):
+    """Entity co-occurrence edge building: entities mentioned in the same
+    document become weighted undirected edges (e1 < e2, weight = #docs).
+    Pair generation happens inside each doc-hash bucket via a vectorized
+    self-merge on doc_id (O(Σ k²) with k = mentions/doc, bounded), partial
+    pair counts pre-aggregate before the final bucketed count — the classic
+    distributed co-occurrence-graph shape."""
+    import numpy as np
+    from nexus_forge_ray.kg.mentions import detect_mentions
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.utils import stable_hash_u64
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+    resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
+                               strategy="EXACT_MATCH")
+    hits = resolved.map_batches(
+        lambda df: df.dropna(subset=["entity_id"])[["doc_id", "entity_id"]],
+        batch_format="pandas")
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["doc_id"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["doc_id", "entity_id"]]
+        m = g.merge(g, on="doc_id")
+        m = m[m["entity_id_x"] < m["entity_id_y"]]
+        out = m.groupby(["entity_id_x", "entity_id_y"], as_index=False) \
+            .size().rename(columns={"entity_id_x": "e1", "entity_id_y": "e2",
+                                    "size": "n_docs"})
+        return out
+
+    partial = hits.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(pairs, batch_format="pandas")
+    out = hash_groupby_agg(partial, ["e1", "e2"],
+                           {"n_docs": ("n_docs", "sum")}, num_buckets=8)
+    return out.map_batches(
+        lambda df: df.assign(n_docs=df["n_docs"].astype("int64")),
+        batch_format="pandas")
+
+
+def kg_triangles(sf_dir: str):
+    """Distributed triangle counting over the co-occurrence graph: wedges
+    enumerate inside e1-hash buckets (vectorized self-merge), then ONE
+    bucketed composite-key join probes the wedge list against the edge set.
+    At web scale the wedge explosion is bounded by ordering edges so the
+    pivot is the lexicographically-smallest vertex (standard node-iterator++
+    trick — each triangle counted exactly once)."""
+    import numpy as np
+    from nexus_forge_ray.ops.joins import partitioned_join
+    from nexus_forge_ray.utils import stable_hash_u64
+    edges = kg_cooccur(sf_dir).map_batches(
+        lambda df: df[["e1", "e2"]], batch_format="pandas")
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["e1"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["e1", "e2"]]
+        m = g.merge(g, on="e1")
+        m = m[m["e2_x"] < m["e2_y"]]
+        return m.rename(columns={"e2_x": "a", "e2_y": "b"})[["a", "b"]]
+
+    wedge = edges.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(wedges, batch_format="pandas")
+    closing = edges.map_batches(
+        lambda df: df.rename(columns={"e1": "a", "e2": "b"}),
+        batch_format="pandas")
+    tri = partitioned_join(wedge, closing, on="a", extra_keys=["b"],
+                           num_buckets=8, lcols=["a", "b"], rcols=["a", "b"])
+    n = tri.count()
+    return pd.DataFrame({"n_triangles": [int(n)]})
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -392,5 +470,7 @@ QUERIES = {
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_groupby": kg_bgp_groupby,
     "kg_bgp_values": kg_bgp_values,
+    "kg_cooccur": kg_cooccur,
+    "kg_triangles": kg_triangles,
     "kg_flagship": kg_flagship,
 }

@@ -353,6 +353,22 @@ ORACLES: dict[str, str] = {
         select subj as d, obj as l from t
         where pred = 'http://example.org/vocab/lang' and obj in ('fr', 'zh')
     """,
+    "kg_cooccur": f"""
+        with {_KG_TRIPLES_CTE}
+        select 'http://example.org/entity/' || a.tok as e1,
+               'http://example.org/entity/' || b.tok as e2,
+               count(*) as n_docs
+        from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+        group by 1, 2
+    """,
+    "kg_triangles": f"""
+        with {_KG_TRIPLES_CTE},
+        e as (select distinct a.tok as e1, b.tok as e2
+              from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok)
+        select count(*) as n_triangles
+        from e x join e y on x.e1 = y.e1 and x.e2 < y.e2
+                 join e z on z.e1 = x.e2 and z.e2 = y.e2
+    """,
     "kg_resolve_exact": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents)

@@ -11,7 +11,8 @@ ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_validate_customers", "kg_actions_summary", "kg_resolve_fuzzy",
                 "kg_entity_popularity", "kg_triples_typed",
                 "kg_bgp_filter", "kg_degree_dist", "kg_bgp_optional",
-                "kg_pagerank", "kg_bgp_union"]
+                "kg_pagerank", "kg_bgp_union", "kg_bgp_groupby",
+                "kg_bgp_values", "kg_cooccur", "kg_triangles"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
