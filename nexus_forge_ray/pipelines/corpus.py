@@ -488,3 +488,40 @@ def q_es_date_histogram(sf_dir: str):
     out = forge.elastic(body, data=ev)
     out["revenue"] = out["revenue"].round(2)
     return out
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Unigram-LM document scoring (the cheap perplexity proxy used for
+    corpus quality filtering): P(t) = corpus_count(t) / total_tokens,
+    doc score = mean ln P(t). Fully distributed: token counts are a
+    bucketed partial agg, probabilities attach via a bucketed join on
+    token (vocabularies don't broadcast at web scale), and the per-doc
+    mean is a second bucketed agg of (sum, n) partials. The only driver
+    scalar is the corpus token total."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    toks = tx.token_rows(_docs(sf_dir, ["doc_id", "text"]))
+    total = toks.count()
+    freq = hash_groupby_agg(toks, "token", {"c": ("token", "count")},
+                            num_buckets=16)
+    joined = partitioned_join(toks, freq, on="token", num_buckets=16,
+                              lcols=["doc_id", "token"],
+                              rcols=["token", "c"])
+    lp = joined.map_batches(
+        lambda d: pd.DataFrame({
+            "doc_id": d["doc_id"],
+            "lp": np.log(d["c"].astype("float64") / float(total)),
+            "n": np.ones(len(d))}),
+        batch_format="pandas")
+    agg = hash_groupby_agg(lp, "doc_id",
+                           {"lp": ("lp", "sum"), "n": ("n", "sum")},
+                           num_buckets=16).to_pandas()
+    out = pd.DataFrame({
+        "doc_id": agg["doc_id"],
+        "avg_logprob": pc.round(
+            pa.array(agg["lp"] / agg["n"], type=pa.float64()), ndigits=4,
+            round_mode="half_towards_infinity").to_pandas()})
+    return out

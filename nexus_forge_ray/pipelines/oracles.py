@@ -928,6 +928,16 @@ ORACLES: dict[str, str] = {
         from events where event_type = 'purchase'
         group by 1
     """,
+    "doc_unigram_logprob": """
+        with tok as (select doc_id, unnest(string_split(text, ' ')) as token
+                     from documents where coalesce(trim(text), '') != ''),
+             tot as (select count(*) as n from tok),
+             f as (select token, count(*) as c from tok group by token)
+        select doc_id,
+               round(avg(ln(c::double / (select n from tot))), 4) as avg_logprob
+        from tok join f using (token)
+        group by doc_id
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

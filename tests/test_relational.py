@@ -35,6 +35,8 @@ CASES = {
     "q_supplier_best": relational.q_supplier_best,
     "doc_sample": corpus.doc_sample,
     "doc_sample_stratified": corpus.doc_sample_stratified,
+    "doc_unigram_logprob": corpus.doc_unigram_logprob,
+    "q_es_date_histogram": corpus.q_es_date_histogram,
 }
 
 
