@@ -23,7 +23,7 @@ import pandas as pd
 import ray.data
 
 from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
-from nexus_forge_ray.ops.joins import partitioned_anti_join, partitioned_join
+from nexus_forge_ray.ops.joins import partitioned_agg_join, partitioned_join
 
 
 def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
@@ -56,46 +56,63 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
                             num_buckets=num_buckets,
                             lcols=[src, dst], rcols=[src, "outd"]) \
         .repartition(num_buckets).materialize()   # loop-invariant
+    # dangling flag is loop-invariant too: annotate nodes ONCE (left join
+    # against the out-degree keys) instead of an anti-join every iteration —
+    # the per-iteration dangling mass becomes a shuffle-free filtered scan
     deg_keys = deg.map_batches(
-        lambda df: pd.DataFrame({"node": df[src]}),
-        batch_format="pandas").repartition(num_buckets).materialize()
+        lambda df: pd.DataFrame({"node": df[src], "__hasout": True}),
+        batch_format="pandas")
+    nodes = partitioned_join(nodes, deg_keys, on="node", how="left",
+                             num_buckets=num_buckets,
+                             lcols=["node"], rcols=["node", "__hasout"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"],
+                "dangling": df["__hasout"].isna().to_numpy()}),
+            batch_format="pandas").repartition(num_buckets).materialize()
 
     ranks = nodes.map_batches(
         lambda df: df.assign(rank=1.0 / n), batch_format="pandas") \
         .materialize()
 
     for _ in range(iters):
-        dm = (partitioned_anti_join(ranks, deg_keys, on="node",
-                                    num_buckets=num_buckets,
-                                    lcols=["node", "rank"])
-              .sum("rank") or 0.0)
+        dm = (ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"r": [float(df.loc[df["dangling"], "rank"].sum())]}),
+            batch_format="pandas").sum("r") or 0.0)
         rsrc = ranks.map_batches(
-            lambda df: df.rename(columns={"node": src, "rank": "rank"}),
+            lambda df: df[["node", "rank"]].rename(columns={"node": src}),
             batch_format="pandas")
         contrib = partitioned_join(edeg, rsrc, on=src,
                                    num_buckets=num_buckets,
                                    lcols=[src, dst, "outd"],
                                    rcols=[src, "rank"])
+        # per-edge contribution + map-side combine, so the second shuffle
+        # moves one row per (batch, node)
         contrib = contrib.map_batches(
             lambda df: pd.DataFrame({
                 "node": df[dst],
                 "s": df["rank"].astype("float64")
-                / df["outd"].astype("float64")}),
+                / df["outd"].astype("float64")})
+            .groupby("node", as_index=False)["s"].sum(),
             batch_format="pandas")
-        sums = hash_groupby_agg(contrib, "node", {"s": ("s", "sum")},
-                                num_buckets=num_buckets)
         base = (1.0 - damping) / n + damping * dm / n
-        joined = partitioned_join(nodes, sums, on="node",
-                                  num_buckets=num_buckets, how="left",
-                                  lcols=["node"], rcols=["node", "s"])
+        # aggregate contributions AND re-attach every node (keeping
+        # zero-in-degree nodes + the dangling flag) in ONE bucketed shuffle
+        joined = partitioned_agg_join(
+            contrib, nodes, on="node", aggs={"s": ("s", "sum")},
+            num_buckets=num_buckets, how="right",
+            lcols=["node", "s"], rcols=["node", "dangling"])
         # repartition before materializing: the union+groupby chain breeds
         # blocks each iteration (many empty), and per-block overhead would
         # otherwise grow the wall time superlinearly with iteration count
         ranks = joined.map_batches(
             lambda df: pd.DataFrame({
                 "node": df["node"],
+                "dangling": df["dangling"].astype(bool),
                 "rank": base + damping
                 * pd.to_numeric(df["s"], errors="coerce")
                     .fillna(0.0).to_numpy()}),
             batch_format="pandas").repartition(num_buckets).materialize()
-    return ranks
+    return ranks.map_batches(lambda df: df[["node", "rank"]],
+                             batch_format="pandas")
