@@ -138,3 +138,30 @@ def min_by_rows(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def attach_group_stat(ds: ray.data.Dataset, keys: str | list[str],
+                      col: str, how: str, out: str,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Append a per-key aggregate column to EVERY row — the distributed
+    window-function shape (`agg OVER (PARTITION BY keys)`): one bucketed
+    shuffle co-locates each key group, then a vectorized pandas
+    `groupby().transform` computes the stat in place. The data moves once
+    (compare: separate agg + join ships the table plus the agg through two
+    exchanges). how: size/count/sum/min/max/mean."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = _bucket_of(batch, keys, num_buckets)
+        return batch
+
+    def window(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").copy()
+        src = g[keys[0]] if how == "size" else g[col]
+        g[out] = src.groupby([g[k] for k in keys]).transform(
+            "size" if how == "size" else how)
+        return g
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("__bucket").map_groups(window, batch_format="pandas")

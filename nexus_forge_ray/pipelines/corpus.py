@@ -357,26 +357,29 @@ def q_es_agg(sf_dir: str):
 
 def doc_tfidf(sf_dir: str):
     """Top-3 TF-IDF terms per document (feature extraction for ranking /
-    keyword tagging). Fully distributed: per-(doc, token) counts and
-    document frequencies are bucketed partial aggregations, the DF
-    attachment is a bucketed join on token (web-scale vocabularies don't
-    broadcast), and the per-doc cut is grouped_topk — the second shuffle
-    moves k x docs rows only. N (corpus size) is the one driver scalar."""
+    keyword tagging). Fully distributed, two shuffles total: tf counts are
+    exact map-side (a doc's tokens never span batches), document frequency
+    attaches to every (doc, token) row in ONE bucketed window shuffle
+    (web-scale vocabularies don't broadcast), and the per-doc cut is
+    grouped_topk — that second shuffle moves k x docs rows only. N (corpus
+    size) is the one driver scalar."""
     import pyarrow.compute as pc
 
-    from nexus_forge_ray.ops.agg import grouped_topk, hash_groupby_agg
-    from nexus_forge_ray.ops.joins import partitioned_join
+    from nexus_forge_ray.ops.agg import attach_group_stat, grouped_topk
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
     toks = tx.token_rows(docs)
-    tf = hash_groupby_agg(toks, ["doc_id", "token"],
-                          {"tf": ("token", "count")}, num_buckets=16)
-    dfreq = hash_groupby_agg(tf, "token", {"df": ("token", "count")},
-                             num_buckets=16)
-    joined = partitioned_join(tf, dfreq, on="token", num_buckets=16,
-                              lcols=["doc_id", "token", "tf"],
-                              rcols=["token", "df"])
+    # a document's tokens never span batches (one text per row), so tf is
+    # exact MAP-SIDE — no shuffle; the DF then attaches to every (doc,
+    # token) row in ONE bucketed shuffle via the windowed-count helper
+    # (separate agg+join plans move the pair table through two exchanges)
+    tf = toks.map_batches(
+        lambda d: d.groupby(["doc_id", "token"], as_index=False)
+        .size().rename(columns={"size": "tf"}),
+        batch_format="pandas")
+    joined = attach_group_stat(tf, "token", "tf", "size", "df",
+                               num_buckets=16)
     scored = joined.map_batches(
         lambda d: d.assign(tfidf=d["tf"].astype("float64")
                            * np.log(float(n_docs)
@@ -493,28 +496,30 @@ def q_es_date_histogram(sf_dir: str):
 def doc_unigram_logprob(sf_dir: str):
     """Unigram-LM document scoring (the cheap perplexity proxy used for
     corpus quality filtering): P(t) = corpus_count(t) / total_tokens,
-    doc score = mean ln P(t). Fully distributed: token counts are a
-    bucketed partial agg, probabilities attach via a bucketed join on
-    token (vocabularies don't broadcast at web scale), and the per-doc
-    mean is a second bucketed agg of (sum, n) partials. The only driver
-    scalar is the corpus token total."""
+    doc score = mean ln P(t). Fully distributed, two shuffles over the
+    (doc, token, tf) pair table (never raw tokens): tf is exact map-side,
+    corpus counts attach via ONE bucketed window shuffle on token
+    (vocabularies don't broadcast at web scale), and the per-doc
+    tf-weighted mean is a second bucketed agg of (sum, n) partials. The
+    only driver scalar is the corpus token total."""
     import pyarrow.compute as pc
 
-    from nexus_forge_ray.ops.agg import hash_groupby_agg
-    from nexus_forge_ray.ops.joins import partitioned_join
+    from nexus_forge_ray.ops.agg import attach_group_stat, hash_groupby_agg
 
     toks = tx.token_rows(_docs(sf_dir, ["doc_id", "text"]))
     total = toks.count()
-    freq = hash_groupby_agg(toks, "token", {"c": ("token", "count")},
-                            num_buckets=16)
-    joined = partitioned_join(toks, freq, on="token", num_buckets=16,
-                              lcols=["doc_id", "token"],
-                              rcols=["token", "c"])
+    tf = toks.map_batches(
+        lambda d: d.groupby(["doc_id", "token"], as_index=False)
+        .size().rename(columns={"size": "tf"}),
+        batch_format="pandas")
+    joined = attach_group_stat(tf, "token", "tf", "sum", "c",
+                               num_buckets=16)
     lp = joined.map_batches(
         lambda d: pd.DataFrame({
             "doc_id": d["doc_id"],
-            "lp": np.log(d["c"].astype("float64") / float(total)),
-            "n": np.ones(len(d))}),
+            "lp": d["tf"].astype("float64")
+            * np.log(d["c"].astype("float64") / float(total)),
+            "n": d["tf"].astype("float64")}),
         batch_format="pandas")
     agg = hash_groupby_agg(lp, "doc_id",
                            {"lp": ("lp", "sum"), "n": ("n", "sum")},
