@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": corpus.doc_sample,
         "doc_sample_stratified": corpus.doc_sample_stratified,
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
+        "doc_sample_per_lang": corpus.doc_sample_per_lang,
+        "doc_bigrams": corpus.doc_bigrams,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "minhash_near_dup": corpus.minhash_near_dup,

@@ -530,3 +530,58 @@ def doc_unigram_logprob(sf_dir: str):
             pa.array(agg["lp"] / agg["n"], type=pa.float64()), ndigits=4,
             round_mode="half_towards_infinity").to_pandas()})
     return out
+
+
+def doc_sample_per_lang(sf_dir: str):
+    """Fixed-size uniform sample per stratum (exactly k docs per language)
+    via the smallest-k-hash trick: rank docs by a deterministic md5 basis
+    and keep the k smallest per language — an order-statistics sample that
+    is reproducible across engines/reruns and runs as one grouped_topk
+    shuffle (k rows per (batch, lang) move, never the corpus)."""
+    from nexus_forge_ray.ops.agg import grouped_topk
+    from nexus_forge_ray.utils import md5_u64
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = md5_u64(df["doc_id"].astype(str)).astype("uint64")
+        return df
+
+    out = grouped_topk(ds.map_batches(hashed, batch_format="pandas"),
+                       "lang", "h", k=10, ascending=True,
+                       tiebreak=["doc_id"], num_buckets=4).to_pandas()
+    return out[["lang", "doc_id"]]
+
+
+def doc_bigrams(sf_dir: str):
+    """Corpus bigram counts, top 20 (the n-gram-LM / tokenizer-merge-table
+    building block): bigrams are generated map-side from each doc's token
+    vector (one numpy shift, no shuffle), counts pre-aggregate per batch
+    before one bucketed groupby, and the global cut is a partial-topk
+    merge — the driver sees <= 20 x blocks rows."""
+    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+    ds = _docs(sf_dir, ["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        counts = toks.map(len).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        if len(flat) < 2:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        # boundaries: the last token of each doc cannot start a bigram
+        starts = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(counts) - 1            # index of each doc's last tok
+        ends = ends[(ends >= 0) & (ends < len(flat))]
+        starts[ends] = False
+        keep = starts[:-1]
+        bg = pd.Series(flat[:-1][keep]) + " " + pd.Series(flat[1:][keep])
+        out = bg.value_counts().rename_axis("bigram").reset_index(name="n")
+        return out
+
+    counts = hash_groupby_agg(
+        ds.map_batches(bigrams, batch_format="pandas"), "bigram",
+        {"n": ("n", "sum")}, num_buckets=8)
+    top = global_topk(counts, ["n", "bigram"], 20, ascending=[False, True])
+    top["n"] = top["n"].astype("int64")
+    return top[["bigram", "n"]]

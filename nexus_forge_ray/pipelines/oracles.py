@@ -938,6 +938,21 @@ ORACLES: dict[str, str] = {
         from tok join f using (token)
         group by doc_id
     """,
+    "doc_sample_per_lang": """
+        select lang, doc_id from documents
+        qualify row_number() over (
+            partition by lang
+            order by md5_number_lower(cast(doc_id as varchar)), doc_id) <= 10
+    """,
+    "doc_bigrams": """
+        with t as (select string_split(text, ' ') as toks from documents),
+             i as (select toks,
+                          unnest(generate_series(1, len(toks) - 1)) as i
+                   from t),
+             b as (select toks[i] || ' ' || toks[i+1] as bigram from i)
+        select bigram, count(*) as n from b group by 1
+        order by n desc, bigram limit 20
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

@@ -36,6 +36,8 @@ CASES = {
     "doc_sample": corpus.doc_sample,
     "doc_sample_stratified": corpus.doc_sample_stratified,
     "doc_unigram_logprob": corpus.doc_unigram_logprob,
+    "doc_sample_per_lang": corpus.doc_sample_per_lang,
+    "doc_bigrams": corpus.doc_bigrams,
     "q_es_date_histogram": corpus.q_es_date_histogram,
 }
 
