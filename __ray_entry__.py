@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_corr": relational.q_price_corr,
         "q_price_histogram": relational.q_price_histogram,
         "q_supplier_best": relational.q_supplier_best,
+        "q_events_json": relational.q_events_json,
+        "q_balance_buckets": relational.q_balance_buckets,
         # text / dedup / similarity (oracle-checked where SQL-expressible)
         "doc_token_counts": corpus.doc_token_counts,
         "doc_fingerprint": corpus.doc_fingerprint,

@@ -953,6 +953,22 @@ ORACLES: dict[str, str] = {
         select bigram, count(*) as n from b group by 1
         order by n desc, bigram limit 20
     """,
+    "q_events_json": """
+        select event_type, count(*) as n,
+               round(avg(cast(json_extract_string(props, '$.k') as bigint)), 2)
+                   as avg_k
+        from events group by event_type
+    """,
+    "q_balance_buckets": """
+        with c as (select cast(floor(c_acctbal / 1000.0) as bigint) as bucket,
+                          count(*) as n_cust from customer group by 1),
+             s as (select cast(floor(s_acctbal / 1000.0) as bigint) as bucket,
+                          count(*) as n_supp from supplier group by 1)
+        select coalesce(c.bucket, s.bucket) as bucket,
+               coalesce(n_cust, 0) as n_cust,
+               coalesce(n_supp, 0) as n_supp
+        from c full outer join s on c.bucket = s.bucket
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

@@ -833,3 +833,62 @@ def q_supplier_best(sf_dir: str) -> pd.DataFrame:
     nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     out = best.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
     return out[["n_name", "s_suppkey", "s_name", "s_acctbal"]]
+
+
+def q_events_json(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured parsing: extract the integer `k` field from the JSON
+    `props` column with one vectorized regex per batch (no per-row
+    json.loads), then a tiny bucketed aggregate per event type."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "k": pd.to_numeric(k, errors="coerce").astype("float64"),
+            "one": np.ones(len(df)),
+        })
+
+    agg = hash_groupby_agg(
+        ds.map_batches(parse, batch_format="pandas"), "event_type",
+        {"sum_k": ("k", "sum"), "n": ("one", "sum")}, num_buckets=4) \
+        .to_pandas()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "avg_k": (agg["sum_k"] / agg["n"]).round(2),
+    })
+
+
+def q_balance_buckets(sf_dir: str) -> pd.DataFrame:
+    """Distributed FULL OUTER join: per-1000 account-balance buckets of
+    customers vs suppliers. Both sides pre-aggregate (bucketed), then the
+    outer merge runs inside the co-partitioned bucket groups — unmatched
+    buckets survive from either side with zero fills."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    def bucketize(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": np.floor(df[col] / 1000.0).astype("int64"),
+                "one": np.ones(len(df))})
+        return fn
+
+    cust = hash_groupby_agg(
+        _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+            bucketize("c_acctbal"), batch_format="pandas"),
+        "bucket", {"n_cust": ("one", "sum")}, num_buckets=4)
+    supp = hash_groupby_agg(
+        _read(sf_dir, "supplier", ["s_acctbal"]).map_batches(
+            bucketize("s_acctbal"), batch_format="pandas"),
+        "bucket", {"n_supp": ("one", "sum")}, num_buckets=4)
+    out = partitioned_join(cust, supp, on="bucket", how="outer",
+                           num_buckets=4,
+                           lcols=["bucket", "n_cust"],
+                           rcols=["bucket", "n_supp"]).to_pandas()
+    out["n_cust"] = pd.to_numeric(out["n_cust"], errors="coerce") \
+        .fillna(0).astype("int64")
+    out["n_supp"] = pd.to_numeric(out["n_supp"], errors="coerce") \
+        .fillna(0).astype("int64")
+    return out[["bucket", "n_cust", "n_supp"]]

@@ -33,6 +33,8 @@ CASES = {
     "q_price_corr": relational.q_price_corr,
     "q_price_histogram": relational.q_price_histogram,
     "q_supplier_best": relational.q_supplier_best,
+    "q_events_json": relational.q_events_json,
+    "q_balance_buckets": relational.q_balance_buckets,
     "doc_sample": corpus.doc_sample,
     "doc_sample_stratified": corpus.doc_sample_stratified,
     "doc_unigram_logprob": corpus.doc_unigram_logprob,
