@@ -256,6 +256,30 @@ def parse_sparql(query: str) -> ParsedQuery:
             i += 1
     body = "".join(out_body)
 
+    fresh = [0]
+
+    def expand_path(cur: list[str]) -> list[tuple[str, str, str]]:
+        """Expand property-path sugar in the predicate position: `^p`
+        (inverse) and `p1/p2/...` sequences over prefixed names — each
+        sequence step becomes a pattern chained through a fresh variable
+        (IRI-bracketed chains are not supported; use PREFIX names)."""
+        s, p, o = cur
+        steps = ([p] if p.startswith(("<", "?", '"')) or "/" not in p
+                 else p.split("/"))
+        out, subj = [], s
+        for i, step in enumerate(steps):
+            if i == len(steps) - 1:
+                obj = o
+            else:
+                obj = f"?__p{fresh[0]}"
+                fresh[0] += 1
+            inv = step.startswith("^")
+            pred = step[1:] if inv else step
+            trip = (obj, pred, subj) if inv else (subj, pred, obj)
+            out.append(tuple(term(t) for t in trip))
+            subj = obj
+        return out
+
     def patterns_of(text: str) -> list[tuple[str, str, str]]:
         # tokenize: '.' separates patterns ONLY outside <> / "" (IRIs and
         # literals may contain dots)
@@ -266,7 +290,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                 if cur:
                     if len(cur) != 3:
                         raise ValueError(f"pattern needs 3 terms: {cur!r}")
-                    pats.append(tuple(term(t) for t in cur))
+                    pats.extend(expand_path(cur))
                     cur = []
             else:
                 cur.append(tok)

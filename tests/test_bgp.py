@@ -279,3 +279,22 @@ def test_elastic_date_histogram_cardinality(ray_session):
     assert out["doc_count"].tolist() == [2, 2]
     assert out["total"].tolist() == [3.0, 7.0]
     assert out["users"].tolist() == [1, 2]  # user 1 deduped in hour 10
+
+
+def test_sparql_sequence_path(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["d1", "d2", "e1", "e2"],
+        "pred": ["m", "m", "type", "type"],
+        "obj": ["e1", "e2", "T1", "T2"],
+    }))
+    q = "PREFIX : <> SELECT ?d ?t WHERE { ?d :m/:type ?t }"
+    out = sparql_select(t, q).to_pandas().sort_values("d")
+    assert list(map(tuple, out.to_numpy())) == [("d1", "T1"), ("d2", "T2")]
+
+
+def test_sparql_inverse_path(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = "PREFIX : <> SELECT ?e ?d WHERE { ?e ^:mentions ?d }"
+    out = sparql_select(_ds(), q).to_pandas().sort_values("e")
+    assert list(map(tuple, out.to_numpy())) == [("e1", "d1"), ("e2", "d2")]
