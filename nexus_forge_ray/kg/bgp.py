@@ -74,7 +74,25 @@ def bgp_select(triples: ray.data.Dataset,
     cur: ray.data.Dataset | None = None
     for pat in patterns:
         pat_vars = [t[1:] for t in pat if _is_var(t)]
-        nxt = match_pattern(triples, pat)
+        if not _is_var(pat[1]) and pat[1].endswith("+"):
+            # one-or-more path: close the predicate's edge slice (iterated
+            # doubling, kg.closure), then bind like a plain pattern
+            from nexus_forge_ray.kg.closure import transitive_closure
+            base = pat[1][:-1]
+            slice_ = triples.map_batches(
+                lambda df, p=base: df.loc[df["pred"] == p,
+                                          ["subj", "obj"]].rename(
+                    columns={"subj": "src", "obj": "dst"}),
+                batch_format="pandas")
+            closed = transitive_closure(slice_, num_buckets=num_buckets)
+            nxt = match_pattern(
+                closed.map_batches(
+                    lambda df, p=base: pd.DataFrame(
+                        {"subj": df["src"], "pred": p, "obj": df["dst"]}),
+                    batch_format="pandas"),
+                (pat[0], base, pat[2]))
+        else:
+            nxt = match_pattern(triples, pat)
         if cur is None:
             cur, bound = nxt, list(dict.fromkeys(pat_vars))
             continue

@@ -1,0 +1,83 @@
+"""Transitive closure / reachability over a (src, dst) edge Dataset.
+
+The SPARQL `p+` path and ontology subsumption (rdfs:subClassOf closure —
+the reference materializes it when loading schema dirs, see
+/root/reference/kgforge/specializations/models/rdf/service.py owl:imports
+handling) both reduce to directed reachability. Expressed scale-first as
+iterated-doubling: after k rounds every path of length <= 2^k is present,
+so diameter-D graphs converge in ceil(log2 D) rounds — each round ONE
+bucketed hash join (paths ⋈ edges on the midpoint) plus ONE bucketed
+distinct. Convergence is detected from the path count (a driver scalar).
+
+At web scale the closure of a dense graph is quadratic — callers bound it
+(`max_rounds`, or closing only a filtered predicate slice like a class
+hierarchy, which is how this is meant to be used).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.ops.agg import distinct_rows
+from nexus_forge_ray.ops.joins import partitioned_join
+
+
+def transitive_closure(edges: ray.data.Dataset, *, src: str = "src",
+                       dst: str = "dst", max_rounds: int = 10,
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """All (src, dst) pairs connected by a directed path (path-doubling)."""
+    paths = distinct_rows(edges, [src, dst], num_buckets=num_buckets,
+                          keep_cols=[]).materialize()
+    n = paths.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        # join paths(a -> m) with paths(m -> b): rename so the bucketed
+        # join key is the midpoint on both sides
+        lhs = paths.map_batches(
+            lambda df: df.rename(columns={src: "__a", dst: "__m"}),
+            batch_format="pandas")
+        rhs = paths.map_batches(
+            lambda df: df.rename(columns={src: "__m", dst: "__b"}),
+            batch_format="pandas")
+        new = partitioned_join(lhs, rhs, on="__m",
+                               num_buckets=num_buckets,
+                               lcols=["__a", "__m"], rcols=["__m", "__b"])
+        new = new.map_batches(
+            lambda df: df[df["__a"] != df["__b"]].rename(
+                columns={"__a": src, "__b": dst})[[src, dst]],
+            batch_format="pandas")
+        paths = distinct_rows(paths.union(new), [src, dst],
+                              num_buckets=num_buckets,
+                              keep_cols=[]).materialize()
+        n2 = paths.count()
+        if n2 == n:        # fixpoint
+            break
+        n = n2
+    return paths
+
+
+def reachable_from(edges: ray.data.Dataset, roots: list, *,
+                   src: str = "src", dst: str = "dst",
+                   max_rounds: int = 10,
+                   num_buckets: int = 16) -> pd.DataFrame:
+    """Nodes reachable from `roots` (frontier BFS — each round joins the
+    frontier against the edge table; the frontier is the only state that
+    moves, so this is the cheap variant when you need one closure cone,
+    e.g. all subclasses of a single class)."""
+    edges = edges.materialize()
+    seen: set = set(roots)
+    frontier = list(roots)
+    for _ in range(max_rounds):
+        if not frontier:
+            break
+        froz = frozenset(frontier)
+        nxt = edges.map_batches(
+            lambda df, fz=froz: pd.DataFrame(
+                {"n": df.loc[df[src].isin(fz), dst].unique()}),
+            batch_format="pandas").to_pandas()
+        frontier = [x for x in pd.unique(nxt["n"]) if x not in seen] \
+            if len(nxt) else []
+        seen.update(frontier)
+    return pd.DataFrame({"node": sorted(seen)})
