@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_best": relational.q_supplier_best,
         "q_events_json": relational.q_events_json,
         "q_balance_buckets": relational.q_balance_buckets,
+        "q_events_late": relational.q_events_late,
         # text / dedup / similarity (oracle-checked where SQL-expressible)
         "doc_token_counts": corpus.doc_token_counts,
         "doc_fingerprint": corpus.doc_fingerprint,

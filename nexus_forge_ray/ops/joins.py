@@ -370,3 +370,28 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return lg.merge(rg, on=join_keys, how=how)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def smart_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+               *, broadcast_threshold: int = 100_000,
+               num_buckets: int = 32, how: str = "inner",
+               lcols: list[str] | None = None,
+               rcols: list[str] | None = None) -> ray.data.Dataset:
+    """Adaptive join: broadcast the right side when it is small (one
+    `ray.put`, zero shuffle — the dimension-table path), else fall back to
+    the bucketed hash join (both sides co-partition, one shuffle).
+
+    The size probe is `right.count()` — free for un-transformed Parquet
+    reads (metadata row count) and one cheap execution otherwise; callers
+    on a hot path who already know the side's size should call
+    `broadcast_join` / `partitioned_join` directly. Only inner joins take
+    the broadcast path (a broadcast right side can't express its own
+    unmatched rows)."""
+    n = right.count()
+    if n <= broadcast_threshold and how == "inner":
+        small = right.to_pandas()
+        if rcols is not None:
+            small = small[rcols]
+        return broadcast_join(left, small, on=on)
+    return partitioned_join(left, right, on, num_buckets=num_buckets,
+                            how=how, lcols=lcols, rcols=rcols)

@@ -969,6 +969,17 @@ ORACLES: dict[str, str] = {
                coalesce(n_supp, 0) as n_supp
         from c full outer join s on c.bucket = s.bucket
     """,
+    "q_events_late": """
+        with wm as (select max(ts) - interval 24 hours as w from events)
+        select date_trunc('hour', ts) as window_start,
+               sum(case when date_trunc('hour', ts) + interval 1 hour
+                        < (select w from wm) then 0 else 1 end)::bigint
+                   as n_on_time,
+               sum(case when date_trunc('hour', ts) + interval 1 hour
+                        < (select w from wm) then 1 else 0 end)::bigint
+                   as n_late
+        from events group by 1
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

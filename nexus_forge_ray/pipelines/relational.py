@@ -892,3 +892,32 @@ def q_balance_buckets(sf_dir: str) -> pd.DataFrame:
     out["n_supp"] = pd.to_numeric(out["n_supp"], errors="coerce") \
         .fillna(0).astype("int64")
     return out[["bucket", "n_cust", "n_supp"]]
+
+
+def q_events_late(sf_dir: str) -> pd.DataFrame:
+    """Watermark / late-data accounting (the streaming-completeness rollup):
+    with watermark = max(event_time) - 24h over the processed log, split
+    each hourly window's counts into on-time vs late (event in a window
+    whose close predates the watermark). The watermark is ONE driver scalar
+    from a distributed max; the split is a vectorized mask inside the same
+    partial-agg pass — no extra shuffle over the raw log."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["ts"])
+    wm = ds.max("ts") - pd.Timedelta(hours=24)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor("h")
+        late = (w + pd.Timedelta(hours=1)) < wm
+        return pd.DataFrame({
+            "window_start": w,
+            "n_on_time": (~late).astype("int64"),
+            "n_late": late.astype("int64"),
+        })
+
+    out = hash_groupby_agg(
+        ds.map_batches(split, batch_format="pandas"), "window_start",
+        {"n_on_time": ("n_on_time", "sum"), "n_late": ("n_late", "sum")},
+        num_buckets=16).to_pandas()
+    out["n_on_time"] = out["n_on_time"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return out[["window_start", "n_on_time", "n_late"]]

@@ -35,6 +35,7 @@ CASES = {
     "q_supplier_best": relational.q_supplier_best,
     "q_events_json": relational.q_events_json,
     "q_balance_buckets": relational.q_balance_buckets,
+    "q_events_late": relational.q_events_late,
     "doc_sample": corpus.doc_sample,
     "doc_sample_stratified": corpus.doc_sample_stratified,
     "doc_unigram_logprob": corpus.doc_unigram_logprob,
@@ -49,3 +50,26 @@ def test_query_matches_oracle(name, duck, sf_dir):
     got = CASES[name](sf_dir)
     want = duck.sql(ORACLES[name]).df()
     assert_frames_match(got, want, tol=1e-4)
+
+
+def test_smart_join_paths_agree(ray_session, sf_dir):
+    """Broadcast and bucketed paths produce identical rows."""
+    import ray.data
+
+    from nexus_forge_ray.ops.joins import smart_join
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    a = smart_join(orders, cust, "o_custkey",
+                   broadcast_threshold=10**9).to_pandas()
+    b = smart_join(orders, cust, "o_custkey", broadcast_threshold=0,
+                   lcols=["o_orderkey", "o_custkey"],
+                   rcols=["o_custkey", "c_nationkey"]).to_pandas()
+    key = ["o_orderkey", "o_custkey", "c_nationkey"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
