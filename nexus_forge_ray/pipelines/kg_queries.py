@@ -405,6 +405,18 @@ def kg_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [int(n)]})
 
 
+def kg_kcore(sf_dir: str):
+    """k-core backbone of the thinned co-occurrence graph (edges with
+    weight >= 325, k = 3): iterative distributed peeling (`kg.kcore`) —
+    per round one bucketed degree count + one endpoint filter, converging
+    when no node drops. Returns the surviving nodes with core degrees."""
+    from nexus_forge_ray.kg.kcore import kcore
+    edges = kg_cooccur(sf_dir).map_batches(
+        lambda df: df.loc[df["n_docs"] >= 325, ["e1", "e2"]],
+        batch_format="pandas")
+    return kcore(edges, 3)
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -472,5 +484,6 @@ QUERIES = {
     "kg_bgp_values": kg_bgp_values,
     "kg_cooccur": kg_cooccur,
     "kg_triangles": kg_triangles,
+    "kg_kcore": kg_kcore,
     "kg_flagship": kg_flagship,
 }

@@ -369,6 +369,73 @@ ORACLES: dict[str, str] = {
         from e x join e y on x.e1 = y.e1 and x.e2 < y.e2
                  join e z on z.e1 = x.e2 and z.e2 = y.e2
     """,
+    "kg_kcore": f"""
+        with {_KG_TRIPLES_CTE},
+        e0 as materialized (select 'http://example.org/entity/' || a.tok as e1,
+                      'http://example.org/entity/' || b.tok as e2
+               from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+               group by 1, 2 having count(*) >= 325),
+        d1 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e0 union all
+                  select e2 as node from e0) group by 1),
+        k1 as materialized (select node from d1 where deg >= 3),
+        e1 as materialized (select e1, e2 from e0
+                 where e1 in (select node from k1)
+                   and e2 in (select node from k1)),
+        d2 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e1 union all
+                  select e2 as node from e1) group by 1),
+        k2 as materialized (select node from d2 where deg >= 3),
+        e2 as materialized (select e1, e2 from e1
+                 where e1 in (select node from k2)
+                   and e2 in (select node from k2)),
+        d3 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e2 union all
+                  select e2 as node from e2) group by 1),
+        k3 as materialized (select node from d3 where deg >= 3),
+        e3 as materialized (select e1, e2 from e2
+                 where e1 in (select node from k3)
+                   and e2 in (select node from k3)),
+        d4 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e3 union all
+                  select e2 as node from e3) group by 1),
+        k4 as materialized (select node from d4 where deg >= 3),
+        e4 as materialized (select e1, e2 from e3
+                 where e1 in (select node from k4)
+                   and e2 in (select node from k4)),
+        d5 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e4 union all
+                  select e2 as node from e4) group by 1),
+        k5 as materialized (select node from d5 where deg >= 3),
+        e5 as materialized (select e1, e2 from e4
+                 where e1 in (select node from k5)
+                   and e2 in (select node from k5)),
+        d6 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e5 union all
+                  select e2 as node from e5) group by 1),
+        k6 as materialized (select node from d6 where deg >= 3),
+        e6 as materialized (select e1, e2 from e5
+                 where e1 in (select node from k6)
+                   and e2 in (select node from k6)),
+        d7 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e6 union all
+                  select e2 as node from e6) group by 1),
+        k7 as materialized (select node from d7 where deg >= 3),
+        e7 as materialized (select e1, e2 from e6
+                 where e1 in (select node from k7)
+                   and e2 in (select node from k7)),
+        d8 as materialized (select node, count(*) as deg from
+                 (select e1 as node from e7 union all
+                  select e2 as node from e7) group by 1),
+        k8 as materialized (select node from d8 where deg >= 3),
+        e8 as materialized (select e1, e2 from e7
+                 where e1 in (select node from k8)
+                   and e2 in (select node from k8))
+        select node, count(*) as deg from
+            (select e1 as node from e8 union all
+             select e2 as node from e8)
+        group by 1
+    """,
     "kg_resolve_exact": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
                       from documents)
