@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_json": relational.q_events_json,
         "q_balance_buckets": relational.q_balance_buckets,
         "q_events_late": relational.q_events_late,
+        "q_events_zscore": relational.q_events_zscore,
+        "q_events_funnel": relational.q_events_funnel,
         # text / dedup / similarity (oracle-checked where SQL-expressible)
         "doc_token_counts": corpus.doc_token_counts,
         "doc_fingerprint": corpus.doc_fingerprint,

@@ -165,3 +165,30 @@ def attach_group_stat(ds: ray.data.Dataset, keys: str | list[str],
 
     return ds.map_batches(tag, batch_format="pandas") \
         .groupby("__bucket").map_groups(window, batch_format="pandas")
+
+
+def attach_group_stats(ds: ray.data.Dataset, keys: str | list[str],
+                       specs: dict[str, tuple[str, str]],
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Multi-stat `attach_group_stat`: append several per-key aggregate
+    columns (out -> (src_col, how)) in the SAME single bucketed shuffle —
+    the multi-window `agg OVER (PARTITION BY keys)` shape (e.g. mean and
+    variance sums for z-score normalization)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = _bucket_of(batch, keys, num_buckets)
+        return batch
+
+    def window(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__bucket").copy()
+        gb = [g[k] for k in keys]
+        for out, (col, how) in specs.items():
+            src = g[keys[0]] if how == "size" else g[col]
+            g[out] = src.groupby(gb).transform(
+                "size" if how == "size" else how)
+        return g
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("__bucket").map_groups(window, batch_format="pandas")

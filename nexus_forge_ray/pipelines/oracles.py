@@ -1047,6 +1047,22 @@ ORACLES: dict[str, str] = {
                    as n_late
         from events group by 1
     """,
+    "q_events_zscore": """
+        select event_id,
+               round((value - avg(value) over (partition by event_type))
+                     / stddev_pop(value) over (partition by event_type), 4)
+                   as z
+        from events
+    """,
+    "q_events_funnel": """
+        with fv as (select user_id, min(ts) as t from events
+                    where event_type = 'view' group by 1),
+             conv as (select distinct f.user_id from fv f
+                      join events e on e.user_id = f.user_id
+                       and e.event_type = 'purchase' and e.ts > f.t)
+        select (select count(*) from fv)::bigint as n_viewed,
+               (select count(*) from conv)::bigint as n_converted
+    """,
     "q_supplier_best": """
         select n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
         from supplier s join nation n on s.s_nationkey = n.n_nationkey

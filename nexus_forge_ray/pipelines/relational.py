@@ -921,3 +921,62 @@ def q_events_late(sf_dir: str) -> pd.DataFrame:
     out["n_on_time"] = out["n_on_time"].astype("int64")
     out["n_late"] = out["n_late"].astype("int64")
     return out[["window_start", "n_on_time", "n_late"]]
+
+
+def q_events_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-group feature normalization (z-score within event type) — the
+    standard pre-training feature scaling move, expressed as ONE bucketed
+    window shuffle attaching sum/sumsq/count per group
+    (`ops.agg.attach_group_stats`), then a vectorized normalize."""
+    from nexus_forge_ray.ops.agg import attach_group_stats
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v2"] = df["value"] * df["value"]
+        return df
+
+    w = attach_group_stats(
+        ds.map_batches(sq, batch_format="pandas"), "event_type",
+        {"s": ("value", "sum"), "s2": ("v2", "sum"), "n": ("value", "size")},
+        num_buckets=8)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        mean = df["s"] / df["n"]
+        var = (df["s2"] / df["n"] - mean * mean).clip(lower=0)
+        z = (df["value"] - mean) / np.sqrt(var)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "z": z.round(4)})
+
+    return w.map_batches(norm, batch_format="pandas")
+
+
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Funnel conversion (view -> later purchase, per user): users bucket
+    by hash so each user's log lands in one group; the first-view time and
+    the converted test are vectorized inside the group; the driver sums a
+    handful of per-bucket partials."""
+    from nexus_forge_ray.utils import stable_hash_u64
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["user_id"]) % np.uint64(16)) \
+            .astype("int32")
+        return df
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        views = group[group["event_type"] == "view"]
+        fv = views.groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "first_view"})
+        buys = group[group["event_type"] == "purchase"]
+        m = buys.merge(fv, on="user_id")
+        conv = m.loc[m["ts"] > m["first_view"], "user_id"].nunique()
+        return pd.DataFrame({"viewed": [int(len(fv))],
+                             "converted": [int(conv)]})
+
+    parts = ds.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(funnel, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({"n_viewed": [int(parts["viewed"].sum())],
+                         "n_converted": [int(parts["converted"].sum())]})

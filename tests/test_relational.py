@@ -36,6 +36,8 @@ CASES = {
     "q_events_json": relational.q_events_json,
     "q_balance_buckets": relational.q_balance_buckets,
     "q_events_late": relational.q_events_late,
+    "q_events_zscore": relational.q_events_zscore,
+    "q_events_funnel": relational.q_events_funnel,
     "doc_sample": corpus.doc_sample,
     "doc_sample_stratified": corpus.doc_sample_stratified,
     "doc_unigram_logprob": corpus.doc_unigram_logprob,
