@@ -461,6 +461,29 @@ def kg_flagship(sf_dir: str):
     return flagship(sf_dir)
 
 
+def kg_host_rank(sf_dir: str):
+    """Host-level PageRank over the synthetic web's link graph: pages
+    carry deterministic outbound <a href> links; `sources.pages.host_graph`
+    extracts hrefs and reduces (src_host, dst_host) edges map-side, then
+    the fixed-iteration PageRank runs on the distinct host edges. No SQL
+    oracle: the link synthesis basis is SipHash (not reproducible in
+    DuckDB) — gated by the determinism + rank-mass tests in
+    tests/test_pages.py instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.pagerank import pagerank
+    from nexus_forge_ray.sources.pages import host_graph, synth_pages
+    pages = synth_pages(sf_dir, replicate=1, drop_text=True)
+    edges = host_graph(pages).map_batches(
+        lambda df: df[["src", "dst"]], batch_format="pandas")
+    pr = pagerank(edges, iters=3).to_pandas()
+    pr["rank"] = pc.round(pa.array(pr["rank"], type=pa.float64()),
+                          ndigits=8,
+                          round_mode="half_towards_infinity").to_pandas()
+    return pr[["node", "rank"]]
+
+
 QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -485,5 +508,6 @@ QUERIES = {
     "kg_cooccur": kg_cooccur,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
+    "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

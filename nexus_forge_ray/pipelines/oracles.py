@@ -19,6 +19,11 @@ Remaining no-oracle queries (each with its justification):
 - doc_approx_distinct: HLL sketch, approximate by design (~1.6% std error);
   gated by the error-bound-vs-exact test (tests/test_sketches.py), while the
   exact variant q_events_distinct_users IS oracle-checked.
+- kg_host_rank: PageRank over the href-extracted host graph; the link
+  synthesis basis is SipHash (not reproducible in DuckDB) — gated by the
+  link-extraction-vs-synthesis-rule and rank-mass-conservation tests
+  (tests/test_pages.py), while kg_pagerank (mention graph) is covered by
+  the same fixed-iteration kernel.
 """
 
 from nexus_forge_ray.ops.text import STOPWORDS

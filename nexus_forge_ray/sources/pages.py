@@ -31,16 +31,37 @@ N_HOSTS = 50
 _EPOCH = pd.Timestamp("2024-01-01")
 
 
+N_LINKS = 3
+
+
+def _host_of(doc_id: np.ndarray, replica: int = 0) -> np.ndarray:
+    u = stable_hash_u64(pd.Series(doc_id * 1000003 + replica)) / np.float64(2**64)
+    return (N_HOSTS * u**3).astype(np.int64)              # Zipf-ish head skew
+
+
+def link_targets(doc_id: np.ndarray) -> list[np.ndarray]:
+    """Deterministic outlink targets per page (pure function of doc_id) —
+    the page links to N_LINKS other synthetic docs; targets may or may not
+    exist in the corpus slice (dangling links, as on the real web)."""
+    return [(doc_id * 7 + j * 13 + 1) % 100_000 for j in range(N_LINKS)]
+
+
 def synth_pages_batch(batch: pd.DataFrame, replica: int = 0) -> pd.DataFrame:
     doc_id = batch["doc_id"].to_numpy()
-    u = stable_hash_u64(pd.Series(doc_id * 1000003 + replica)) / np.float64(2**64)
-    host_idx = (N_HOSTS * u**3).astype(np.int64)          # Zipf-ish head skew
+    host_idx = _host_of(doc_id, replica)
     urls = [f"https://host{h}.example.com/doc/{d}r{replica}"
             for h, d in zip(host_idx, doc_id)]
     texts = batch["text"].astype(str)
+    tgt_arrays = link_targets(doc_id)
+    tgt_hosts = [_host_of(t) for t in tgt_arrays]
     html = [(f"<html><head><title>doc {d}</title></head><body><p>"
-             f"{t}</p></body></html>").encode("utf-8")
-            for d, t in zip(doc_id, texts)]
+             f"{t}</p>"
+             + "".join(
+                 f'<a href="https://host{tgt_hosts[j][i]}.example.com'
+                 f'/doc/{tgt_arrays[j][i]}r0">l</a>'
+                 for j in range(N_LINKS))
+             + "</body></html>").encode("utf-8")
+            for i, (d, t) in enumerate(zip(doc_id, texts))]
     return pd.DataFrame({
         "url": urls,
         "warc_ts": _EPOCH + pd.to_timedelta(doc_id + replica, unit="s"),
@@ -94,3 +115,43 @@ def extract_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def extract_text(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(extract_text_batch, batch_format="pandas")
+
+
+_HREF_RE = re.compile(rb'href="([^"]+)"')
+_HOST_RE = re.compile(r"https://([^/]+)/")
+
+
+def extract_links_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """html binary -> one (url, link) row per outbound href (C-speed bytes
+    regex; decode per matched href only, never the whole page)."""
+    urls, links = [], []
+    for u, h in zip(batch["url"], batch["html"]):
+        for m in _HREF_RE.findall(h):
+            urls.append(u)
+            links.append(m.decode("utf-8"))
+    return pd.DataFrame({"url": urls, "link": links})
+
+
+def host_graph(pages: ray.data.Dataset,
+               num_buckets: int = 16) -> ray.data.Dataset:
+    """Weighted host-level link graph from the page table: extract hrefs,
+    reduce (src_host, dst_host) pairs map-side, one bucketed count — the
+    web-graph build that feeds host PageRank. Self-links (same host) are
+    kept: they carry real rank mass on the web."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    def hosts(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = extract_links_batch(df)
+        out = pd.DataFrame({
+            "src": pairs["url"].str.extract(_HOST_RE, expand=False),
+            "dst": pairs["link"].str.extract(_HOST_RE, expand=False),
+        }).dropna()
+        return out.groupby(["src", "dst"], as_index=False) \
+            .size().rename(columns={"size": "n_links"})
+
+    out = hash_groupby_agg(
+        pages.map_batches(hosts, batch_format="pandas"), ["src", "dst"],
+        {"n_links": ("n_links", "sum")}, num_buckets=num_buckets)
+    return out.map_batches(
+        lambda df: df.assign(n_links=df["n_links"].astype("int64")),
+        batch_format="pandas")

@@ -62,3 +62,49 @@ def test_flagship_deterministic_across_runs(sf_dir):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True)[key],
         b.sort_values(key).reset_index(drop=True)[key])
+
+
+def test_link_extraction_matches_synthesis(ray_session, sf_dir):
+    """Every page emits exactly N_LINKS hrefs following the deterministic
+    target rule, and extraction recovers them byte-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from nexus_forge_ray.sources.pages import (N_LINKS, _host_of,
+                                               extract_links_batch,
+                                               link_targets, synth_pages)
+    pages = synth_pages(sf_dir, replicate=1, drop_text=True).limit(50) \
+        .to_pandas()
+    links = extract_links_batch(pages)
+    assert len(links) == len(pages) * N_LINKS
+    # spot-check the rule on the first page
+    row = pages.iloc[0]
+    d = int(row["url"].rsplit("/doc/", 1)[1].split("r")[0])
+    tgts = [int(t) for t in
+            (np.array([d]) * 7 + np.array([0, 13, 26]) + 1) % 100_000]
+    got = links[links["url"] == row["url"]]["link"].tolist()
+    want = [f"https://host{_host_of(np.array([t]))[0]}.example.com/doc/{t}r0"
+            for t in tgts]
+    assert got == want
+    # target rule helper agrees
+    ts = link_targets(np.array([d]))
+    assert [int(t[0]) for t in ts] == tgts
+
+
+def test_host_rank_mass(ray_session, sf_dir):
+    from nexus_forge_ray.pipelines.kg_queries import kg_host_rank
+    pr = kg_host_rank(sf_dir)
+    assert abs(pr["rank"].sum() - 1.0) < 1e-3     # rank mass conserved
+    assert len(pr) <= 50 and len(pr) > 5          # host vertex set
+
+
+def test_extract_text_still_byte_identical_with_links(ray_session, sf_dir):
+    from nexus_forge_ray.sources.pages import extract_text, synth_pages
+    import pandas as pd
+    pages = synth_pages(sf_dir, replicate=1, drop_text=False)
+    got = extract_text(
+        pages.map_batches(lambda df: df.drop(columns=["text"]),
+                          batch_format="pandas")).to_pandas()
+    want = pages.to_pandas()
+    m = got.merge(want[["url", "text"]], on="url", suffixes=("_got", "_want"))
+    assert (m["text_got"] == m["text_want"]).all()
