@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": relational.q_events_sliding,
         "q_events_asof": relational.q_events_asof,
         "q_events_median": relational.q_events_median,
+        "q_events_percentiles": relational.q_events_percentiles,
+        "q_events_first_n": relational.q_events_first_n,
         "q_events_running": relational.q_events_running,
         "q_events_distinct_users": relational.q_events_distinct_users,
         "q_events_top_users": relational.q_events_top_users,

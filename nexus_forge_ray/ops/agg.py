@@ -192,3 +192,71 @@ def attach_group_stats(ds: ray.data.Dataset, keys: str | list[str],
 
     return ds.map_batches(tag, batch_format="pandas") \
         .groupby("__bucket").map_groups(window, batch_format="pandas")
+
+
+def grouped_percentiles(ds: ray.data.Dataset, keys: str | list[str],
+                        col: str, ps: dict[str, float],
+                        num_buckets: int = 16,
+                        ndigits: int = 2) -> ray.data.Dataset:
+    """Exact per-group percentiles (linear interpolation — SQL
+    `quantile_cont`). Exact quantiles need each group's values co-located:
+    one bucketed shuffle of (keys, col) pairs, then a vectorized
+    np.percentile per group computes ALL requested quantiles in one sorted
+    pass. For key cardinalities where even the per-group value lists blow a
+    bucket, use a mergeable sketch instead (ops/sketches has the pattern).
+
+    ps: out_column -> percentile in [0, 100].
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qs = list(ps.values())
+    names = list(ps)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys + [col]].copy()
+        b["__bucket"] = _bucket_of(b, keys, num_buckets)
+        return b
+
+    def quant(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, g in group.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            vals = np.percentile(g[col].to_numpy(), qs, method="linear")
+            out.append(dict(zip(keys, kv))
+                       | {n: round(float(v), ndigits)
+                          for n, v in zip(names, vals)})
+        return pd.DataFrame(out, columns=keys + names)
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("__bucket").map_groups(quant, batch_format="pandas")
+
+
+def grouped_row_number(ds: ray.data.Dataset, keys: str | list[str],
+                       order_by: list[str], out: str = "rn", *,
+                       keep_first: int | None = None,
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by): one bucketed
+    shuffle co-locates each key group, a mergesort within the bucket plus a
+    vectorized cumcount assigns ranks. With `keep_first=n` the partial stage
+    pre-cuts each batch to its n smallest rows per group (same trick as
+    grouped_topk), so the shuffle moves at most n x groups rows."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    by = keys + list(order_by)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(by, kind="mergesort")
+        if keep_first is not None:
+            b = b.groupby(keys, sort=False).head(keep_first)
+        b = b.copy()
+        b["__bucket"] = _bucket_of(b, keys, num_buckets)
+        return b
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(by, kind="mergesort") \
+            .drop(columns="__bucket")
+        g[out] = g.groupby(keys, sort=False).cumcount().to_numpy() + 1
+        if keep_first is not None:
+            g = g[g[out] <= keep_first]
+        return g
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("__bucket").map_groups(rank, batch_format="pandas")

@@ -824,6 +824,20 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.5), 2) as median_value
         from events group by event_type
     """,
+    "q_events_percentiles": """
+        select event_type,
+               round(quantile_cont(value, 0.25), 2) as p25,
+               round(quantile_cont(value, 0.50), 2) as p50,
+               round(quantile_cont(value, 0.90), 2) as p90
+        from events group by event_type
+    """,
+    "q_events_first_n": """
+        select user_id, ts, event_type, rn from (
+            select user_id, ts, event_type,
+                   row_number() over (partition by user_id order by ts)
+                   ::bigint as rn
+            from events) where rn <= 3
+    """,
     "q_events_running": """
         select user_id, ts,
                round(sum(value) over (partition by user_id order by ts

@@ -980,3 +980,28 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     return pd.DataFrame({"n_viewed": [int(parts["viewed"].sum())],
                          "n_converted": [int(parts["converted"].sum())]})
+
+
+def q_events_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type p25/p50/p90 of value via `grouped_percentiles` —
+    one bucketed shuffle of (event_type, value) pairs, all three quantiles
+    from a single sorted pass per group (SQL quantile_cont semantics)."""
+    from nexus_forge_ray.ops.agg import grouped_percentiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_percentiles(
+        ds, "event_type", "value",
+        {"p25": 25.0, "p50": 50.0, "p90": 90.0}).to_pandas()
+
+
+def q_events_first_n(sf_dir: str) -> pd.DataFrame:
+    """Each user's first 3 events with their rank — ROW_NUMBER() OVER
+    (PARTITION BY user ORDER BY ts) via `grouped_row_number`: the partial
+    stage pre-cuts every batch to its 3 earliest rows per user, so the
+    shuffle moves at most 3 x users rows. (user_id, ts) is unique in the
+    fixture, so ranks are deterministic."""
+    from nexus_forge_ray.ops.agg import grouped_row_number
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = grouped_row_number(ds, "user_id", ["ts"], out="rn",
+                             keep_first=3).to_pandas()
+    out["rn"] = out["rn"].astype("int64")
+    return out[["user_id", "ts", "event_type", "rn"]]

@@ -44,6 +44,8 @@ CASES = {
     "doc_sample_per_lang": corpus.doc_sample_per_lang,
     "doc_bigrams": corpus.doc_bigrams,
     "q_es_date_histogram": corpus.q_es_date_histogram,
+    "q_events_percentiles": relational.q_events_percentiles,
+    "q_events_first_n": relational.q_events_first_n,
 }
 
 
