@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_sql": corpus.doc_quality_sql,
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
+        "emb_kmeans": corpus.emb_kmeans,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

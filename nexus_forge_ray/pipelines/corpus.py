@@ -47,6 +47,18 @@ def similarity_topk(sf_dir: str):
     return out
 
 
+def emb_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means assignment (k=10, 2 rounds) over the
+    embeddings table — `ops.clustering.kmeans_assign`: no corpus shuffle,
+    centroids broadcast per iteration, k x d partial sums reduced on the
+    driver. Deterministic init (10 smallest vec_ids) + deterministic
+    tie-break make the exact assignment reproducible by unrolled SQL."""
+    from nexus_forge_ray.ops.clustering import kmeans_assign
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=10, iters=2).to_pandas()
+
+
 # ------------------------------------------------ rows-only checked pipelines
 
 def lang_id_pred(sf_dir: str):

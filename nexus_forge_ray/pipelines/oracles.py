@@ -955,6 +955,48 @@ ORACLES: dict[str, str] = {
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
     """,
+    # k-means unrolled: init = vectors of the 10 smallest vec_ids; one
+    # update round (avg of members, empty cluster keeps its init centroid);
+    # final assignment = argmin distance with ties toward the smaller cid —
+    # exactly ops/clustering.kmeans_assign(k=10, iters=2).
+    "emb_kmeans": """
+        with init as (
+            select row_number() over (order by vec_id) - 1 as cid,
+                   embedding::DOUBLE[] as cent
+            from (select vec_id, embedding from embeddings
+                  order by vec_id limit 10)
+        ),
+        m1 as (
+            select vec_id, cid from (
+                select e.vec_id, c.cid,
+                       row_number() over (
+                           partition by e.vec_id
+                           order by list_distance(e.embedding::DOUBLE[],
+                                                  c.cent), c.cid) as rn
+                from embeddings e cross join init c) where rn = 1
+        ),
+        upd as (
+            select cid, ord, avg(val) as v
+            from (select m1.cid,
+                         generate_subscripts(e.embedding, 1) as ord,
+                         unnest(e.embedding::DOUBLE[]) as val
+                  from m1 join embeddings e using (vec_id))
+            group by cid, ord
+        ),
+        c1 as (
+            select i.cid, coalesce(u.cent, i.cent) as cent
+            from init i left join (
+                select cid, list(v order by ord) as cent
+                from upd group by cid) u using (cid)
+        )
+        select vec_id, cluster from (
+            select e.vec_id, c.cid::bigint as cluster,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by list_distance(e.embedding::DOUBLE[],
+                                              c.cent), c.cid) as rn
+            from embeddings e cross join c1 c) where rn = 1
+    """,
     "q10_returned_revenue": """
         select c.c_custkey, c.c_name, c.c_acctbal,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue

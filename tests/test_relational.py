@@ -46,6 +46,7 @@ CASES = {
     "q_es_date_histogram": corpus.q_es_date_histogram,
     "q_events_percentiles": relational.q_events_percentiles,
     "q_events_first_n": relational.q_events_first_n,
+    "emb_kmeans": corpus.emb_kmeans,
 }
 
 
