@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
         "emb_kmeans": corpus.emb_kmeans,
+        "doc_bpe_merges": corpus.doc_bpe_merges,
+        "doc_length_deciles": corpus.doc_length_deciles,
+        "q_events_outliers": relational.q_events_outliers,
+        "q_integrity_check": relational.q_integrity_check,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

@@ -197,7 +197,7 @@ def attach_group_stats(ds: ray.data.Dataset, keys: str | list[str],
 def grouped_percentiles(ds: ray.data.Dataset, keys: str | list[str],
                         col: str, ps: dict[str, float],
                         num_buckets: int = 16,
-                        ndigits: int = 2) -> ray.data.Dataset:
+                        ndigits: int | None = 2) -> ray.data.Dataset:
     """Exact per-group percentiles (linear interpolation — SQL
     `quantile_cont`). Exact quantiles need each group's values co-located:
     one bucketed shuffle of (keys, col) pairs, then a vectorized
@@ -222,7 +222,8 @@ def grouped_percentiles(ds: ray.data.Dataset, keys: str | list[str],
             kv = kv if isinstance(kv, tuple) else (kv,)
             vals = np.percentile(g[col].to_numpy(), qs, method="linear")
             out.append(dict(zip(keys, kv))
-                       | {n: round(float(v), ndigits)
+                       | {n: (float(v) if ndigits is None
+                              else round(float(v), ndigits))
                           for n, v in zip(names, vals)})
         return pd.DataFrame(out, columns=keys + names)
 
@@ -260,3 +261,30 @@ def grouped_row_number(ds: ray.data.Dataset, keys: str | list[str],
 
     return ds.map_batches(tag, batch_format="pandas") \
         .groupby("__bucket").map_groups(rank, batch_format="pandas")
+
+
+def exact_percentiles_lowcard(ds: ray.data.Dataset, col: str,
+                              qs: list[float],
+                              num_buckets: int = 16) -> dict[float, float]:
+    """Exact GLOBAL percentiles (quantile_cont semantics) of a column whose
+    distinct-value count is small relative to the corpus (lengths, scores,
+    small ints): one bucketed (value -> count) groupby, then a driver cumsum
+    over the tiny distinct table — the raw column never leaves the cluster
+    and never sorts globally. Returns {percentile: value}.
+
+    Interpolation is lo + frac * (hi - lo) on the expanded multiset's order
+    statistics, matching DuckDB's quantile_cont."""
+    counts = hash_groupby_agg(ds, col, {"n": (col, "count")},
+                              num_buckets=num_buckets).to_pandas()
+    counts = counts.sort_values(col, kind="mergesort")
+    v = counts[col].to_numpy(dtype=np.float64)
+    cum = np.cumsum(counts["n"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        pos = (n - 1) * (q / 100.0)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        xlo = v[np.searchsorted(cum, lo + 1)]
+        xhi = v[np.searchsorted(cum, hi + 1)]
+        out[q] = float(xlo + (pos - lo) * (xhi - xlo))
+    return out

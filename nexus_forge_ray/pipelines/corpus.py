@@ -59,6 +59,40 @@ def emb_kmeans(sf_dir: str):
     return kmeans_assign(emb, k=10, iters=2).to_pandas()
 
 
+def doc_length_deciles(sf_dir: str):
+    """Curriculum binning: each doc's global length decile (1..10). The
+    nine boundaries are exact global quantile_cont values computed WITHOUT
+    a global sort or raw-column collect (`exact_percentiles_lowcard`:
+    distinct-length counts shuffle once, driver cumsum over the tiny
+    distinct table); assignment broadcasts the 9 boundaries and
+    searchsorts per batch. Membership is ulp-robust — a boundary lies
+    strictly between adjacent integer lengths or exactly on one, where
+    interpolation is exact on both engines."""
+    from nexus_forge_ray.ops.agg import exact_percentiles_lowcard
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    qs = [10.0 * i for i in range(1, 10)]
+    th = exact_percentiles_lowcard(ds, "n_chars", qs)
+    bounds = np.array([th[q] for q in qs])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        dec = 1 + np.searchsorted(bounds, df["n_chars"].to_numpy(),
+                                  side="left")
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "decile": dec.astype("int64")})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def doc_bpe_merges(sf_dir: str):
+    """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
+    distributed word-count shuffle, then the merge loop on the aggregated
+    vocabulary (the only data that leaves the cluster). No SQL oracle —
+    iterative algorithm; gated by an independent-reference-implementation
+    test (tests/test_bpe.py)."""
+    from nexus_forge_ray.ops.bpe import bpe_learn
+    return bpe_learn(_docs(sf_dir, ["doc_id", "text"]), n_merges=20)
+
+
 # ------------------------------------------------ rows-only checked pipelines
 
 def lang_id_pred(sf_dir: str):

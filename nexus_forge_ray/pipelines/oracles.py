@@ -19,6 +19,11 @@ Remaining no-oracle queries (each with its justification):
 - doc_approx_distinct: HLL sketch, approximate by design (~1.6% std error);
   gated by the error-bound-vs-exact test (tests/test_sketches.py), while the
   exact variant q_events_distinct_users IS oracle-checked.
+- doc_bpe_merges: BPE merge learning is an iterative algorithm (each round's
+  pair counts depend on the previous round's merge applied to the vocab) —
+  no SQL equivalent; gated by an independent pure-Python reference
+  implementation + determinism tests (tests/test_bpe.py). The corpus-scale
+  stage it rides on (word counting) IS oracle-checked via doc_vocab.
 - kg_host_rank: PageRank over the href-extracted host graph; the link
   synthesis basis is SipHash (not reproducible in DuckDB) — gated by the
   link-extraction-vs-synthesis-rule and rank-mass-conservation tests
@@ -954,6 +959,61 @@ ORACLES: dict[str, str] = {
             order by list_cosine_similarity(e.embedding::DOUBLE[],
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
+    """,
+    "q_events_outliers": """
+        with th as (
+            select event_type, quantile_cont(value, 0.99) as p99
+            from events group by event_type)
+        select e.event_type, round(th.p99, 2) as p99,
+               sum(case when e.value > th.p99 then 1 else 0 end)::bigint
+                   as n_outliers
+        from events e join th using (event_type)
+        group by e.event_type, th.p99
+    """,
+    "q_integrity_check": """
+        select 'lineitem->orders' as relation,
+               (select count(*) from lineitem)::bigint as n_rows,
+               (select count(*) from lineitem l where not exists (
+                    select 1 from orders o
+                    where o.o_orderkey = l.l_orderkey))::bigint as n_orphans
+        union all
+        select 'lineitem->part',
+               (select count(*) from lineitem)::bigint,
+               (select count(*) from lineitem l where not exists (
+                    select 1 from part p
+                    where p.p_partkey = l.l_partkey))::bigint
+        union all
+        select 'lineitem->supplier',
+               (select count(*) from lineitem)::bigint,
+               (select count(*) from lineitem l where not exists (
+                    select 1 from supplier s
+                    where s.s_suppkey = l.l_suppkey))::bigint
+        union all
+        select 'orders->customer',
+               (select count(*) from orders)::bigint,
+               (select count(*) from orders o where not exists (
+                    select 1 from customer c
+                    where c.c_custkey = o.o_custkey))::bigint
+    """,
+    "doc_length_deciles": """
+        with th as (
+            select quantile_cont(n_chars, 0.1) as q1,
+                   quantile_cont(n_chars, 0.2) as q2,
+                   quantile_cont(n_chars, 0.3) as q3,
+                   quantile_cont(n_chars, 0.4) as q4,
+                   quantile_cont(n_chars, 0.5) as q5,
+                   quantile_cont(n_chars, 0.6) as q6,
+                   quantile_cont(n_chars, 0.7) as q7,
+                   quantile_cont(n_chars, 0.8) as q8,
+                   quantile_cont(n_chars, 0.9) as q9
+            from documents)
+        select d.doc_id,
+               (1 + (d.n_chars > th.q1)::int + (d.n_chars > th.q2)::int
+                  + (d.n_chars > th.q3)::int + (d.n_chars > th.q4)::int
+                  + (d.n_chars > th.q5)::int + (d.n_chars > th.q6)::int
+                  + (d.n_chars > th.q7)::int + (d.n_chars > th.q8)::int
+                  + (d.n_chars > th.q9)::int)::bigint as decile
+        from documents d cross join th
     """,
     # k-means unrolled: init = vectors of the 10 smallest vec_ids; one
     # update round (avg of members, empty cluster keeps its init centroid);

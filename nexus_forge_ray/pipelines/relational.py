@@ -982,6 +982,98 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
                          "n_converted": [int(parts["converted"].sum())]})
 
 
+def q_events_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type p99 threshold and the count of values strictly above it —
+    the percentile-gate shape a quality-filtering pipeline uses. Thresholds
+    come from one bucketed exact-percentile shuffle (unrounded); the
+    counting pass broadcasts the tiny (type, p99) map and pre-sums per
+    batch. Counts are ulp-robust: an interpolated threshold lies strictly
+    between two adjacent order statistics (or exactly on one where the
+    interpolation is exact), so `value > p99` is stable under last-bit
+    float differences between numpy and DuckDB."""
+    import ray
+
+    from nexus_forge_ray.ops.agg import grouped_percentiles, hash_groupby_agg
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    th = grouped_percentiles(ds, "event_type", "value", {"p99": 99.0},
+                             ndigits=None).to_pandas()
+    thr_ref = ray.put(dict(zip(th["event_type"], th["p99"])))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        lim = df["event_type"].map(t).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "out": (df["value"].to_numpy() > lim).astype("int64")})
+
+    counts = hash_groupby_agg(
+        ds.map_batches(flag, batch_format="pandas"),
+        "event_type", {"n_outliers": ("out", "sum")}).to_pandas()
+    res = th.merge(counts, on="event_type")
+    res["p99"] = pc.round(pa.array(res["p99"], type=pa.float64()), ndigits=2,
+                          round_mode="half_towards_infinity").to_pandas()
+    res["n_outliers"] = res["n_outliers"].astype("int64")
+    return res[["event_type", "p99", "n_outliers"]]
+
+
+def q_integrity_check(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit (relation, n_rows, n_orphans) over the
+    four FK edges. Dimension key sets (customer/part/supplier) broadcast
+    via ray.put with per-batch isin + partial sums; the fact-fact edge
+    (lineitem -> orders) goes through a bucketed anti-join of per-key
+    lineitem counts against the orders key set — no fact table ever
+    reaches the driver."""
+    import ray
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    def orphan_count_broadcast(ds, col, keys) -> int:
+        keys_ref = ray.put(np.sort(np.asarray(keys)))
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            k = ray.get(keys_ref)
+            vals = df[col].to_numpy()
+            idx = np.searchsorted(k, vals)
+            idx[idx >= len(k)] = len(k) - 1
+            miss = k[idx] != vals
+            return pd.DataFrame({"n": [int(miss.sum())]})
+
+        return int(ds.map_batches(part, batch_format="pandas").sum("n") or 0)
+
+    cust = _read_pd(sf_dir, "customer", ["c_custkey"])["c_custkey"]
+    part_k = _read_pd(sf_dir, "part", ["p_partkey"])["p_partkey"]
+    supp = _read_pd(sf_dir, "supplier", ["s_suppkey"])["s_suppkey"]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    n_orders = orders.count()
+    n_line = line.count()
+
+    o_orph = orphan_count_broadcast(orders, "o_custkey", cust)
+    l_part_orph = orphan_count_broadcast(line, "l_partkey", part_k)
+    l_supp_orph = orphan_count_broadcast(line, "l_suppkey", supp)
+
+    # fact->fact: per-key lineitem counts, bucketed anti-join vs orders keys
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
+    per_key = hash_groupby_agg(line, "l_orderkey",
+                               {"cnt": ("l_orderkey", "count")})
+    okeys = orders.map_batches(
+        lambda df: pd.DataFrame({"l_orderkey": df["o_orderkey"]}),
+        batch_format="pandas")
+    orphan_rows = partitioned_anti_join(per_key, okeys, on="l_orderkey",
+                                        lcols=["l_orderkey", "cnt"])
+    l_ord_orph = int(orphan_rows.map_batches(
+        lambda df: pd.DataFrame({"n": [int(df["cnt"].sum())]}),
+        batch_format="pandas").sum("n") or 0)
+
+    return pd.DataFrame({
+        "relation": ["lineitem->orders", "lineitem->part",
+                     "lineitem->supplier", "orders->customer"],
+        "n_rows": np.array([n_line, n_line, n_line, n_orders], dtype="int64"),
+        "n_orphans": np.array([l_ord_orph, l_part_orph, l_supp_orph, o_orph],
+                              dtype="int64")})
+
+
 def q_events_percentiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type p25/p50/p90 of value via `grouped_percentiles` —
     one bucketed shuffle of (event_type, value) pairs, all three quantiles

@@ -47,6 +47,9 @@ CASES = {
     "q_events_percentiles": relational.q_events_percentiles,
     "q_events_first_n": relational.q_events_first_n,
     "emb_kmeans": corpus.emb_kmeans,
+    "q_events_outliers": relational.q_events_outliers,
+    "q_integrity_check": relational.q_integrity_check,
+    "doc_length_deciles": corpus.doc_length_deciles,
 }
 
 
