@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": corpus.doc_length_deciles,
         "q_events_outliers": relational.q_events_outliers,
         "q_integrity_check": relational.q_integrity_check,
+        "q_profile_lineitem": relational.q_profile_lineitem,
+        "q_events_moving_avg": relational.q_events_moving_avg,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

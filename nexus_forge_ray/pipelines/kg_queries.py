@@ -417,6 +417,32 @@ def kg_kcore(sf_dir: str):
     return kcore(edges, 3)
 
 
+def kg_communities(sf_dir: str):
+    """Label-propagation communities (2 synchronous rounds) over the
+    weighted co-occurrence graph (`kg.communities.label_propagation`):
+    deterministic argmax (weight desc, label asc), exactly reproducible by
+    the unrolled-SQL oracle."""
+    from nexus_forge_ray.kg.communities import label_propagation
+    edges = kg_cooccur(sf_dir)
+    return label_propagation(edges, src="e1", dst="e2", weight="n_docs",
+                             rounds=2).to_pandas()
+
+
+def kg_reachable(sf_dir: str):
+    """Entities reachable from the 'spark' entity over co-occurrence edges
+    (frontier BFS to fixpoint, `kg.closure.reachable_from`): the frontier
+    is the only state that moves. Oracle: recursive CTE."""
+    from nexus_forge_ray.kg.closure import reachable_from
+    edges = kg_cooccur(sf_dir)
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["e1"], "dst": df["e2"]}),
+            pd.DataFrame({"src": df["e2"], "dst": df["e1"]})],
+            ignore_index=True),
+        batch_format="pandas")
+    return reachable_from(und, ["http://example.org/entity/spark"])
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -508,6 +534,8 @@ QUERIES = {
     "kg_cooccur": kg_cooccur,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
+    "kg_communities": kg_communities,
+    "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

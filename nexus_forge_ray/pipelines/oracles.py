@@ -371,6 +371,53 @@ ORACLES: dict[str, str] = {
         from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
         group by 1, 2
     """,
+    # label propagation unrolled (2 synchronous rounds): init label = node,
+    # each round = weighted neighbor-label count + argmax with (sum desc,
+    # label asc) tie-break — exactly kg/communities.label_propagation.
+    "kg_communities": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2,
+                   count(*)::bigint as w
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        edges as materialized (
+            select e1 as src, e2 as dst, w from cooc
+            union all
+            select e2, e1, w from cooc),
+        l0 as (select distinct src as node, src as label from edges),
+        r1 as (select node, label from (
+            select e.dst as node, l.label, sum(e.w) as tw,
+                   row_number() over (partition by e.dst
+                                      order by sum(e.w) desc, l.label asc)
+                       as rn
+            from edges e join l0 l on e.src = l.node
+            group by e.dst, l.label) where rn = 1),
+        r2 as (select node, label from (
+            select e.dst as node, l.label, sum(e.w) as tw,
+                   row_number() over (partition by e.dst
+                                      order by sum(e.w) desc, l.label asc)
+                       as rn
+            from edges e join r1 l on e.src = l.node
+            group by e.dst, l.label) where rn = 1)
+        select node, label from r2
+    """,
+    "kg_reachable": f"""
+        with recursive {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        edges as (select e1 as src, e2 as dst from cooc
+                  union all select e2, e1 from cooc),
+        reach(node) as (
+            select 'http://example.org/entity/spark'
+            union
+            select e.dst from edges e join reach r on e.src = r.node)
+        select node from reach
+    """,
     "kg_triangles": f"""
         with {_KG_TRIPLES_CTE},
         e as (select distinct a.tok as e1, b.tok as e2
@@ -959,6 +1006,45 @@ ORACLES: dict[str, str] = {
             order by list_cosine_similarity(e.embedding::DOUBLE[],
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
+    """,
+    "q_profile_lineitem": """
+        select 'l_discount' as col, count(*)::bigint as n_rows,
+               sum(case when l_discount is null then 1 else 0 end)::bigint
+                   as n_nulls,
+               count(distinct l_discount)::bigint as n_distinct,
+               min(l_discount)::double as min_val,
+               max(l_discount)::double as max_val
+        from lineitem
+        union all
+        select 'l_extendedprice', count(*)::bigint,
+               sum(case when l_extendedprice is null then 1 else 0
+                   end)::bigint,
+               count(distinct l_extendedprice)::bigint,
+               min(l_extendedprice)::double, max(l_extendedprice)::double
+        from lineitem
+        union all
+        select 'l_quantity', count(*)::bigint,
+               sum(case when l_quantity is null then 1 else 0 end)::bigint,
+               count(distinct l_quantity)::bigint,
+               min(l_quantity)::double, max(l_quantity)::double
+        from lineitem
+        union all
+        select 'l_tax', count(*)::bigint,
+               sum(case when l_tax is null then 1 else 0 end)::bigint,
+               count(distinct l_tax)::bigint,
+               min(l_tax)::double, max(l_tax)::double
+        from lineitem
+    """,
+    "q_events_moving_avg": """
+        with h as (
+            select event_type, date_trunc('hour', ts) as hour,
+                   count(*)::bigint as n
+            from events group by 1, 2)
+        select event_type, hour, n,
+               round(avg(n) over (partition by event_type order by hour
+                                  rows between 1 preceding and 1 following),
+                     2) as ma3
+        from h
     """,
     "q_events_outliers": """
         with th as (

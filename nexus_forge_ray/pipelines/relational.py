@@ -1074,6 +1074,57 @@ def q_integrity_check(sf_dir: str) -> pd.DataFrame:
                               dtype="int64")})
 
 
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Column profile of lineitem's numeric measures — nulls/min/max from
+    map-side partials, exact distinct counts via one bucketed shuffle of
+    per-batch-deduplicated (col, value) pairs (`ops.profile`)."""
+    from nexus_forge_ray.ops.profile import profile_numeric
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    return profile_numeric(_read(sf_dir, "lineitem", cols), cols)
+
+
+def q_events_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Centered 3-bucket moving average over per-type hourly counts — the
+    Elasticsearch moving_avg pipeline-agg shape. The raw events reduce
+    map-side before the hourly groupby; the smoothing pass shuffles only
+    the (type, hour, n) bucket table by type and runs one vectorized
+    rolling mean per group."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hour": df["ts"].dt.floor("h")})
+
+    hourly = hash_groupby_agg(
+        ds.map_batches(windowed, batch_format="pandas"),
+        ["event_type", "hour"], {"n": ("hour", "count")}, num_buckets=16)
+
+    def smooth(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in group.groupby("event_type", sort=False):
+            g = g.sort_values("hour", kind="mergesort").copy()
+            g["ma3"] = g["n"].rolling(3, center=True, min_periods=1).mean()
+            out.append(g)
+        return pd.concat(out, ignore_index=True)[
+            ["event_type", "hour", "n", "ma3"]]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from nexus_forge_ray.utils import stable_hash_u64
+        df = df.copy()
+        df["__bucket"] = (stable_hash_u64(df["event_type"])
+                          % np.uint64(8)).astype("int32")
+        return df
+
+    out = hourly.map_batches(bucket, batch_format="pandas") \
+        .groupby("__bucket").map_groups(smooth, batch_format="pandas") \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["ma3"] = pc.round(pa.array(out["ma3"], type=pa.float64()), ndigits=2,
+                          round_mode="half_towards_infinity").to_pandas()
+    return out
+
+
 def q_events_percentiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type p25/p50/p90 of value via `grouped_percentiles` —
     one bucketed shuffle of (event_type, value) pairs, all three quantiles

@@ -12,7 +12,8 @@ ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_entity_popularity", "kg_triples_typed",
                 "kg_bgp_filter", "kg_degree_dist", "kg_bgp_optional",
                 "kg_pagerank", "kg_bgp_union", "kg_bgp_groupby",
-                "kg_bgp_values", "kg_cooccur", "kg_triangles", "kg_kcore"]
+                "kg_bgp_values", "kg_cooccur", "kg_triangles", "kg_kcore",
+                "kg_communities", "kg_reachable"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

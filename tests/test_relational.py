@@ -50,6 +50,8 @@ CASES = {
     "q_events_outliers": relational.q_events_outliers,
     "q_integrity_check": relational.q_integrity_check,
     "doc_length_deciles": corpus.doc_length_deciles,
+    "q_profile_lineitem": relational.q_profile_lineitem,
+    "q_events_moving_avg": relational.q_events_moving_avg,
 }
 
 
