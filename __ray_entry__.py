@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_integrity_check": relational.q_integrity_check,
         "q_profile_lineitem": relational.q_profile_lineitem,
         "q_events_moving_avg": relational.q_events_moving_avg,
+        "q_smb_join": relational.q_smb_join,
+        "emb_pca": corpus.emb_pca,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

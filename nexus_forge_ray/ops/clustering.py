@@ -107,3 +107,51 @@ def kmeans_sizes(ds: ray.data.Dataset, k: int = 10, iters: int = 2, *,
     return (assigned.groupby("cluster").count().to_pandas()
             .rename(columns={"count()": "n_members"})
             .sort_values("cluster").reset_index(drop=True))
+
+
+def pca_project(ds: ray.data.Dataset, k: int = 8, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                out: str = "pca") -> ray.data.Dataset:
+    """Distributed PCA: project each embedding onto the top-k principal
+    components. Same two-pass partial-sum shape as k-means:
+
+    - pass 1 streams the corpus once, emitting per-batch (n, sum-vector,
+      d x d outer-product sum) — the driver reduce sees n_blocks tiny rows
+      and eigendecomposes the d x d covariance (d is the embedding dim,
+      64-4096 in practice; the corpus never leaves the cluster);
+    - pass 2 broadcasts the (d, k) component matrix and projects per batch.
+
+    Deterministic: components ordered by eigenvalue descending, each
+    sign-normalized so its max-|coefficient| entry is positive. Verified
+    against a single-process numpy reference (tests/test_clustering.py)."""
+    ds = ds.materialize()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        return pd.DataFrame({"n": [len(mat)],
+                             "s": [mat.sum(axis=0)],
+                             "ss": [(mat.T @ mat).ravel()]})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(stats["n"].sum())
+    s = np.sum(np.stack(stats["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(stats["ss"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, np.argsort(evals)[::-1][:k]]          # (d, k)
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    comp = comp * flip
+    comp_ref = ray.put((mu, comp))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu2, c = ray.get(comp_ref)
+        mat = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        proj = (mat - mu2) @ c
+        return pa.table({
+            id_col: batch[id_col],
+            out: pa.FixedSizeListArray.from_arrays(
+                pa.array(proj.astype(np.float32).ravel()), proj.shape[1])})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -83,6 +83,21 @@ def doc_length_deciles(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def emb_pca(sf_dir: str):
+    """Top-8 principal-component projection of the embeddings
+    (`ops.clustering.pca_project`): two streaming passes, d x d partial
+    sums to the driver, components broadcast back. No SQL oracle —
+    eigendecomposition; gated by the numpy-reference + determinism tests
+    (tests/test_clustering.py). Returns (vec_id, pc1) to keep the checked
+    surface scalar."""
+    from nexus_forge_ray.ops.clustering import pca_project
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = pca_project(emb, k=8).to_pandas()
+    out["pc1"] = [round(float(v[0]), 4) for v in out["pca"]]
+    return out[["vec_id", "pc1"]]
+
+
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated

@@ -19,6 +19,9 @@ Remaining no-oracle queries (each with its justification):
 - doc_approx_distinct: HLL sketch, approximate by design (~1.6% std error);
   gated by the error-bound-vs-exact test (tests/test_sketches.py), while the
   exact variant q_events_distinct_users IS oracle-checked.
+- emb_pca: principal components come from an eigendecomposition — no SQL
+  equivalent; gated by a same-algorithm numpy reference comparison and
+  layout-independence tests (tests/test_clustering.py).
 - doc_bpe_merges: BPE merge learning is an iterative algorithm (each round's
   pair counts depend on the previous round's merge applied to the vocab) —
   no SQL equivalent; gated by an independent pure-Python reference
@@ -1006,6 +1009,11 @@ ORACLES: dict[str, str] = {
             order by list_cosine_similarity(e.embedding::DOUBLE[],
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
+    """,
+    "q_smb_join": """
+        select c.c_nationkey, count(*)::bigint as n_orders
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by c.c_nationkey
     """,
     "q_profile_lineitem": """
         select 'l_discount' as col, count(*)::bigint as n_rows,

@@ -1125,6 +1125,39 @@ def q_events_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_smb_join(sf_dir: str) -> pd.DataFrame:
+    """Sort-merge-bucket layout end-to-end (`ops.smb`): orders and customer
+    are bucket-written once (hash(custkey) % 8, hive dirs + manifest), then
+    joined bucket-by-bucket with ZERO exchange — each task reads one bucket
+    directory from each side. The aggregate on top is the usual map-side
+    partial + tiny groupby. At 100 TB this is the pay-the-shuffle-once
+    layout for tables joined every run."""
+    import shutil
+    import tempfile
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.smb import bucketed_join_read, bucketed_write
+    root = tempfile.mkdtemp(prefix="smb_")
+    try:
+        orders = _read(sf_dir, "orders", ["o_custkey"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+            .map_batches(lambda df: df.rename(columns={"c_custkey":
+                                                       "o_custkey"}),
+                         batch_format="pandas")
+        bucketed_write(orders, f"{root}/orders", "o_custkey", num_buckets=8)
+        bucketed_write(cust, f"{root}/customer", "o_custkey", num_buckets=8)
+        joined = bucketed_join_read(f"{root}/orders", f"{root}/customer",
+                                    "o_custkey")
+        out = hash_groupby_agg(joined, "c_nationkey",
+                               {"n_orders": ("o_custkey", "count")},
+                               num_buckets=4).to_pandas()
+        out["c_nationkey"] = out["c_nationkey"].astype("int64")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_events_percentiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-type p25/p50/p90 of value via `grouped_percentiles` —
     one bucketed shuffle of (event_type, value) pairs, all three quantiles

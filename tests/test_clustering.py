@@ -108,3 +108,37 @@ def test_kmeans_sizes(sf_dir):
     sizes = kmeans_sizes(emb, k=10, iters=2)
     assert sizes["n_members"].sum() == emb.count()
     assert (sizes["n_members"] > 0).all()
+
+
+def test_pca_matches_numpy_reference(sf_dir):
+    from nexus_forge_ray.ops.clustering import pca_project
+    t, ids, mat = _load(sf_dir)
+    # reference: same algorithm single-process
+    mu = mat.mean(axis=0)
+    cov = ((mat - mu).T @ (mat - mu)) / (len(mat) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, np.argsort(evals)[::-1][:8]]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0),
+                        np.arange(comp.shape[1])])
+    want = (mat - mu) @ (comp * flip)
+
+    got = pca_project(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        k=8).to_pandas().sort_values("vec_id")
+    gm = np.stack(got["pca"].to_numpy())
+    order = np.argsort(ids, kind="mergesort")
+    assert np.allclose(gm, want[order], atol=1e-4)
+
+
+def test_pca_variance_ordering_and_layout_independence(sf_dir):
+    from nexus_forge_ray.ops.clustering import pca_project
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    one = pca_project(emb, k=4).to_pandas().sort_values("vec_id")
+    many = pca_project(emb.repartition(9), k=4).to_pandas() \
+        .sort_values("vec_id")
+    a, b = np.stack(one["pca"].to_numpy()), np.stack(many["pca"].to_numpy())
+    assert np.allclose(a, b, atol=1e-5)
+    var = a.var(axis=0)
+    assert (var[:-1] >= var[1:] - 1e-9).all()  # components ordered by variance

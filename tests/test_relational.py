@@ -52,6 +52,7 @@ CASES = {
     "doc_length_deciles": corpus.doc_length_deciles,
     "q_profile_lineitem": relational.q_profile_lineitem,
     "q_events_moving_avg": relational.q_events_moving_avg,
+    "q_smb_join": relational.q_smb_join,
 }
 
 
