@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_moving_avg": relational.q_events_moving_avg,
         "q_smb_join": relational.q_smb_join,
         "emb_pca": corpus.emb_pca,
+        "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

@@ -703,3 +703,53 @@ def span_dedup(ds: ray.data.Dataset, *, k: int = 8, text_col: str = "text",
     return ds.map_batches(explode, batch_format="pandas") \
         .groupby("__bucket").map_groups(elect, batch_format="pandas") \
         .groupby("__bkt2").map_groups(assemble, batch_format="pandas")
+
+
+# ------------------------------------------------------------ incremental
+
+def dedup_incremental(new_ds: ray.data.Dataset, index_dir: str, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """Delta-shard exact dedup against a PERSISTED fingerprint index — the
+    incremental-ingest shape: every run dedups its own shard, drops docs
+    whose content an earlier run already accepted, and appends its
+    survivors' fingerprints to the index. The index is content-md5 parquet
+    under `index_dir` (one file per run, read as one Dataset); the
+    index-vs-shard check is a bucketed anti-join, so neither the corpus
+    nor the index ever reaches the driver.
+
+    Earlier runs take precedence over later ones; within a shard the
+    min-id row wins (same rule as `dedup_exact`), so running shards in id
+    order reproduces dedup_exact over the union — the property the oracle
+    checks. Fingerprints are 128-bit md5 hex: cross-run equality is by
+    digest, not raw text (a deliberate exactness-for-index-size trade;
+    collisions are ~2^-64 at web scale)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import uuid
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__fp"] = [hashlib.md5(str(t).encode("utf-8")).hexdigest()
+                      for t in df[text_col]]
+        return df
+
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
+    survivors = dedup_exact(new_ds, text_col, id_col) \
+        .map_batches(add_fp, batch_format="pandas")
+    existing = sorted(_glob.glob(os.path.join(index_dir, "run_*", "*.parquet")))
+    if existing:
+        idx = ray.data.read_parquet(existing).map_batches(
+            lambda df: df.rename(columns={"fp": "__fp"}),
+            batch_format="pandas")
+        survivors = partitioned_anti_join(survivors, idx, on="__fp",
+                                          num_buckets=num_buckets)
+    survivors = survivors.materialize()
+    os.makedirs(index_dir, exist_ok=True)
+    run_dir = os.path.join(index_dir, f"run_{uuid.uuid4().hex[:8]}")
+    survivors.map_batches(
+        lambda df: pd.DataFrame({"fp": df["__fp"]}),
+        batch_format="pandas").write_parquet(run_dir)
+    return survivors.map_batches(
+        lambda df: df.drop(columns="__fp"), batch_format="pandas")

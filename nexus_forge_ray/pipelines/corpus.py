@@ -83,6 +83,31 @@ def doc_length_deciles(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def doc_dedup_incremental(sf_dir: str):
+    """Two-shard incremental ingest: docs with doc_id < 250 land first,
+    the rest arrive as a delta against the persisted fingerprint index
+    (`ops.dedup.dedup_incremental`, fresh index under /tmp). Earlier
+    shards take precedence and shards arrive in id order, so the union of
+    survivors equals `dedup_exact` over the whole table — the oracle is
+    the same min-id-per-text SQL."""
+    import shutil
+    import tempfile
+
+    from nexus_forge_ray.ops.dedup import dedup_incremental
+    root = tempfile.mkdtemp(prefix="dedup_idx_")
+    try:
+        docs = _docs(sf_dir)
+        base = docs.map_batches(lambda df: df[df["doc_id"] < 250],
+                                batch_format="pandas")
+        delta = docs.map_batches(lambda df: df[df["doc_id"] >= 250],
+                                 batch_format="pandas")
+        first = dedup_incremental(base, root).to_pandas()
+        second = dedup_incremental(delta, root).to_pandas()
+        return pd.concat([first, second], ignore_index=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def emb_pca(sf_dir: str):
     """Top-8 principal-component projection of the embeddings
     (`ops.clustering.pca_project`): two streaming passes, d x d partial

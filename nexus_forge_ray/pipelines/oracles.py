@@ -1010,6 +1010,12 @@ ORACLES: dict[str, str] = {
                                             q.embedding::DOUBLE[]) desc, e.vec_id
         ) <= 5
     """,
+    # same semantics as dedup_exact: shards arrive in id order and earlier
+    # shards take precedence, so min-id-per-text is the incremental result
+    "doc_dedup_incremental": """
+        select doc_id, text, lang, source, n_chars from documents
+        qualify row_number() over (partition by text order by doc_id) = 1
+    """,
     "q_smb_join": """
         select c.c_nationkey, count(*)::bigint as n_orders
         from orders o join customer c on o.o_custkey = c.c_custkey

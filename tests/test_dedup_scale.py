@@ -190,3 +190,28 @@ def test_mixture_sample_thresholds():
     a = out[out["source"] == "a"]["doc_id"]
     assert len(a) == 30 and (a % 100 < 30).all()
     assert len(out[out["source"] == "b"]) == 100
+
+
+def test_dedup_incremental_cross_shard(ray_session, tmp_path):
+    """Delta shard drops content an earlier run accepted; rerunning the
+    same shard is idempotent (0 survivors)."""
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.dedup import dedup_incremental
+    idx = str(tmp_path / "fp_index")
+    a = pd.DataFrame({"doc_id": range(10),
+                      "text": [f"t{i}" for i in range(10)]})
+    # 5 cross-shard dups, one internal dup (t15 twice), 4 new
+    b = pd.DataFrame({"doc_id": range(10, 20),
+                      "text": [f"t{i}" for i in range(5)]
+                      + ["t15", "t15", "t16", "t17", "t18"]})
+    sa = dedup_incremental(ray.data.from_pandas(a).repartition(3), idx) \
+        .to_pandas()
+    sb = dedup_incremental(ray.data.from_pandas(b).repartition(3), idx) \
+        .to_pandas()
+    assert sorted(sa["doc_id"]) == list(range(10))
+    assert sorted(sb["text"]) == ["t15", "t16", "t17", "t18"]
+    assert sb.loc[sb["text"] == "t15", "doc_id"].item() == 15  # min-id wins
+    again = dedup_incremental(ray.data.from_pandas(b), idx).to_pandas()
+    assert len(again) == 0

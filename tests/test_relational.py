@@ -53,6 +53,7 @@ CASES = {
     "q_profile_lineitem": relational.q_profile_lineitem,
     "q_events_moving_avg": relational.q_events_moving_avg,
     "q_smb_join": relational.q_smb_join,
+    "doc_dedup_incremental": corpus.doc_dedup_incremental,
 }
 
 
