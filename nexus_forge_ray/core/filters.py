@@ -232,9 +232,27 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
 
         def key_of(col: pd.Series) -> pd.Series:
             return pd.to_datetime(col).dt.floor(freq)
+    elif "range" in spec:
+        # ES `range` buckets: from inclusive, to exclusive, ranges may
+        # overlap (each is an independent mask), EVERY range is returned
+        # (empty ones with doc_count 0). Implemented by exploding each row
+        # into its matching range keys map-side, then the same bucketed
+        # count/metric plan as the other bucket kinds.
+        r = spec["range"]
+        field, size = r["field"], None
+        key_of = None
+        rng_keys, rng_los, rng_his = [], [], []
+        for rg in r["ranges"]:
+            lo, hi = rg.get("from"), rg.get("to")
+            rng_keys.append(rg.get("key") or
+                            f"{'*' if lo is None else format(lo, 'g')}-"
+                            f"{'*' if hi is None else format(hi, 'g')}")
+            rng_los.append(lo)
+            rng_his.append(hi)
     else:
-        raise ValueError("only `terms` / `date_histogram` bucket "
+        raise ValueError("only `terms` / `date_histogram` / `range` bucket "
                          "aggregations supported")
+    ranges = rng_keys if "range" in spec else None
 
     metrics: dict[str, tuple[str, str]] = {}   # out_name -> (field, kind)
     for name, sub in (spec.get("aggs") or {}).items():
@@ -256,6 +274,24 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
             return df
         ds = ds.map_batches(bucketed, batch_format="pandas")
         field = "__key"
+    elif ranges is not None:
+        src = field
+
+        def explode(df: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(df[src], errors="coerce")
+            parts = []
+            for k, lo, hi in zip(rng_keys, rng_los, rng_his):
+                m = v.notna()
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v < hi
+                sub = df[m].copy()
+                sub["__key"] = k
+                parts.append(sub)
+            return pd.concat(parts, ignore_index=True)
+        ds = ds.map_batches(explode, batch_format="pandas")
+        field = "__key"
 
     plan: dict[str, tuple[str, str]] = {"doc_count": (field, "count")}
     for name, (mfield, kind) in metrics.items():
@@ -271,6 +307,9 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     else:
         out = grouped.to_pandas().sort_values(field).reset_index(drop=True)
     out = out.rename(columns={field: "key"})
+    if ranges is not None:       # every range appears, in the given order
+        out = out.set_index("key").reindex(ranges).reset_index()
+        out["doc_count"] = out["doc_count"].fillna(0)
     out["doc_count"] = out["doc_count"].astype("int64")
     for name, (mfield, kind) in metrics.items():
         if kind == "avg":

@@ -127,6 +127,11 @@ class ParsedQuery(NamedTuple):
     # (func, source_var|"*", alias); func in count/sum/min/max/avg
     aggregates: list[tuple[str, str, str]] = []
     values_clauses: list[tuple[str, list[object]]] = []  # VALUES ?v {...}
+    # FILTER NOT EXISTS {...} / MINUS {...} groups. Subset semantics: both
+    # compile to an anti-join on the variables shared with the required
+    # patterns (equivalent to full SPARQL whenever the group binds at least
+    # one shared variable, which this subset requires).
+    not_exists: list[list[tuple[str, str, str]]] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -219,6 +224,16 @@ def parse_sparql(query: str) -> ParsedQuery:
         return " "
 
     body = re.sub(r"(?is)\bvalues\s+\?(\w+)\s*\{([^{}]*)\}", _values, body)
+
+    # pull FILTER NOT EXISTS { ... } / MINUS { ... } groups before the
+    # generic FILTER scan (which expects a parenthesized expression)
+    not_exists_raw: list[str] = []
+    body = re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
+                  lambda mm: (not_exists_raw.append(mm.group(1)), " ")[1],
+                  body)
+    body = re.sub(r"(?is)\bminus\s*\{([^{}]*)\}",
+                  lambda mm: (not_exists_raw.append(mm.group(1)), " ")[1],
+                  body)
 
     # pull OPTIONAL { ... } groups out of the body first (patterns contain
     # no braces, so the groups never nest)
@@ -333,9 +348,15 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise ValueError("empty OPTIONAL block")
     if union_groups and optionals:
         raise ValueError("OPTIONAL inside a UNION query is unsupported")
+    not_exists = [patterns_of(g) for g in not_exists_raw]
+    if any(not g for g in not_exists):
+        raise ValueError("empty NOT EXISTS / MINUS block")
+    if union_groups and not_exists:
+        raise ValueError("NOT EXISTS/MINUS inside a UNION query is "
+                         "unsupported")
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
-                       group_by, aggregates, values_clauses)
+                       group_by, aggregates, values_clauses, not_exists)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -450,18 +471,43 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         for b in branches[1:]:
             out = out.union(b)
         bound = list(wanted)
-        opt_vars, shared_per_group = [], []
+        opt_vars, shared_per_group, anti_shared = [], [], []
     else:
         req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
         opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
                                        if _is_var(t))) for g in q.optionals]
         shared_per_group = [[v for v in gv if v in req_vars]
                             for gv in opt_vars]
+        anti_shared = [[v for v in dict.fromkeys(
+            t[1:] for pat in g for t in pat if _is_var(t)) if v in req_vars]
+            for g in q.not_exists]
         needed = list(dict.fromkeys(
             [v for v in wanted if v in req_vars]
-            + [v for sh in shared_per_group for v in sh]))
+            + [v for sh in shared_per_group for v in sh]
+            + [v for sh in anti_shared for v in sh]))
         out = bgp_select(triples, q.patterns, needed, **kw)
         bound = list(needed)
+    for gpats, shared in zip(q.not_exists, anti_shared):
+        if not shared:
+            raise ValueError(f"NOT EXISTS/MINUS {gpats} shares no variable "
+                             "with the required patterns")
+        sub = bgp_select(triples, gpats, shared, **kw)
+
+        def key_of(cols):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["__nk"] = df[cols[0]].astype(str) if len(cols) == 1 \
+                    else df[cols].astype(str).agg("\x1f".join, axis=1)
+                return df
+            return fn
+
+        from nexus_forge_ray.ops.joins import partitioned_anti_join
+        out = partitioned_anti_join(
+            out.map_batches(key_of(shared), batch_format="pandas"),
+            sub.map_batches(key_of(shared), batch_format="pandas"),
+            on="__nk", lcols=bound + ["__nk"]) \
+            .map_batches(lambda df: df.drop(columns="__nk"),
+                         batch_format="pandas")
     for gpats, gv, shared in zip(q.optionals, opt_vars, shared_per_group):
         if not shared:
             raise ValueError(f"OPTIONAL {gpats} shares no variable with the "

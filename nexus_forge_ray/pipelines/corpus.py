@@ -579,6 +579,29 @@ def q_es_date_histogram(sf_dir: str):
     return out
 
 
+def q_es_range_agg(sf_dir: str):
+    """ES `range` bucket aggregation (from inclusive, to exclusive, every
+    range returned) over click values, with avg + max sub-aggs: rows
+    explode into their matching range keys map-side, then the usual
+    pre-aggregated bucket shuffle."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"value_ranges": {
+            "range": {"field": "value",
+                      "ranges": [{"to": 10}, {"from": 10, "to": 50},
+                                 {"from": 50}]},
+            "aggs": {"avg_value": {"avg": {"field": "value"}},
+                     "max_value": {"max": {"field": "value"}}}}},
+    }
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = forge.elastic(body, data=ev)
+    out["avg_value"] = out["avg_value"].round(2)
+    return out
+
+
 def doc_unigram_logprob(sf_dir: str):
     """Unigram-LM document scoring (the cheap perplexity proxy used for
     corpus quality filtering): P(t) = corpus_count(t) / total_tokens,

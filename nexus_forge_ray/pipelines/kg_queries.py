@@ -417,6 +417,23 @@ def kg_kcore(sf_dir: str):
     return kcore(edges, 3)
 
 
+def kg_bgp_notexists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS (anti-join subset): English documents that
+    mention 'spark' but NOT 'table'. The sub-group's bindings project to
+    the shared variable and anti-join the main bindings through one
+    bucketed exchange."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX e: <http://example.org/entity/>
+    SELECT ?d WHERE {
+      ?d v:mentions e:spark .
+      ?d v:lang "en" .
+      FILTER NOT EXISTS { ?d v:mentions e:table }
+    }"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -534,6 +551,7 @@ QUERIES = {
     "kg_cooccur": kg_cooccur,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
+    "kg_bgp_notexists": kg_bgp_notexists,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

@@ -374,6 +374,19 @@ ORACLES: dict[str, str] = {
         from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
         group by 1, 2
     """,
+    "kg_bgp_notexists": f"""
+        with {_KG_TRIPLES_CTE}
+        select a.subj as d
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and a.obj = 'http://example.org/entity/spark'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
+          and not exists (
+              select 1 from t c
+              where c.subj = a.subj
+                and c.pred = 'http://example.org/vocab/mentions'
+                and c.obj = 'http://example.org/entity/table')
+    """,
     # label propagation unrolled (2 synchronous rounds): init label = node,
     # each round = weighted neighbor-label count + argmax with (sum desc,
     # label asc) tie-break — exactly kg/communities.label_propagation.
@@ -1059,6 +1072,20 @@ ORACLES: dict[str, str] = {
                                   rows between 1 preceding and 1 following),
                      2) as ma3
         from h
+    """,
+    "q_es_range_agg": """
+        with f as (select value from events where event_type = 'click')
+        select '*-10' as key,
+               count(*)::bigint as doc_count,
+               round(avg(value), 2) as avg_value,
+               max(value) as max_value
+        from f where value < 10
+        union all
+        select '10-50', count(*)::bigint, round(avg(value), 2), max(value)
+        from f where value >= 10 and value < 50
+        union all
+        select '50-*', count(*)::bigint, round(avg(value), 2), max(value)
+        from f where value >= 50
     """,
     "q_events_outliers": """
         with th as (

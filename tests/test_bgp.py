@@ -298,3 +298,39 @@ def test_sparql_inverse_path(ray_session):
     q = "PREFIX : <> SELECT ?e ?d WHERE { ?e ^:mentions ?d }"
     out = sparql_select(_ds(), q).to_pandas().sort_values("e")
     assert list(map(tuple, out.to_numpy())) == [("e1", "d1"), ("e2", "d2")]
+
+
+def test_not_exists_and_minus_anti_join(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "spark"), ("d1", "m", "table"),
+         ("d2", "m", "spark"), ("d3", "m", "spark"), ("d3", "m", "sort")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = 'SELECT ?d WHERE { ?d <m> "spark" . ' \
+        'FILTER NOT EXISTS { ?d <m> "table" } }'
+    out = sparql_select(trip, q).to_pandas()
+    assert sorted(out["d"]) == ["d2", "d3"]
+    # MINUS compiles to the same anti-join in this subset
+    q2 = 'SELECT ?d WHERE { ?d <m> "spark" . MINUS { ?d <m> "sort" } }'
+    out2 = sparql_select(trip, q2).to_pandas()
+    assert sorted(out2["d"]) == ["d1", "d2"]
+
+
+def test_not_exists_multi_shared_vars(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "x"), ("d2", "m", "x"), ("d2", "m", "y"),
+         ("d1", "bad", "x")],
+        columns=["subj", "pred", "obj"])
+    q = 'SELECT ?d ?e WHERE { ?d <m> ?e . ' \
+        'FILTER NOT EXISTS { ?d <bad> ?e } }'
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    pairs = sorted(zip(out["d"], out["e"]))
+    assert pairs == [("d2", "x"), ("d2", "y")]

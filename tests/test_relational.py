@@ -54,6 +54,7 @@ CASES = {
     "q_events_moving_avg": relational.q_events_moving_avg,
     "q_smb_join": relational.q_smb_join,
     "doc_dedup_incremental": corpus.doc_dedup_incremental,
+    "q_es_range_agg": corpus.q_es_range_agg,
 }
 
 
