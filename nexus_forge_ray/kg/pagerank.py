@@ -4,8 +4,10 @@ The reference exposes graph analytics only through SPARQL endpoints; this is
 the Ray-Data-native equivalent of the rollups a KG-health pipeline runs on
 the constructed graph. Iterative structure, expressed scale-first:
 
-- the out-degree-annotated edge table is built ONCE (bucketed join) and
-  materialized — it is loop-invariant and reused every iteration;
+- the out-degree-annotated edge table is built ONCE (a single windowed
+  exchange) and materialized — it is loop-invariant and reused every
+  iteration; the node table with its dangling flag likewise costs one
+  exchange (max(hasout) over the tagged src/dst union);
 - each iteration is one bucketed join (ranks onto edge sources), one
   vectorized per-edge contribution, and one bucketed sum by destination —
   the rank table itself never leaves the cluster;
@@ -19,10 +21,11 @@ where DM is the total rank mass on nodes with no out-edges.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
-from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+from nexus_forge_ray.ops.agg import hash_groupby_agg
 from nexus_forge_ray.ops.joins import partitioned_agg_join, partitioned_join
 
 
@@ -33,43 +36,46 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
 
     Nodes are the vertices touched by at least one edge (isolated records
     carry no rank mass to move). Deterministic for a fixed input."""
-    # the edge table feeds node extraction, degree counting AND the degree
-    # join — materialize once so a lazy upstream pipeline (e.g. mention
-    # detection) doesn't re-execute per consumer
+    # the edge table feeds node extraction AND the degree annotation —
+    # materialize once so a lazy upstream pipeline (e.g. mention detection)
+    # doesn't re-execute per consumer
     edges = edges.materialize()
-    srcs = edges.map_batches(
-        lambda df: pd.DataFrame({"node": df[src]}), batch_format="pandas")
-    dsts = edges.map_batches(
-        lambda df: pd.DataFrame({"node": df[dst]}), batch_format="pandas")
-    nodes = distinct_rows(srcs.union(dsts), "node",
-                          num_buckets=num_buckets) \
+    # loop-invariant degree-annotated edges in ONE exchange: outd is the
+    # window-function shape (count OVER (PARTITION BY src)), not a separate
+    # groupby + join
+    from nexus_forge_ray.ops.agg import attach_group_stat
+    # repartition before materializing: the sort shuffle emits one block per
+    # INPUT block (128+ tiny blocks here), and per-block overhead would
+    # dominate every iteration's exchange that re-reads these tables
+    edeg = attach_group_stat(
+        edges.map_batches(lambda df: df[[src, dst]], batch_format="pandas"),
+        src, dst, "size", "outd", num_buckets=num_buckets) \
         .repartition(num_buckets).materialize()
-    n = nodes.count()
-    if n == 0:
-        return nodes.map_batches(
-            lambda df: df.assign(rank=pd.Series(dtype="float64")),
-            batch_format="pandas")
-
-    deg = hash_groupby_agg(edges, src, {"outd": (dst, "count")},
-                           num_buckets=num_buckets)
-    edeg = partitioned_join(edges, deg, on=src,
-                            num_buckets=num_buckets,
-                            lcols=[src, dst], rcols=[src, "outd"]) \
-        .repartition(num_buckets).materialize()   # loop-invariant
-    # dangling flag is loop-invariant too: annotate nodes ONCE (left join
-    # against the out-degree keys) instead of an anti-join every iteration —
-    # the per-iteration dangling mass becomes a shuffle-free filtered scan
-    deg_keys = deg.map_batches(
-        lambda df: pd.DataFrame({"node": df[src], "__hasout": True}),
+    # nodes + the loop-invariant dangling flag in ONE exchange: a node is
+    # dangling iff it never appears as an edge source, so max(hasout) over
+    # the tagged src/dst union decides it without a join
+    srcs = edges.map_batches(
+        lambda df: pd.DataFrame({"node": df[src],
+                                 "__hasout": np.ones(len(df), dtype="int8")}),
         batch_format="pandas")
-    nodes = partitioned_join(nodes, deg_keys, on="node", how="left",
-                             num_buckets=num_buckets,
-                             lcols=["node"], rcols=["node", "__hasout"]) \
+    dsts = edges.map_batches(
+        lambda df: pd.DataFrame({"node": df[dst],
+                                 "__hasout": np.zeros(len(df), dtype="int8")}),
+        batch_format="pandas")
+    nodes = hash_groupby_agg(srcs.union(dsts), "node",
+                             {"__hasout": ("__hasout", "max")},
+                             num_buckets=num_buckets) \
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": df["node"],
-                "dangling": df["__hasout"].isna().to_numpy()}),
+                "dangling": df["__hasout"].to_numpy() == 0}),
             batch_format="pandas").repartition(num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"],
+                                     "rank": pd.Series(dtype="float64")}),
+            batch_format="pandas")
 
     ranks = nodes.map_batches(
         lambda df: df.assign(rank=1.0 / n), batch_format="pandas") \
@@ -104,8 +110,9 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
             num_buckets=num_buckets, how="right",
             lcols=["node", "s"], rcols=["node", "dangling"])
         # repartition before materializing: the union+groupby chain breeds
-        # blocks each iteration (many empty), and per-block overhead would
-        # otherwise grow the wall time superlinearly with iteration count
+        # blocks each iteration (the sort shuffle emits one block per input
+        # block), and per-block overhead would otherwise grow the wall time
+        # superlinearly with iteration count
         ranks = joined.map_batches(
             lambda df: pd.DataFrame({
                 "node": df["node"],
