@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": corpus.emb_pca,
         "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "q_es_range_agg": corpus.q_es_range_agg,
+        "doc_quality_classifier": corpus.doc_quality_classifier,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

@@ -123,6 +123,29 @@ def emb_pca(sf_dir: str):
     return out[["vec_id", "pc1"]]
 
 
+def doc_quality_classifier(sf_dir: str):
+    """Model-based quality scoring: TRAIN a logistic-regression classifier
+    distributed (`ops.classifier.logreg_train` — per-batch partial
+    gradients, broadcast weights, the corpus never shuffles), then score
+    every document in one streaming pass. Features are the SQL-matched
+    quality signals (token count / mean token length / punctuation ratio),
+    label = (lang == 'en'); 2 full-batch GD steps from w=0 make the exact
+    weights reproducible by an unrolled-CTE oracle (sigmoid(0)=0.5 closes
+    step 0 in SQL)."""
+    from nexus_forge_ray.ops.classifier import logreg_score, logreg_train
+    feat = tx.quality_scores(_docs(sf_dir, ["doc_id", "text", "lang"])) \
+        .map_batches(lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "f1": df["n_tokens"].astype("float64") / 100.0,
+            "f2": df["mean_token_len"].astype("float64"),
+            "f3": df["punct_ratio"].astype("float64"),
+            "y": (df["lang"] == "en").astype("float64")}),
+            batch_format="pandas").materialize()
+    w = logreg_train(feat, ["f1", "f2", "f3"], "y", lr=1.0, iters=2)
+    out = logreg_score(feat, w, ["f1", "f2", "f3"]).to_pandas()
+    return out[["doc_id", "score"]]
+
+
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated

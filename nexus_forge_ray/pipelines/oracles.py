@@ -249,6 +249,48 @@ ORACLES: dict[str, str] = {
                round(n_punct / greatest(n_chars, 1)::double, 4) as punct_ratio
         from t
     """,
+    # 2 unrolled full-batch GD steps from w=0: sigmoid(0)=0.5 closes step 0,
+    # step 1 re-scores with the w1 CTE — exactly ops/classifier.logreg_train
+    "doc_quality_classifier": """
+        with t as (
+            select doc_id,
+                   case when trim(text) = '' then 0
+                        else length(string_split_regex(trim(text), '\\s+')) end
+                   ::bigint as n_tokens,
+                   length(text)::bigint as n_chars,
+                   (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::bigint
+                   as n_punct,
+                   (lang = 'en')::int::double as y
+            from documents),
+        f as (
+            select doc_id, y,
+                   n_tokens / 100.0 as f1,
+                   round(n_chars / greatest(n_tokens, 1)::double, 4) as f2,
+                   round(n_punct / greatest(n_chars, 1)::double, 4) as f3
+            from t),
+        w1 as (
+            select avg(y - 0.5)        as b,
+                   avg(f1 * (y - 0.5)) as a1,
+                   avg(f2 * (y - 0.5)) as a2,
+                   avg(f3 * (y - 0.5)) as a3
+            from f),
+        p as (
+            select f.*,
+                   1.0 / (1.0 + exp(-(w1.b + w1.a1 * f1 + w1.a2 * f2
+                                      + w1.a3 * f3))) as p1
+            from f, w1),
+        w2 as (
+            select any_value(w1.b)  - avg(p1 - y)        as b,
+                   any_value(w1.a1) - avg(f1 * (p1 - y)) as a1,
+                   any_value(w1.a2) - avg(f2 * (p1 - y)) as a2,
+                   any_value(w1.a3) - avg(f3 * (p1 - y)) as a3
+            from p, w1)
+        select f.doc_id,
+               round(1.0 / (1.0 + exp(-(w2.b + w2.a1 * f1 + w2.a2 * f2
+                                        + w2.a3 * f3))), 4) as score
+        from f, w2
+    """,
     "doc_fingerprint": """
         select doc_id, md5(text) as fp_md5 from documents
     """,
