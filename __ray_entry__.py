@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "q_es_range_agg": corpus.q_es_range_agg,
         "doc_quality_classifier": corpus.doc_quality_classifier,
+        "q_es_stats_agg": corpus.q_es_stats_agg,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

@@ -255,11 +255,26 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     ranges = rng_keys if "range" in spec else None
 
     metrics: dict[str, tuple[str, str]] = {}   # out_name -> (field, kind)
+    stats_specs: dict[str, str] = {}           # out_name -> field
+    pct_specs: dict[str, tuple[str, list[float]]] = {}
     for name, sub in (spec.get("aggs") or {}).items():
         (kind, mspec), = sub.items()
-        if kind not in _METRIC_HOWS:
+        if kind == "stats":
+            # ES stats = {count,min,max,avg,sum} in one agg — all
+            # re-aggregable, so they ride the same bucketed exchange
+            stats_specs[name] = mspec["field"]
+        elif kind == "percentiles":
+            # exact percentiles (quantile_cont semantics) via the grouped-
+            # percentiles exchange; ES's t-digest approximation is the
+            # at-scale substitute, exact keeps the oracle checkable
+            pct_specs[name] = (mspec["field"],
+                               [float(p) for p in
+                                mspec.get("percents",
+                                          [1, 5, 25, 50, 75, 95, 99])])
+        elif kind in _METRIC_HOWS:
+            metrics[name] = (mspec["field"], kind)
+        else:
             raise ValueError(f"unsupported metric agg: {kind}")
-        metrics[name] = (mspec["field"], kind)
 
     if "query" in body:
         ds = search(ds, *filters_from_elastic(body["query"]),
@@ -299,6 +314,14 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
             plan[f"__sum_{name}"] = (mfield, "sum")
         elif kind != "cardinality":
             plan[name] = (mfield, kind)
+    for name, mfield in stats_specs.items():
+        plan[f"{name}_count"] = (mfield, "count")
+        plan[f"{name}_sum"] = (mfield, "sum")
+        plan[f"{name}_min"] = (mfield, "min")
+        plan[f"{name}_max"] = (mfield, "max")
+    if pct_specs:
+        ds = ds.materialize()   # consumed by the grouped agg AND per-
+        # percentile exchanges; don't re-run the upstream filter per consumer
     grouped = hash_groupby_agg(ds, field, plan, num_buckets=16)
 
     if size is not None:
@@ -325,4 +348,17 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
             out = out.merge(card, on="key", how="left")
             out[name] = out[name].fillna(0).astype("int64")
     cols = ["key", "doc_count"] + list(metrics)
+    for name in stats_specs:
+        out[f"{name}_count"] = out[f"{name}_count"].astype("int64")
+        out[f"{name}_avg"] = out[f"{name}_sum"] / out[f"{name}_count"]
+        cols += [f"{name}_count", f"{name}_min", f"{name}_max",
+                 f"{name}_avg", f"{name}_sum"]
+    for name, (mfield, percents) in pct_specs.items():
+        from nexus_forge_ray.ops.agg import grouped_percentiles
+        ps = {f"{name}_p{format(p, 'g')}": p for p in percents}
+        pct = grouped_percentiles(ds, field, mfield, ps,
+                                  num_buckets=16).to_pandas() \
+            .rename(columns={field: "key"})
+        out = out.merge(pct, on="key", how="left")
+        cols += list(ps)
     return out[cols].reset_index(drop=True)

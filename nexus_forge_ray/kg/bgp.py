@@ -132,6 +132,8 @@ class ParsedQuery(NamedTuple):
     # patterns (equivalent to full SPARQL whenever the group binds at least
     # one shared variable, which this subset requires).
     not_exists: list[list[tuple[str, str, str]]] = []
+    # FILTER EXISTS {...} groups — bucketed semi-join on the shared vars
+    exists: list[list[tuple[str, str, str]]] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -233,6 +235,12 @@ def parse_sparql(query: str) -> ParsedQuery:
                   body)
     body = re.sub(r"(?is)\bminus\s*\{([^{}]*)\}",
                   lambda mm: (not_exists_raw.append(mm.group(1)), " ")[1],
+                  body)
+    # positive FILTER EXISTS { ... } (after NOT EXISTS: that regex requires
+    # the `not`, so the remaining `filter exists` matches are all positive)
+    exists_raw: list[str] = []
+    body = re.sub(r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
+                  lambda mm: (exists_raw.append(mm.group(1)), " ")[1],
                   body)
 
     # pull OPTIONAL { ... } groups out of the body first (patterns contain
@@ -354,9 +362,15 @@ def parse_sparql(query: str) -> ParsedQuery:
     if union_groups and not_exists:
         raise ValueError("NOT EXISTS/MINUS inside a UNION query is "
                          "unsupported")
+    exists = [patterns_of(g) for g in exists_raw]
+    if any(not g for g in exists):
+        raise ValueError("empty EXISTS block")
+    if union_groups and exists:
+        raise ValueError("EXISTS inside a UNION query is unsupported")
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
-                       group_by, aggregates, values_clauses, not_exists)
+                       group_by, aggregates, values_clauses, not_exists,
+                       exists)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -471,43 +485,56 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         for b in branches[1:]:
             out = out.union(b)
         bound = list(wanted)
-        opt_vars, shared_per_group, anti_shared = [], [], []
+        opt_vars, shared_per_group = [], []
+        anti_shared, semi_shared = [], []
     else:
         req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
         opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
                                        if _is_var(t))) for g in q.optionals]
         shared_per_group = [[v for v in gv if v in req_vars]
                             for gv in opt_vars]
-        anti_shared = [[v for v in dict.fromkeys(
-            t[1:] for pat in g for t in pat if _is_var(t)) if v in req_vars]
-            for g in q.not_exists]
+
+        def _shared_of(groups):
+            return [[v for v in dict.fromkeys(
+                t[1:] for pat in g for t in pat if _is_var(t))
+                if v in req_vars] for g in groups]
+
+        anti_shared = _shared_of(q.not_exists)
+        semi_shared = _shared_of(q.exists)
         needed = list(dict.fromkeys(
             [v for v in wanted if v in req_vars]
             + [v for sh in shared_per_group for v in sh]
-            + [v for sh in anti_shared for v in sh]))
+            + [v for sh in anti_shared for v in sh]
+            + [v for sh in semi_shared for v in sh]))
         out = bgp_select(triples, q.patterns, needed, **kw)
         bound = list(needed)
-    for gpats, shared in zip(q.not_exists, anti_shared):
-        if not shared:
-            raise ValueError(f"NOT EXISTS/MINUS {gpats} shares no variable "
-                             "with the required patterns")
-        sub = bgp_select(triples, gpats, shared, **kw)
 
-        def key_of(cols):
-            def fn(df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy()
-                df["__nk"] = df[cols[0]].astype(str) if len(cols) == 1 \
-                    else df[cols].astype(str).agg("\x1f".join, axis=1)
-                return df
-            return fn
+    def key_of(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__nk"] = df[cols[0]].astype(str) if len(cols) == 1 \
+                else df[cols].astype(str).agg("\x1f".join, axis=1)
+            return df
+        return fn
 
-        from nexus_forge_ray.ops.joins import partitioned_anti_join
-        out = partitioned_anti_join(
-            out.map_batches(key_of(shared), batch_format="pandas"),
-            sub.map_batches(key_of(shared), batch_format="pandas"),
-            on="__nk", lcols=bound + ["__nk"]) \
-            .map_batches(lambda df: df.drop(columns="__nk"),
-                         batch_format="pandas")
+    from nexus_forge_ray.ops.joins import (partitioned_anti_join,
+                                           partitioned_semi_join)
+    for kind, groups, shareds in (("NOT EXISTS/MINUS", q.not_exists,
+                                   anti_shared),
+                                  ("EXISTS", q.exists, semi_shared)):
+        joiner = partitioned_anti_join if kind != "EXISTS" \
+            else partitioned_semi_join
+        for gpats, shared in zip(groups, shareds):
+            if not shared:
+                raise ValueError(f"{kind} {gpats} shares no variable "
+                                 "with the required patterns")
+            sub = bgp_select(triples, gpats, shared, **kw)
+            out = joiner(
+                out.map_batches(key_of(shared), batch_format="pandas"),
+                sub.map_batches(key_of(shared), batch_format="pandas"),
+                on="__nk", lcols=bound + ["__nk"]) \
+                .map_batches(lambda df: df.drop(columns="__nk"),
+                             batch_format="pandas")
     for gpats, gv, shared in zip(q.optionals, opt_vars, shared_per_group):
         if not shared:
             raise ValueError(f"OPTIONAL {gpats} shares no variable with the "

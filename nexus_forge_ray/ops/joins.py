@@ -325,6 +325,41 @@ def partitioned_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
                                                batch_format="pandas")
 
 
+def partitioned_semi_join(left: ray.data.Dataset,
+                          right_keys: ray.data.Dataset, on: str,
+                          num_buckets: int = 32,
+                          lcols: list[str] | None = None) -> ray.data.Dataset:
+    """Bucketed semi-join: keep `left` rows whose `on` value appears in
+    `right_keys` — the scale twin of `semi_join` for key sets too large to
+    broadcast (same one-exchange plan as `partitioned_anti_join`, with the
+    membership test un-negated). Right-side duplicates cannot multiply
+    left rows (it's a membership filter, not a merge)."""
+    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
+                                for c in lcols})
+            out["__bucket"] = (stable_hash_u64(batch[on])
+                               % np.uint64(num_buckets)).astype("int32") \
+                if len(batch) else np.array([], dtype="int32")
+            out["__side"] = side
+            return out
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right_keys.map_batches(tag("r"), batch_format="pandas")
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"]
+        keep = group.loc[group["__side"] == "r", on]
+        out = lg.loc[lg[on].isin(set(keep)), lcols]
+        return out.infer_objects()
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pandas")
+
+
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      num_buckets: int = 32, how: str = "inner",
                      lcols: list[str] | None = None,

@@ -625,6 +625,33 @@ def q_es_range_agg(sf_dir: str):
     return out
 
 
+def q_es_stats_agg(sf_dir: str):
+    """ES terms buckets with `stats` (count/min/max/avg/sum in one
+    re-aggregable exchange) and exact `percentiles` sub-aggs (quantile_cont
+    semantics through the grouped-percentiles exchange; ES's t-digest is
+    the approximate at-scale substitute)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {
+                "value_stats": {"stats": {"field": "value"}},
+                "value_pct": {"percentiles": {"field": "value",
+                                              "percents": [50, 95]}}}}},
+    }
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = forge.elastic(body, data=ev)
+    for c in ("value_stats_avg", "value_stats_sum"):
+        out[c] = pc.round(pa.array(out[c], type=pa.float64()), ndigits=2,
+                          round_mode="half_towards_infinity").to_pandas()
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def doc_unigram_logprob(sf_dir: str):
     """Unigram-LM document scoring (the cheap perplexity proxy used for
     corpus quality filtering): P(t) = corpus_count(t) / total_tokens,

@@ -434,6 +434,23 @@ def kg_bgp_notexists(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_exists(sf_dir: str):
+    """SPARQL positive FILTER EXISTS (bucketed semi-join subset): English
+    documents that mention 'spark' AND also mention 'table'. The
+    sub-group's bindings project to the shared variable; membership
+    filtering in one exchange (duplicate sub-bindings cannot multiply
+    rows)."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX e: <http://example.org/entity/>
+    SELECT ?d WHERE {
+      ?d v:mentions e:spark .
+      ?d v:lang "en" .
+      FILTER EXISTS { ?d v:mentions e:table }
+    }"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -552,6 +569,7 @@ QUERIES = {
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
     "kg_bgp_notexists": kg_bgp_notexists,
+    "kg_bgp_exists": kg_bgp_exists,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

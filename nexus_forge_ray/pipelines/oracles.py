@@ -429,6 +429,19 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    "kg_bgp_exists": f"""
+        with {_KG_TRIPLES_CTE}
+        select a.subj as d
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and a.obj = 'http://example.org/entity/spark'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
+          and exists (
+              select 1 from t c
+              where c.subj = a.subj
+                and c.pred = 'http://example.org/vocab/mentions'
+                and c.obj = 'http://example.org/entity/table')
+    """,
     # label propagation unrolled (2 synchronous rounds): init label = node,
     # each round = weighted neighbor-label count + argmax with (sum desc,
     # label asc) tie-break — exactly kg/communities.label_propagation.
@@ -1128,6 +1141,20 @@ ORACLES: dict[str, str] = {
         union all
         select '50-*', count(*)::bigint, round(avg(value), 2), max(value)
         from f where value >= 50
+    """,
+    "q_es_stats_agg": """
+        select event_type as key,
+               count(*)::bigint as doc_count,
+               count(value)::bigint as value_stats_count,
+               min(value) as value_stats_min,
+               max(value) as value_stats_max,
+               round(avg(value), 2) as value_stats_avg,
+               round(sum(value), 2) as value_stats_sum,
+               round(quantile_cont(value, 0.50), 2) as value_pct_p50,
+               round(quantile_cont(value, 0.95), 2) as value_pct_p95
+        from events
+        group by 1
+        order by 1
     """,
     "q_events_outliers": """
         with th as (

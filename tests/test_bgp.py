@@ -334,3 +334,39 @@ def test_not_exists_multi_shared_vars(ray_session):
     out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
     pairs = sorted(zip(out["d"], out["e"]))
     assert pairs == [("d2", "x"), ("d2", "y")]
+
+
+def test_exists_semi_join(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "spark"), ("d1", "m", "table"),
+         ("d2", "m", "spark"), ("d3", "m", "table"),
+         ("d3", "m", "sort"), ("d3", "m", "spark")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = 'SELECT ?d WHERE { ?d <m> "spark" . ' \
+        'FILTER EXISTS { ?d <m> "table" } }'
+    out = sparql_select(trip, q).to_pandas()
+    # duplicates in the EXISTS sub-bindings (d3 has two other mentions)
+    # must not multiply rows
+    assert sorted(out["d"]) == ["d1", "d3"]
+
+
+def test_exists_and_not_exists_compose(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "a"), ("d1", "m", "b"),
+         ("d2", "m", "a"), ("d2", "m", "c"),
+         ("d3", "m", "a")],
+        columns=["subj", "pred", "obj"])
+    q = 'SELECT ?d WHERE { ?d <m> "a" . ' \
+        'FILTER EXISTS { ?d <m> "b" } ' \
+        'FILTER NOT EXISTS { ?d <m> "c" } }'
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    assert sorted(out["d"]) == ["d1"]

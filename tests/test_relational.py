@@ -55,6 +55,7 @@ CASES = {
     "q_smb_join": relational.q_smb_join,
     "doc_dedup_incremental": corpus.doc_dedup_incremental,
     "q_es_range_agg": corpus.q_es_range_agg,
+    "q_es_stats_agg": corpus.q_es_stats_agg,
 }
 
 
