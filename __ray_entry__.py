@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_es_range_agg": corpus.q_es_range_agg,
         "doc_quality_classifier": corpus.doc_quality_classifier,
         "q_es_stats_agg": corpus.q_es_stats_agg,
+        "doc_splits": corpus.doc_splits,
+        "doc_host_cap": corpus.doc_host_cap,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

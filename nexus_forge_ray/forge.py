@@ -59,6 +59,11 @@ class KnowledgeGraphForge:
             ParquetStore(store["base"]) if store.get("base") else None)
         self._files: FileStore | None = (
             FileStore(store["base"]) if store.get("base") else None)
+        # mappings-as-data registry (reference: model-dir mapping files,
+        # forge.py:545-581): {source: {entity: rules dict | str | Mapping}}
+        self._mappings: dict[str, dict[str, Any]] = {
+            src: dict(ents)
+            for src, ents in (cfg.get("mappings") or {}).items()}
         self._resolvers: dict[str, ResolverScopes] = {}
         for scope, targets in (cfg.get("resolvers") or {}).items():
             scopes = ResolverScopes()
@@ -141,6 +146,28 @@ class KnowledgeGraphForge:
         rows = data if isinstance(data, list) else [data]
         out = [mapper.map_record(r) for r in rows]
         return out if isinstance(data, list) else out[0]
+
+    def sources(self) -> list[str]:
+        """Data sources with registered mappings (forge.py:545-552)."""
+        return sorted(self._mappings)
+
+    def mappings(self, source: str) -> dict[str, list[str]]:
+        """entity -> [mapping types] for a source (forge.py:554-566)."""
+        if source not in self._mappings:
+            raise ValueError(f"Unknown source: {source}. Sources with "
+                             f"mappings: {self.sources()}")
+        return {entity: ["DictionaryMapping"]
+                for entity in sorted(self._mappings[source])}
+
+    def mapping(self, entity: str, source: str):
+        """The registered Mapping for (entity, source) (forge.py:568-581)."""
+        from nexus_forge_ray.mapping.rules import Mapping
+        ents = self._mappings.get(source)
+        if ents is None or entity not in ents:
+            raise ValueError(f"No mapping for entity {entity!r} in source "
+                             f"{source!r}")
+        m = ents[entity]
+        return m if isinstance(m, Mapping) else Mapping.load(m)
 
     def format(self, what: str, *args) -> str:
         if what not in self._formatters:
@@ -242,8 +269,48 @@ class KnowledgeGraphForge:
     def as_jsonld(self, record: dict, form: str = "compacted") -> dict:
         return conv.as_jsonld(record, self.context, form)
 
+    def from_json(self, data, na=None):
+        """JSON dict(s) -> record(s), dropping `na` sentinel values — the
+        reference's from_json (forge.py:914-925) without its Resource
+        wrapper (records ARE dicts here)."""
+        def one(d: dict) -> dict:
+            return {k: v for k, v in d.items()
+                    if not (na is not None and v == na)}
+        return [one(d) for d in data] if isinstance(data, list) \
+            else one(data)
+
     def from_jsonld(self, doc: dict) -> dict:
         return conv.from_jsonld(doc)
+
+    def as_graph(self, data):
+        """record dict/list -> (subj, pred, obj, obj_is_iri, obj_datatype)
+        triples; Dataset -> triple Dataset (the reference's as_graph,
+        forge.py:865-882, rdflib replaced by the flat triple table)."""
+        from nexus_forge_ray.kg.triples import explode_dataset, explode_record
+        if isinstance(data, ray.data.Dataset):
+            return explode_dataset(data, context=self.context)
+        rows = data if isinstance(data, list) else [data]
+        out: list[tuple] = []
+        for r in rows:
+            out.extend(explode_record(r, self.context))
+        return out
+
+    def from_graph(self, triples, types: list[str] | None = None):
+        """Inverse of as_graph — JSON-LD framing by type + compaction
+        (the reference's from_graph, rdf.py:100-140). A Dataset returns the
+        assembled (subj, record) Dataset; a triple list returns records."""
+        from nexus_forge_ray.kg.triples import assemble_resources
+        if isinstance(triples, ray.data.Dataset):
+            return assemble_resources(triples, context=self.context,
+                                      types=types)
+        df = pd.DataFrame(triples, columns=["subj", "pred", "obj",
+                                            "obj_is_iri", "obj_datatype"])
+        out = assemble_resources(ray.data.from_pandas(df),
+                                 context=self.context, types=types) \
+            .to_pandas()
+        if "record" not in out.columns:     # nothing survived the frame
+            return []
+        return sorted(out["record"], key=lambda r: str(r.get("id")))
 
     def as_dataframe(self, records: list[dict], na=None) -> pd.DataFrame:
         return conv.records_to_dataframe(records, na)

@@ -145,7 +145,9 @@ def _revive(val: str, dt: str | None):
 def assemble_resources(triples_ds: ray.data.Dataset, *,
                        context: dict | None = None,
                        types: list[str] | None = None,
-                       embed: bool = True) -> ray.data.Dataset:
+                       embed: bool = True,
+                       default_ns: str = "http://example.org/vocab/",
+                       ) -> ray.data.Dataset:
     """Inverse of explode — JSON-LD framing + compaction (the reference's
     from_graph, rdf.py:100-140): group triples by subject, compact predicate
     IRIs and type values against the reverse context (rdf:type -> 'type'),
@@ -161,6 +163,15 @@ def assemble_resources(triples_ds: ray.data.Dataset, *,
     """
     from nexus_forge_ray.utils import stable_hash_u64
     rev = _reverse_context(context)
+
+    def compact(pred: str) -> str:
+        """Reverse-context term, else strip the default namespace —
+        the exact inverse of explode_record's expand_term."""
+        if pred in rev:
+            return rev[pred]
+        if default_ns and pred.startswith(default_ns):
+            return pred[len(default_ns):]
+        return pred
 
     def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -180,10 +191,10 @@ def assemble_resources(triples_ds: ray.data.Dataset, *,
                 else:
                     vals = sub["obj"].tolist()
                 if pred == RDF_TYPE:
-                    vals = [rev.get(str(v), str(v)) for v in vals]
+                    vals = [compact(str(v)) for v in vals]
                     rec["type"] = vals[0] if len(vals) == 1 else sorted(vals)
                     continue
-                key = rev.get(pred, pred)
+                key = compact(pred)
                 rec[key] = vals[0] if len(vals) == 1 else \
                     sorted(vals, key=str)
             recs[subj] = rec

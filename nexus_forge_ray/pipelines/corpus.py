@@ -581,6 +581,34 @@ def doc_sample_stratified(sf_dir: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+SPLITS = {"train": 90, "valid": 5, "test": 5}
+
+
+def doc_splits(sf_dir: str):
+    """Deterministic train/valid/test assignment (`ops.splits.assign_split`):
+    md5(doc_id) % 100 into consecutive share ranges — reproducible across
+    engines (DuckDB md5_number_lower basis), zero shuffle, stable under
+    corpus growth. The partitioned-write path (`write_splits`) is
+    test-gated (disjoint + exhaustive round-trip)."""
+    from nexus_forge_ray.ops.splits import assign_split
+    out = assign_split(_docs(sf_dir, ["doc_id", "lang"]), "doc_id", SPLITS)
+    return out.map_batches(lambda df: df[["doc_id", "split"]],
+                           batch_format="pandas")
+
+
+def doc_host_cap(sf_dir: str):
+    """Per-host frequency capping (keep at most 20 docs per source, smallest
+    doc_id first) — the anti-boilerplate / anti-SEO-farm move in web-corpus
+    curation. `grouped_row_number` with a map-side keep-first cut: the
+    shuffle moves at most cap x hosts rows, never the corpus."""
+    from nexus_forge_ray.ops.agg import grouped_row_number
+    capped = grouped_row_number(
+        _docs(sf_dir, ["doc_id", "source"]), "source", ["doc_id"],
+        keep_first=20)
+    return capped.map_batches(
+        lambda df: df[["doc_id", "source", "rn"]], batch_format="pandas")
+
+
 def q_es_date_histogram(sf_dir: str):
     """ES date_histogram bucket agg with sum + exact-cardinality sub-aggs
     over the events stream: hourly buckets, per-bucket revenue and distinct

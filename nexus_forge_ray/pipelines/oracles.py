@@ -1142,6 +1142,23 @@ ORACLES: dict[str, str] = {
         select '50-*', count(*)::bigint, round(avg(value), 2), max(value)
         from f where value >= 50
     """,
+    "doc_splits": """
+        select doc_id,
+               case when h < 90 then 'train'
+                    when h < 95 then 'valid'
+                    else 'test' end as split
+        from (select doc_id,
+                     md5_number_lower(doc_id::varchar) % 100 as h
+              from documents)
+    """,
+    "doc_host_cap": """
+        select doc_id, source, rn from (
+            select doc_id, source,
+                   row_number() over (partition by source
+                                      order by doc_id) as rn
+            from documents)
+        where rn <= 20
+    """,
     "q_es_stats_agg": """
         select event_type as key,
                count(*)::bigint as doc_count,

@@ -114,3 +114,42 @@ def test_codecs(forge):
     assert forge.from_jsonld(doc) == rec
     df = forge.as_dataframe([rec])
     assert forge.from_dataframe(df) == [rec]
+
+
+def test_sources_mappings_registry(tmp_path):
+    rules = {"type": "Person", "name": "x.first + ' ' + x.last"}
+    forge = KnowledgeGraphForge({
+        "mappings": {"people-db": {"Person": rules}}})
+    assert forge.sources() == ["people-db"]
+    assert forge.mappings("people-db") == {"Person": ["DictionaryMapping"]}
+    m = forge.mapping("Person", "people-db")
+    out = forge.map({"first": "Ada", "last": "Lovelace"}, m)
+    assert out["name"] == "Ada Lovelace"
+    with pytest.raises(ValueError):
+        forge.mappings("nope")
+    with pytest.raises(ValueError):
+        forge.mapping("Org", "people-db")
+
+
+def test_as_graph_from_graph_roundtrip(forge):
+    rec = {"id": "https://ex.org/p/1", "type": "Person",
+           "familyName": "Curie", "age": 66}
+    triples = forge.as_graph(rec)
+    assert ("https://ex.org/p/1",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "https://schema.org/Person", True, None) in triples
+    back = forge.from_graph(triples)
+    assert len(back) == 1
+    r = back[0]
+    assert r["id"] == "https://ex.org/p/1"
+    assert r["type"] == "Person"          # compacted via reverse context
+    assert r["familyName"] == "Curie"
+    assert r["age"] == 66                 # literal revived as int
+    # framing by type filters non-matching records out
+    assert forge.from_graph(triples, types=["Organization"]) == []
+
+
+def test_from_json_drops_na(forge):
+    recs = forge.from_json([{"a": 1, "b": "N/A"}, {"a": 2, "b": 3}],
+                           na="N/A")
+    assert recs == [{"a": 1}, {"a": 2, "b": 3}]

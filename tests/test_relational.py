@@ -56,6 +56,8 @@ CASES = {
     "doc_dedup_incremental": corpus.doc_dedup_incremental,
     "q_es_range_agg": corpus.q_es_range_agg,
     "q_es_stats_agg": corpus.q_es_stats_agg,
+    "doc_splits": corpus.doc_splits,
+    "doc_host_cap": corpus.doc_host_cap,
 }
 
 
