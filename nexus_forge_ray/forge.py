@@ -240,13 +240,22 @@ class KnowledgeGraphForge:
         return self._need_store().search(*filters, **kw)
 
     def sparql(self, query: str, triples: ray.data.Dataset, **kw):
-        """SELECT-BGP SPARQL over a triple Dataset (the reference's
-        forge.sparql, kgforge/core/forge.py:539-566, with the graph passed
-        explicitly — this engine's stores hold records, not endpoint state).
-        Patterns compile to vectorized filters + bucketed joins
-        (`kg.bgp`)."""
-        from nexus_forge_ray.kg.bgp import sparql_select
-        return sparql_select(triples, query, **kw)
+        """SPARQL over a triple Dataset (the reference's forge.sparql,
+        kgforge/core/forge.py:539-566, with the graph passed explicitly —
+        this engine's stores hold records, not endpoint state). Dispatches
+        on the query form: SELECT -> binding Dataset, CONSTRUCT -> triple
+        Dataset (set semantics), ASK -> bool. Patterns compile to
+        vectorized filters + bucketed joins (`kg.bgp`)."""
+        import re as _re
+
+        from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
+                                            sparql_select)
+        form = _re.search(r"(?is)\b(select|construct|ask)\b", query)
+        if form is None:
+            raise ValueError("need a SELECT / CONSTRUCT / ASK query")
+        fn = {"select": sparql_select, "construct": sparql_construct,
+              "ask": sparql_ask}[form.group(1).lower()]
+        return fn(triples, query, **kw)
 
     # ------------------------------------------------------------------ files
 

@@ -14,6 +14,7 @@ Terms starting with '?' are variables; anything else matches literally.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 import pandas as pd
@@ -557,3 +558,104 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         out = out.sort(key=[v for v, _ in q.order_by],
                        descending=[d for _, d in q.order_by])
     return out.limit(q.limit) if q.limit is not None else out
+
+
+def _template_patterns(block: str, prefixes: dict[str, str]) \
+        -> list[tuple[str, str, str]]:
+    """Dot-separated triple patterns of a CONSTRUCT/ASK group (same term
+    forms as the WHERE parser: ?var, <iri>, prefix:local, "literal", 'a')."""
+    def term(tok: str) -> str:
+        if tok.startswith("?"):
+            return tok
+        if tok.startswith('"'):
+            return tok.strip('"')
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return tok
+
+    pats = []
+    for stmt in re.split(r"\s*\.\s*", block.strip()):
+        if not stmt.strip():
+            continue
+        toks = re.findall(r'<[^>]*>|"[^"]*"|\S+', stmt)
+        if len(toks) != 3:
+            raise ValueError(f"bad triple pattern: {stmt!r}")
+        pats.append(tuple(term(t) for t in toks))
+    return pats
+
+
+def sparql_construct(triples: ray.data.Dataset, query: str,
+                     **kw) -> ray.data.Dataset:
+    """CONSTRUCT { template } WHERE { ... } — the query form the
+    reference's OntologyResolver issues (ontology_resolver.py:48-129).
+
+    Rewrites to the SELECT of the template's variables (reusing the whole
+    WHERE surface: FILTER, OPTIONAL, EXISTS, VALUES, paths), then one
+    vectorized map emits a (subj, pred, obj) row per template pattern per
+    binding, and a bucketed distinct enforces graph (set) semantics.
+    Bindings left unbound by OPTIONAL drop that pattern's row, per spec.
+    """
+    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+                               query))
+    header = "\n".join(f"PREFIX {p}: <{iri}>"
+                       for p, iri in prefixes.items())
+    m = re.search(r"(?is)\bconstruct\s*\{(.*?)\}\s*(where\s*\{.*)$", query)
+    if not m:
+        raise ValueError("need CONSTRUCT { template } WHERE { ... }")
+    template = _template_patterns(m.group(1), prefixes)
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    tvars = list(dict.fromkeys(
+        t for pat in template for t in pat if _is_var(t)))
+    if not tvars:
+        raise ValueError("CONSTRUCT template binds no variables")
+    bindings = sparql_select(
+        triples, f"{header}\nSELECT {' '.join(tvars)} {m.group(2)}", **kw)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for s, p, o in template:
+            cols = {}
+            for name, t in (("subj", s), ("pred", p), ("obj", o)):
+                cols[name] = df[t[1:]] if _is_var(t) \
+                    else pd.Series([t] * len(df), index=df.index)
+            tri = pd.DataFrame(cols)
+            parts.append(tri[tri.notna().all(axis=1)])
+        return pd.concat(parts, ignore_index=True)
+
+    from nexus_forge_ray.ops.agg import distinct_rows
+    return distinct_rows(
+        bindings.map_batches(emit, batch_format="pandas"),
+        ["subj", "pred", "obj"])
+
+
+def sparql_ask(triples: ray.data.Dataset, query: str, **kw) -> bool:
+    """ASK { patterns } — True iff the pattern group has any solution.
+    Rewrites to a LIMIT-1 SELECT of the group's variables; only one block
+    ever leaves the cluster."""
+    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+                               query))
+    header = "\n".join(f"PREFIX {p}: <{iri}>"
+                       for p, iri in prefixes.items())
+    m = re.search(r"(?is)\bask\s*(\{.*\})\s*$", query)
+    if not m:
+        raise ValueError("need ASK { patterns }")
+    inner = m.group(1)[1:-1]
+    gvars = list(dict.fromkeys(
+        t for pat in _template_patterns(
+            re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{[^{}]*\}|"
+                   r"\bfilter\s+exists\s*\{[^{}]*\}|\bminus\s*\{[^{}]*\}|"
+                   r"\bfilter\s*\([^()]*\)", " ", inner), prefixes)
+        for t in pat if _is_var(t)))
+    if not gvars:
+        raise ValueError("ASK group binds no variables")
+    sel = sparql_select(
+        triples, f"{header}\nSELECT {' '.join(gvars)} WHERE "
+        f"{{{inner}}} LIMIT 1", **kw)
+    return len(sel.take(1)) > 0

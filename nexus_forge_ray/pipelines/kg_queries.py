@@ -451,6 +451,18 @@ def kg_bgp_exists(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_construct(sf_dir: str):
+    """SPARQL CONSTRUCT (the reference OntologyResolver's query form):
+    reify mention edges of English documents into hasTopic/topicOf triples.
+    Bindings come from the full SELECT machinery; the template expansion is
+    one vectorized map; graph set semantics via bucketed distinct."""
+    from nexus_forge_ray.kg.bgp import sparql_construct
+    q = """PREFIX v: <http://example.org/vocab/>
+    CONSTRUCT { ?d v:hasTopic ?e . ?e v:topicOf ?d }
+    WHERE { ?d v:mentions ?e . ?d v:lang "en" }"""
+    return sparql_construct(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -570,6 +582,7 @@ QUERIES = {
     "kg_kcore": kg_kcore,
     "kg_bgp_notexists": kg_bgp_notexists,
     "kg_bgp_exists": kg_bgp_exists,
+    "kg_bgp_construct": kg_bgp_construct,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

@@ -429,6 +429,18 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    "kg_bgp_construct": f"""
+        with {_KG_TRIPLES_CTE},
+        en_mentions as (
+            select distinct a.subj as d, a.obj as e
+            from t a join t b on a.subj = b.subj
+            where a.pred = 'http://example.org/vocab/mentions'
+              and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en')
+        select d as subj, 'http://example.org/vocab/hasTopic' as pred,
+               e as obj from en_mentions
+        union
+        select e, 'http://example.org/vocab/topicOf', d from en_mentions
+    """,
     "kg_bgp_exists": f"""
         with {_KG_TRIPLES_CTE}
         select a.subj as d

@@ -370,3 +370,56 @@ def test_exists_and_not_exists_compose(ray_session):
         'FILTER NOT EXISTS { ?d <m> "c" } }'
     out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
     assert sorted(out["d"]) == ["d1"]
+
+
+def _construct_fixture():
+    import pandas as pd
+    import ray.data
+    t = pd.DataFrame(
+        [("d1", "m", "spark"), ("d1", "lang", "en"),
+         ("d2", "m", "spark"), ("d2", "lang", "fr"),
+         ("d3", "m", "sort"), ("d3", "lang", "en"),
+         ("d3", "m", "sort")],          # duplicate triple
+        columns=["subj", "pred", "obj"])
+    return ray.data.from_pandas(t)
+
+
+def test_construct_emits_template_triples(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_construct
+    q = '''CONSTRUCT { ?d <hasTopic> ?e . ?e <topicOf> ?d }
+           WHERE { ?d <m> ?e . ?d <lang> "en" }'''
+    out = sparql_construct(_construct_fixture(), q).to_pandas()
+    rows = sorted(map(tuple, out[["subj", "pred", "obj"]].to_numpy()))
+    # d3's duplicate (m, sort) binding collapses: graph set semantics
+    assert rows == [("d1", "hasTopic", "spark"), ("d3", "hasTopic", "sort"),
+                    ("sort", "topicOf", "d3"), ("spark", "topicOf", "d1")]
+
+
+def test_construct_constant_template_terms(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_construct
+    q = '''PREFIX v: <http://v/>
+           CONSTRUCT { ?d a v:Doc } WHERE { ?d <lang> "en" }'''
+    out = sparql_construct(_construct_fixture(), q).to_pandas()
+    assert sorted(out["subj"]) == ["d1", "d3"]
+    assert set(out["pred"]) == {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
+    assert set(out["obj"]) == {"http://v/Doc"}
+
+
+def test_ask(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_ask
+    ds = _construct_fixture()
+    assert sparql_ask(ds, 'ASK { ?d <m> "spark" . ?d <lang> "en" }')
+    assert not sparql_ask(ds, 'ASK { ?d <m> "spark" . ?d <lang> "de" }')
+
+
+def test_forge_sparql_dispatch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    ds = _construct_fixture()
+    assert forge.sparql('ASK { ?d <m> "sort" }', ds) is True
+    tri = forge.sparql(
+        'CONSTRUCT { ?d <t> ?e } WHERE { ?d <m> ?e }', ds).to_pandas()
+    assert len(tri) == 3
+    sel = forge.sparql('SELECT ?d WHERE { ?d <lang> "fr" }', ds).to_pandas()
+    assert list(sel["d"]) == ["d2"]
