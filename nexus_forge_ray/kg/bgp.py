@@ -55,20 +55,57 @@ def match_pattern(triples: ray.data.Dataset,
     return triples.map_batches(project, batch_format="pandas")
 
 
+def plan_patterns(patterns: list[tuple[str, str, str]]) \
+        -> list[tuple[str, str, str]]:
+    """Greedy join-order planner: start from the most selective pattern
+    (most constant positions; constant subject > object > predicate as the
+    tie-break — predicates are low-cardinality in real graphs), then
+    repeatedly take the most selective pattern sharing a variable with the
+    bound set. Patterns a user wrote in arbitrary order execute as if
+    ordered best-first; genuinely disconnected groups (cross joins) keep
+    their relative order and still fail downstream with the explicit
+    cross-join error."""
+    def score(pat) -> tuple:
+        consts = sum(0 if _is_var(t) else 1 for t in pat)
+        pos = (0 if _is_var(pat[0]) else 4) \
+            + (0 if _is_var(pat[2]) else 2) \
+            + (0 if _is_var(pat[1]) else 1)
+        return (consts, pos)
+
+    remaining = list(patterns)
+    if not remaining:
+        return remaining
+    ordered = [max(remaining, key=score)]
+    remaining.remove(ordered[0])
+    bound = {t[1:] for t in ordered[0] if _is_var(t)}
+    while remaining:
+        linked = [p for p in remaining
+                  if any(_is_var(t) and t[1:] in bound for t in p)]
+        nxt = max(linked, key=score) if linked else remaining[0]
+        ordered.append(nxt)
+        remaining.remove(nxt)
+        bound |= {t[1:] for t in nxt if _is_var(t)}
+    return ordered
+
+
 def bgp_select(triples: ray.data.Dataset,
                patterns: list[tuple[str, str, str]],
                select: list[str], *,
-               num_buckets: int = 16) -> ray.data.Dataset:
+               num_buckets: int = 16,
+               plan: bool = True) -> ray.data.Dataset:
     """SELECT ?vars WHERE { patterns } — conjunctive triple-pattern query.
 
-    Patterns join left-to-right on their shared variables. Duplicate rows
-    are kept (SPARQL SELECT semantics without DISTINCT); wrap with
-    `ops.agg.distinct_rows` for SELECT DISTINCT. Patterns with no variable
-    shared with the accumulated bindings would be a cross join and are
-    rejected — reorder the patterns instead.
+    Patterns are greedily reordered most-selective-first (`plan_patterns`;
+    pass plan=False to keep the caller's order) and join left-to-right on
+    their shared variables. Duplicate rows are kept (SPARQL SELECT
+    semantics without DISTINCT); wrap with `ops.agg.distinct_rows` for
+    SELECT DISTINCT. Patterns with no variable shared with the accumulated
+    bindings would be a cross join and are rejected.
     """
     from nexus_forge_ray.ops.joins import partitioned_join
 
+    if plan:
+        patterns = plan_patterns(patterns)
     triples = triples.materialize()  # scanned once per pattern
     sel = [v.lstrip("?") for v in select]
     bound: list[str] = []

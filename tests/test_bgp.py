@@ -423,3 +423,27 @@ def test_forge_sparql_dispatch(ray_session):
     assert len(tri) == 3
     sel = forge.sparql('SELECT ?d WHERE { ?d <lang> "fr" }', ds).to_pandas()
     assert list(sel["d"]) == ["d2"]
+
+
+def test_planner_reorders_worst_first_query(ray_session):
+    from nexus_forge_ray.kg.bgp import plan_patterns, sparql_select
+    # all-variable pattern first: unplanned this binds the whole table
+    # before filtering; the planner starts from the constant-object pattern
+    q = 'SELECT ?d ?e WHERE { ?d ?p ?e . ?d <lang> "en" . ?d <m> ?e }'
+    out = sparql_select(_construct_fixture(), q).to_pandas()
+    pairs = sorted(set(zip(out["d"], out["e"])))
+    assert ("d1", "spark") in pairs and ("d3", "sort") in pairs
+    assert all(d in ("d1", "d3") for d, _ in pairs)
+    ordered = plan_patterns([("?d", "?p", "?e"), ("?d", "<lang>", "en"),
+                             ("?d", "m", "?e")])
+    assert ordered[0][1] == "<lang>"      # 2 constants wins
+    assert ordered[-1] == ("?d", "?p", "?e")
+
+
+def test_planner_keeps_disconnected_error(ray_session):
+    import pytest as _pytest
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = 'SELECT ?d ?x WHERE { ?d <m> "spark" . ?x <other> "y" }'
+    with _pytest.raises(ValueError, match="cross join"):
+        sparql_select(_construct_fixture(), q).to_pandas()
