@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_es_stats_agg": corpus.q_es_stats_agg,
         "doc_splits": corpus.doc_splits,
         "doc_host_cap": corpus.doc_host_cap,
+        "doc_url_normalize": corpus.doc_url_normalize,
+        "doc_snapshot_diff": corpus.doc_snapshot_diff,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

@@ -450,3 +450,37 @@ def token_rows(ds: ray.data.Dataset, text_col: str = "text",
             out[c] = batch[c].to_numpy().repeat(lens)
         return out
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def normalize_urls(ds: ray.data.Dataset, url_col: str = "url",
+                   out: str = "url_norm") -> ray.data.Dataset:
+    """URL canonicalization for web-corpus dedup-by-url (the step before
+    exact URL dedup on a crawl): strip the fragment, lowercase the
+    scheme+authority (path/query case is significant, host case is not),
+    drop default ports (:80 http, :443 https) and trailing slashes.
+
+    All four rules are single-pass vectorized regexes in a fixed order,
+    each exactly mirrorable in SQL (regexp_replace/regexp_extract) so the
+    operator is oracle-checkable end-to-end.
+    """
+    _AUTH = r"^([a-zA-Z][\w+.-]*://[^/?#]*)"
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[url_col].astype(str)
+        u = u.str.replace(r"#.*$", "", regex=True)              # 1 fragment
+        pre = u.str.extract(_AUTH, expand=False).fillna("")
+        rest = u.str.replace(_AUTH, "", regex=True)
+        u = pre.str.lower() + rest                              # 2 authority
+        # capture-group form (no lookahead): RE2 — the SQL oracle's
+        # regex engine — has no lookahead, and both sides must share the
+        # exact regex for the oracle to be meaningful
+        u = u.str.replace(r"^(http://[^/?#]*):80($|[/?#])", r"\1\2",
+                          regex=True)                           # 3 ports
+        u = u.str.replace(r"^(https://[^/?#]*):443($|[/?#])", r"\1\2",
+                          regex=True)
+        u = u.str.replace(r"/+$", "", regex=True)               # 4 trailing /
+        batch = batch.copy()
+        batch[out] = u
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -609,6 +609,47 @@ def doc_host_cap(sf_dir: str):
         lambda df: df[["doc_id", "source", "rn"]], batch_format="pandas")
 
 
+def doc_snapshot_diff(sf_dir: str):
+    """Recrawl snapshot diff (`ops.diff.snapshot_diff`): old = docs with
+    doc_id % 5 != 0, new = docs with doc_id % 3 != 0 and n_chars bumped
+    where doc_id % 7 == 0 — so the diff exercises added, removed, changed
+    AND unchanged in one run. One bucketed full-outer exchange."""
+    from nexus_forge_ray.ops.diff import snapshot_diff
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    old = docs.map_batches(lambda df: df[df["doc_id"] % 5 != 0],
+                           batch_format="pandas")
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 3 != 0].assign(
+            n_chars=lambda d: d["n_chars"] + (d["doc_id"] % 7 == 0)
+            .astype("int64")),
+        batch_format="pandas")
+    return snapshot_diff(old, new, "doc_id", ["n_chars"])
+
+
+def doc_url_normalize(sf_dir: str):
+    """URL canonicalization (`ops.text.normalize_urls`): synthetic
+    messy-cased URLs (three shapes: default ports, fragments, trailing
+    slashes) built SQL-reproducibly from doc_id, then the four vectorized
+    normalization rules — fragment strip, authority lowercase, default-port
+    drop, trailing-slash trim — each mirrored regex-for-regex in the
+    oracle."""
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype(str)
+        k = (df["doc_id"] % 7).astype(str)
+        shapes = np.select(
+            [(df["doc_id"] % 3 == 0).to_numpy(),
+             (df["doc_id"] % 3 == 1).to_numpy()],
+            ["HTTP://WWW.Site" + k + ".COM:80/A/" + d + "/",
+             "https://Host" + k + ".Example.com:443/p/" + d + "#frag"],
+            default="HTTPS://CDN" + k + ".example.COM/x/" + d + "?a=B")
+        return pd.DataFrame({"doc_id": df["doc_id"], "url": shapes})
+
+    urls = _docs(sf_dir, ["doc_id"]).map_batches(mk, batch_format="pandas")
+    out = tx.normalize_urls(urls)
+    return out.map_batches(lambda df: df[["doc_id", "url_norm"]],
+                           batch_format="pandas")
+
+
 def q_es_date_histogram(sf_dir: str):
     """ES date_histogram bucket agg with sum + exact-cardinality sub-aggs
     over the events stream: hourly buckets, per-bucket revenue and distinct

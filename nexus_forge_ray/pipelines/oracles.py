@@ -1163,6 +1163,52 @@ ORACLES: dict[str, str] = {
                      md5_number_lower(doc_id::varchar) % 100 as h
               from documents)
     """,
+    "doc_snapshot_diff": """
+        with old as (
+            select doc_id, n_chars from documents where doc_id % 5 != 0),
+        new as (
+            select doc_id,
+                   n_chars + (case when doc_id % 7 = 0 then 1 else 0 end)
+                   as n_chars
+            from documents where doc_id % 3 != 0)
+        select coalesce(old.doc_id, new.doc_id) as doc_id,
+               case when old.doc_id is null then 'added'
+                    when new.doc_id is null then 'removed'
+                    when old.n_chars != new.n_chars then 'changed'
+                    else 'unchanged' end as status,
+               old.n_chars as n_chars_old,
+               new.n_chars as n_chars_new
+        from old full outer join new on old.doc_id = new.doc_id
+    """,
+    # mirror of ops/text.normalize_urls rule-for-rule (same regexes, same
+    # order; capture-group port rule because RE2 has no lookahead)
+    "doc_url_normalize": """
+        with u as (
+            select doc_id,
+                   case doc_id % 3
+                     when 0 then 'HTTP://WWW.Site' || (doc_id % 7)
+                                 || '.COM:80/A/' || doc_id || '/'
+                     when 1 then 'https://Host' || (doc_id % 7)
+                                 || '.Example.com:443/p/' || doc_id
+                                 || '#frag'
+                     else 'HTTPS://CDN' || (doc_id % 7)
+                          || '.example.COM/x/' || doc_id || '?a=B'
+                   end as url
+            from documents),
+        n1 as (select doc_id, regexp_replace(url, '#.*$', '') as u from u),
+        n2 as (select doc_id,
+                      lower(regexp_extract(u,
+                            '^([a-zA-Z][\\w+.-]*://[^/?#]*)', 1))
+                      || regexp_replace(u,
+                            '^[a-zA-Z][\\w+.-]*://[^/?#]*', '') as u
+               from n1),
+        n3 as (select doc_id,
+                      regexp_replace(regexp_replace(u,
+                          '^(http://[^/?#]*):80($|[/?#])', '\\1\\2'),
+                          '^(https://[^/?#]*):443($|[/?#])', '\\1\\2') as u
+               from n2)
+        select doc_id, regexp_replace(u, '/+$', '') as url_norm from n3
+    """,
     "doc_host_cap": """
         select doc_id, source, rn from (
             select doc_id, source,

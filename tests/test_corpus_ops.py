@@ -170,3 +170,47 @@ def test_elastic_terms_agg_metrics(ray_session):
     assert out["s"].tolist() == [60, 4]
     assert out["m"].tolist() == [30, 3]
     assert out["a"].tolist() == [20.0, 2.0]
+
+
+def test_normalize_urls_rules(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.text import normalize_urls
+    urls = pd.DataFrame({"url": [
+        "HTTP://WWW.Example.COM:80/Path/One/",
+        "https://Host.Example.com:443/p#frag",
+        "https://a.com:4430/x",            # non-default port kept
+        "http://b.com:443/x",              # 443 on http kept
+        "HTTPS://C.com",                   # authority-only
+        "https://d.com/CaseKept?Q=Up#f",
+    ]})
+    out = normalize_urls(ray.data.from_pandas(urls)).to_pandas()
+    assert out["url_norm"].tolist() == [
+        "http://www.example.com/Path/One",
+        "https://host.example.com/p",
+        "https://a.com:4430/x",
+        "http://b.com:443/x",
+        "https://c.com",
+        "https://d.com/CaseKept?Q=Up",
+    ]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.diff import snapshot_diff
+    old = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 4], "v": ["b", "X", "d"]}))
+    out = snapshot_diff(old, new, "k", ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert dict(zip(out["k"], out["status"])) == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    row3 = out[out["k"] == 3].iloc[0]
+    assert row3["v_old"] == "c" and row3["v_new"] == "X"
+    delta = snapshot_diff(old, new, "k", ["v"],
+                          include_unchanged=False).to_pandas()
+    assert set(delta["k"]) == {1, 3, 4}

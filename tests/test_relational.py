@@ -58,6 +58,8 @@ CASES = {
     "q_es_stats_agg": corpus.q_es_stats_agg,
     "doc_splits": corpus.doc_splits,
     "doc_host_cap": corpus.doc_host_cap,
+    "doc_url_normalize": corpus.doc_url_normalize,
+    "doc_snapshot_diff": corpus.doc_snapshot_diff,
 }
 
 
