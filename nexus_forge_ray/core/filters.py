@@ -257,9 +257,16 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     metrics: dict[str, tuple[str, str]] = {}   # out_name -> (field, kind)
     stats_specs: dict[str, str] = {}           # out_name -> field
     pct_specs: dict[str, tuple[str, list[float]]] = {}
+    top_hits = None                            # (size, sort list, _source)
     for name, sub in (spec.get("aggs") or {}).items():
         (kind, mspec), = sub.items()
-        if kind == "stats":
+        if kind == "top_hits":
+            if len(spec.get("aggs") or {}) != 1:
+                raise ValueError("top_hits must be the only sub-agg")
+            top_hits = (int(mspec.get("size", 3)),
+                        mspec.get("sort") or [],
+                        mspec.get("_source"))
+        elif kind == "stats":
             # ES stats = {count,min,max,avg,sum} in one agg — all
             # re-aggregable, so they ride the same bucketed exchange
             stats_specs[name] = mspec["field"]
@@ -307,6 +314,39 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
             return pd.concat(parts, ignore_index=True)
         ds = ds.map_batches(explode, batch_format="pandas")
         field = "__key"
+
+    if top_hits is not None:
+        # ES top_hits: the k best documents per bucket — grouped_topk's
+        # map-side per-batch cut means the shuffle moves at most
+        # k x buckets rows, never the hit documents themselves
+        from nexus_forge_ray.ops.agg import grouped_topk
+        k, sort_list, source = top_hits
+        if not sort_list:
+            raise ValueError("top_hits needs an explicit sort "
+                             "(deterministic results)")
+        def sort_of(entry):
+            (col, spec_), = entry.items()
+            order = spec_.get("order") if isinstance(spec_, dict) else spec_
+            return col, (order or "asc").lower() == "asc"
+        first_col, first_asc = sort_of(sort_list[0])
+        tiebreak = []
+        for entry in sort_list[1:]:
+            col, asc_ = sort_of(entry)
+            if not asc_:
+                raise ValueError("only the primary top_hits sort may be "
+                                 "descending in this subset")
+            tiebreak.append(col)
+        hits = grouped_topk(ds, field, first_col, k, ascending=first_asc,
+                            tiebreak=tiebreak).to_pandas()
+        by = [field, first_col] + tiebreak
+        asc = [True, first_asc] + [True] * len(tiebreak)
+        hits = hits.sort_values(by, ascending=asc, kind="mergesort") \
+            .reset_index(drop=True)
+        hits["rank"] = hits.groupby(field, sort=False).cumcount() + 1
+        cols = [field, "rank"] + [c for c in (source or hits.columns)
+                                  if c not in (field, "rank", "__key")]
+        return hits[cols].rename(columns={field: "key"}) \
+            .reset_index(drop=True)
 
     plan: dict[str, tuple[str, str]] = {"doc_count": (field, "count")}
     for name, (mfield, kind) in metrics.items():

@@ -721,6 +721,26 @@ def q_es_stats_agg(sf_dir: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q_es_top_hits(sf_dir: str):
+    """ES `top_hits` sub-agg: the 2 highest-value click events per event
+    type (deterministic tie-break on event_id). grouped_topk's map-side cut
+    means the shuffle moves at most k x buckets rows."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "query": {"term": {"event_type": "click"}},
+        "aggs": {"best": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {"top": {"top_hits": {
+                "size": 2,
+                "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+                "_source": ["event_id", "value"]}}}}},
+    }
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    return forge.elastic(body, data=ev)
+
+
 def doc_unigram_logprob(sf_dir: str):
     """Unigram-LM document scoring (the cheap perplexity proxy used for
     corpus quality filtering): P(t) = corpus_count(t) / total_tokens,

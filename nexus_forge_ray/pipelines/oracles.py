@@ -1231,6 +1231,15 @@ ORACLES: dict[str, str] = {
         group by 1
         order by 1
     """,
+    "q_es_top_hits": """
+        select event_type as key, rank, event_id, value from (
+            select event_type, event_id, value,
+                   row_number() over (partition by event_type
+                                      order by value desc, event_id)
+                   as rank
+            from events where event_type = 'click')
+        where rank <= 2
+    """,
     "q_events_outliers": """
         with th as (
             select event_type, quantile_cont(value, 0.99) as p99

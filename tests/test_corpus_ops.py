@@ -214,3 +214,21 @@ def test_snapshot_diff_statuses(ray_session):
     delta = snapshot_diff(old, new, "k", ["v"],
                           include_unchanged=False).to_pandas()
     assert set(delta["k"]) == {1, 3, 4}
+
+
+def test_compact_parquet(ray_session, sf_dir, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.compact import compact_parquet
+    src = str(tmp_path / "frag")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    docs.repartition(20).write_parquet(src)      # fragment into small files
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(src, out, target_rows_per_file=300)
+    assert stats["files_in"] >= 10
+    assert stats["files_out"] < stats["files_in"]
+    a = pd.read_parquet(src).sort_values("doc_id").reset_index(drop=True)
+    b = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

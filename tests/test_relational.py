@@ -60,6 +60,7 @@ CASES = {
     "doc_host_cap": corpus.doc_host_cap,
     "doc_url_normalize": corpus.doc_url_normalize,
     "doc_snapshot_diff": corpus.doc_snapshot_diff,
+    "q_es_top_hits": corpus.q_es_top_hits,
 }
 
 
