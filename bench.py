@@ -90,6 +90,8 @@ def run_bench() -> dict:
         timed("doc_tfidf", lambda: corpus.doc_tfidf(SF_DIR))
         from nexus_forge_ray.pipelines.kg_queries import kg_pagerank
         timed("kg_pagerank", lambda: kg_pagerank(SF_DIR))
+        timed("doc_quality_classifier",
+              lambda: corpus.doc_quality_classifier(SF_DIR))
 
     n_pages = n_docs * REPLICATE
     result = {
