@@ -249,12 +249,14 @@ class KnowledgeGraphForge:
         import re as _re
 
         from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
-                                            sparql_select)
-        form = _re.search(r"(?is)\b(select|construct|ask)\b", query)
+                                            sparql_describe, sparql_select)
+        form = _re.search(r"(?is)\b(select|construct|ask|describe)\b", query)
         if form is None:
-            raise ValueError("need a SELECT / CONSTRUCT / ASK query")
+            raise ValueError("need a SELECT / CONSTRUCT / ASK / DESCRIBE "
+                             "query")
         fn = {"select": sparql_select, "construct": sparql_construct,
-              "ask": sparql_ask}[form.group(1).lower()]
+              "ask": sparql_ask,
+              "describe": sparql_describe}[form.group(1).lower()]
         return fn(triples, query, **kw)
 
     # ------------------------------------------------------------------ files

@@ -696,3 +696,47 @@ def sparql_ask(triples: ray.data.Dataset, query: str, **kw) -> bool:
         triples, f"{header}\nSELECT {' '.join(gvars)} WHERE "
         f"{{{inner}}} LIMIT 1", **kw)
     return len(sel.take(1)) > 0
+
+
+def sparql_describe(triples: ray.data.Dataset, query: str,
+                    **kw) -> ray.data.Dataset:
+    """DESCRIBE <iri> / DESCRIBE ?v WHERE { ... } — every triple whose
+    subject is a described resource (the symmetric concise-bounded
+    description is a union with the obj side; subject-CBD matches what the
+    reference's stores return for retrieve-by-id). Matched subjects flow
+    through a bucketed semi-join — the description set never touches the
+    driver."""
+    from nexus_forge_ray.ops.joins import partitioned_semi_join
+    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+                               query))
+    m = re.search(r"(?is)\bdescribe\s+(.*?)\s*(?:where\s*(\{.*\}))?\s*$",
+                  query)
+    if not m:
+        raise ValueError("need DESCRIBE <iri>... [WHERE { patterns }]")
+    # parse the DESCRIBE targets with the shared term rules (each token
+    # padded into a dummy pattern so _template_patterns expands it)
+    toks = re.findall(r"<[^>]*>|\S+", m.group(1))
+    targets = [_template_patterns(f"{tok} <p> <o>", prefixes)[0][0]
+               for tok in toks]
+    tvars = [t for t in targets if _is_var(t)]
+    consts = [t for t in targets if not _is_var(t)]
+    if tvars and not m.group(2):
+        raise ValueError("DESCRIBE ?var needs a WHERE group")
+    subjects: ray.data.Dataset | None = None
+    if tvars:
+        header = "\n".join(f"PREFIX {p}: <{iri}>"
+                           for p, iri in prefixes.items())
+        bindings = sparql_select(
+            triples, f"{header}\nSELECT {' '.join(tvars)} WHERE "
+            f"{m.group(2)}", **kw)
+        subjects = bindings.map_batches(
+            lambda df: pd.DataFrame(
+                {"subj": pd.concat([df[v[1:]] for v in tvars],
+                                   ignore_index=True).astype(str)}),
+            batch_format="pandas")
+    if consts:
+        const_ds = ray.data.from_items([{"subj": c} for c in consts])
+        subjects = const_ds if subjects is None \
+            else subjects.union(const_ds)
+    assert subjects is not None
+    return partitioned_semi_join(triples, subjects, on="subj")

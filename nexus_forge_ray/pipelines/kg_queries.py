@@ -463,6 +463,20 @@ def kg_bgp_construct(sf_dir: str):
     return sparql_construct(kg_triples(sf_dir), q)
 
 
+def kg_bgp_describe(sf_dir: str):
+    """SPARQL DESCRIBE (subject concise-bounded description): every triple
+    about English documents that mention 'spark'. The matched subject set
+    flows through a bucketed semi-join — never the driver."""
+    from nexus_forge_ray.kg.bgp import sparql_describe
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX e: <http://example.org/entity/>
+    DESCRIBE ?d WHERE { ?d v:mentions e:spark . ?d v:lang "en" }"""
+    t = kg_triples(sf_dir)
+    out = sparql_describe(t, q)
+    return out.map_batches(lambda df: df[["subj", "pred", "obj"]],
+                           batch_format="pandas")
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -583,6 +597,7 @@ QUERIES = {
     "kg_bgp_notexists": kg_bgp_notexists,
     "kg_bgp_exists": kg_bgp_exists,
     "kg_bgp_construct": kg_bgp_construct,
+    "kg_bgp_describe": kg_bgp_describe,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

@@ -429,6 +429,17 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    "kg_bgp_describe": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj, pred, obj from t
+        where subj in (
+            select a.subj
+            from t a join t b on a.subj = b.subj
+            where a.pred = 'http://example.org/vocab/mentions'
+              and a.obj = 'http://example.org/entity/spark'
+              and b.pred = 'http://example.org/vocab/lang'
+              and b.obj = 'en')
+    """,
     "kg_bgp_construct": f"""
         with {_KG_TRIPLES_CTE},
         en_mentions as (

@@ -447,3 +447,28 @@ def test_planner_keeps_disconnected_error(ray_session):
     q = 'SELECT ?d ?x WHERE { ?d <m> "spark" . ?x <other> "y" }'
     with _pytest.raises(ValueError, match="cross join"):
         sparql_select(_construct_fixture(), q).to_pandas()
+
+
+def test_describe_constant_iri(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_describe
+    out = sparql_describe(_construct_fixture(),
+                          'DESCRIBE <d1>').to_pandas()
+    assert sorted(zip(out["pred"], out["obj"])) == \
+        [("lang", "en"), ("m", "spark")]
+    assert set(out["subj"]) == {"d1"}
+
+
+def test_describe_variable_with_where(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_describe
+    q = 'DESCRIBE ?d WHERE { ?d <m> "spark" . ?d <lang> "en" }'
+    out = sparql_describe(_construct_fixture(), q).to_pandas()
+    assert set(out["subj"]) == {"d1"}
+    assert len(out) == 2
+
+
+def test_describe_mixed_targets_and_dispatch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    q = 'DESCRIBE <d2> ?x WHERE { ?x <m> "sort" }'
+    out = forge.sparql(q, _construct_fixture()).to_pandas()
+    assert set(out["subj"]) == {"d2", "d3"}
