@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_normalize": corpus.doc_url_normalize,
         "doc_snapshot_diff": corpus.doc_snapshot_diff,
         "q_es_top_hits": corpus.q_es_top_hits,
+        "q_es_search_page": corpus.q_es_search_page,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

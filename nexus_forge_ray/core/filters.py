@@ -187,6 +187,33 @@ _METRIC_HOWS = {"sum": "sum", "min": "min", "max": "max", "avg": None,
 _CALENDAR_FLOORS = {"minute": "min", "hour": "h", "day": "D", "week": "W"}
 
 
+def elastic_search_page(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
+    """ES search-body pagination: `query` + `sort` + `from`/`size` — one
+    sorted page of hits. The sort must totally order ties (add a unique
+    tiebreak column, as real ES setups do with _id) for a deterministic
+    page. Distributed shape: filter mask, then a partial top-(from+size)
+    per block with a driver merge of <= k x blocks rows — the corpus never
+    sorts globally for a bounded page."""
+    from nexus_forge_ray.ops.agg import global_topk
+    if body.get("query"):
+        ds = search(ds, *filters_from_elastic(body["query"]),
+                    include_deprecated=True)
+    sort_list = body.get("sort") or []
+    if not sort_list:
+        raise ValueError("paginated search needs an explicit sort "
+                         "(deterministic pages)")
+    cols, asc = [], []
+    for entry in sort_list:
+        (col, spec), = entry.items()
+        order = spec.get("order") if isinstance(spec, dict) else spec
+        cols.append(col)
+        asc.append((order or "asc").lower() == "asc")
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    page = global_topk(ds, cols, frm + size, ascending=asc)
+    return page.iloc[frm:frm + size].reset_index(drop=True)
+
+
 def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     """Run the ES-DSL `aggs` subset natively: one named `terms` or
     `date_histogram` bucket aggregation (with optional avg/sum/min/max/

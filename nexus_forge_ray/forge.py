@@ -226,7 +226,8 @@ class KnowledgeGraphForge:
         Bodies with an `aggs` section run the terms-aggregation subset
         natively (`core.filters.elastic_terms_agg`) and return the bucket
         table as a DataFrame."""
-        from nexus_forge_ray.core.filters import (elastic_terms_agg,
+        from nexus_forge_ray.core.filters import (elastic_search_page,
+                                                  elastic_terms_agg,
                                                   filters_from_elastic,
                                                   search as _search)
         if "aggs" in query or "aggregations" in query:
@@ -234,6 +235,9 @@ class KnowledgeGraphForge:
                 raise ValueError("aggs need an explicit Dataset — the "
                                  "record store is row-oriented")
             return elastic_terms_agg(data, query)
+        if data is not None and ("sort" in query or "size" in query
+                                 or "from" in query):
+            return elastic_search_page(data, query)
         filters = filters_from_elastic(query)
         if data is not None:
             return _search(data, *filters, **kw)

@@ -165,6 +165,7 @@ class ParsedQuery(NamedTuple):
     # (func, source_var|"*", alias); func in count/sum/min/max/avg
     aggregates: list[tuple[str, str, str]] = []
     values_clauses: list[tuple[str, list[object]]] = []  # VALUES ?v {...}
+    offset: int | None = None                       # OFFSET n (needs ORDER BY)
     # FILTER NOT EXISTS {...} / MINUS {...} groups. Subset semantics: both
     # compile to an anti-join on the variables shared with the required
     # patterns (equivalent to full SPARQL whenever the group binds at least
@@ -206,18 +207,29 @@ def parse_sparql(query: str) -> ParsedQuery:
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
                   r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
                   r"\s*(?:order\s+by\s+((?:\s*(?:asc|desc)\(\s*\?\w+\s*\)"
-                  r"|\s*\?\w+)+))?\s*(?:limit\s+(\d+))?\s*$", query)
+                  r"|\s*\?\w+)+))?\s*(?:limit\s+(\d+))?"
+                  r"\s*(?:offset\s+(\d+))?\s*$", query)
     if not m:
         raise ValueError("unsupported SPARQL (need SELECT [DISTINCT] ?vars "
                          "WHERE { patterns [FILTER...] } [GROUP BY ...] "
                          "[ORDER BY ...] [LIMIT n])")
     distinct = bool(m.group(1))
-    # aggregate projections: (FUNC(?v | *) AS ?alias)
+    # aggregate projections: (FUNC(?v | *) AS ?alias); GROUP_CONCAT takes
+    # an optional `; SEPARATOR="..."` (default " ") and encodes it into the
+    # func slot ("group_concat\x00<sep>") to keep the tuple shape
     agg_re = re.compile(
-        r"(?is)\(\s*(count|sum|min|max|avg)\s*\(\s*(\*|\?\w+)\s*\)"
+        r"(?is)\(\s*(count|sum|min|max|avg|group_concat)\s*\(\s*(\*|\?\w+)"
+        r'\s*(?:;\s*separator\s*=\s*"([^"]*)")?\s*\)'
         r"\s+as\s+\?(\w+)\s*\)")
-    aggregates = [(f.lower(), v if v == "*" else v[1:], a)
-                  for f, v, a in agg_re.findall(m.group(2))]
+    aggregates = []
+    for mm in agg_re.finditer(m.group(2)):
+        f, v, sep, a = (mm.group(1).lower(), mm.group(2),
+                        mm.group(3), mm.group(4))
+        if f == "group_concat":
+            # findall would blur absent vs empty separator; finditer keeps
+            # the distinction (None = absent -> the SPARQL default " ")
+            f = "group_concat\x00" + (sep if sep is not None else " ")
+        aggregates.append((f, v if v == "*" else v[1:], a))
     plain = re.findall(r"\?\w+", agg_re.sub(" ", m.group(2)))
     select = plain + ["?" + a for _, _, a in aggregates]
     if not select:
@@ -235,6 +247,7 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise ValueError("GROUP BY requires at least one aggregate "
                          "in the SELECT clause")
     limit = int(m.group(6)) if m.group(6) else None
+    offset = int(m.group(7)) if m.group(7) else None
     order_by = [(g1 or g2, (d or "").lower() == "desc")
                 for d, g1, g2 in re.findall(
                     r"(?i)(?:(asc|desc)\(\s*\?(\w+)\s*\)|\?(\w+))",
@@ -405,10 +418,12 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise ValueError("empty EXISTS block")
     if union_groups and exists:
         raise ValueError("EXISTS inside a UNION query is unsupported")
+    if offset is not None and not order_by:
+        raise ValueError("OFFSET needs ORDER BY (deterministic pages)")
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
-                       group_by, aggregates, values_clauses, not_exists,
-                       exists)
+                       group_by, aggregates, values_clauses, offset,
+                       not_exists, exists)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -458,6 +473,8 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             if func == "count":
                 out[alias] = (1.0 if var == "*"
                               else batch[var].notna().astype("float64"))
+            elif func.startswith("group_concat"):
+                out[alias] = batch[var]          # raw strings, no coercion
             else:
                 out[alias] = pd.to_numeric(batch[var], errors="coerce")
             if func == "avg":
@@ -466,8 +483,9 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
 
     aggs = {}
     for func, _, alias in q.aggregates:
-        how = {"count": "sum", "sum": "sum", "min": "min",
-               "max": "max", "avg": "sum"}[func]
+        how = ("collect" if func.startswith("group_concat") else
+               {"count": "sum", "sum": "sum", "min": "min",
+                "max": "max", "avg": "sum"}[func])
         aggs[alias] = (alias, how)
         if func == "avg":
             aggs[alias + "__n"] = (alias + "__n", "sum")
@@ -482,6 +500,10 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
                 df = df.drop(columns=[alias + "__n"])
             elif func == "count":
                 df[alias] = df[alias].astype("int64")
+            elif func.startswith("group_concat"):
+                sep = func.split("\x00", 1)[1]
+                df[alias] = df[alias].map(
+                    lambda lst: sep.join(lst))   # values pre-sorted
         sel = [v.lstrip("?") for v in q.select]
         return df[sel]
 
@@ -594,6 +616,13 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     if q.order_by:
         out = out.sort(key=[v for v, _ in q.order_by],
                        descending=[d for _, d in q.order_by])
+    if q.offset:
+        if q.limit is None:
+            raise ValueError("OFFSET needs LIMIT in this subset "
+                             "(unbounded pages don't stream)")
+        page = out.limit(q.limit + q.offset).to_pandas() \
+            .iloc[q.offset:].reset_index(drop=True)
+        return ray.data.from_pandas(page)   # page is bounded by LIMIT
     return out.limit(q.limit) if q.limit is not None else out
 
 

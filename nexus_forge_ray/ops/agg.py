@@ -37,19 +37,32 @@ def hash_groupby_agg(ds: ray.data.Dataset, keys: str | list[str],
                      num_buckets: int = 32) -> ray.data.Dataset:
     """groupby(keys).agg(aggs) with bucketed shuffle.
 
-    aggs: out_name -> (source_col, how); how in sum/min/max/count/first.
-    Output columns: keys + list(aggs).
+    aggs: out_name -> (source_col, how); how in
+    sum/min/max/count/first/collect. `collect` gathers the group's values
+    as a SORTED string list (deterministic regardless of block layout —
+    the GROUP_CONCAT/array_agg shape; all values move, inherent to
+    collection). Output columns: keys + list(aggs).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
 
+    def _collect_partial(s: pd.Series) -> list:
+        return s.dropna().astype(str).tolist()
+
+    def _collect_final(s: pd.Series) -> list:
+        return sorted(x for lst in s for x in lst)
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        spec = {name: (col, _PARTIAL_HOW[how]) for name, (col, how) in aggs.items()}
+        spec = {name: (col, _collect_partial if how == "collect"
+                       else _PARTIAL_HOW[how])
+                for name, (col, how) in aggs.items()}
         g = batch.groupby(keys, as_index=False).agg(**spec)
         g["__bucket"] = _bucket_of(g, keys, num_buckets)
         return g
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        spec = {name: (name, _FINAL_HOW[how]) for name, (_, how) in aggs.items()}
+        spec = {name: (name, _collect_final if how == "collect"
+                       else _FINAL_HOW[how])
+                for name, (_, how) in aggs.items()}
         return group.groupby(keys, as_index=False).agg(**spec)
 
     partials = ds.map_batches(partial, batch_format="pandas")

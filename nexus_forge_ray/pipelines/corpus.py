@@ -741,6 +741,23 @@ def q_es_top_hits(sf_dir: str):
     return forge.elastic(body, data=ev)
 
 
+def q_es_search_page(sf_dir: str):
+    """ES sorted pagination: page 2 (from=2, size=5) of click events by
+    value desc with an event_id tiebreak. Partial top-(from+size) per
+    block; the driver merges k x blocks rows, never the corpus."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    body = {
+        "query": {"term": {"event_type": "click"}},
+        "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+        "from": 2, "size": 5,
+    }
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    out = forge.elastic(body, data=ev)
+    return out[["event_id", "event_type", "value"]]
+
+
 def doc_unigram_logprob(sf_dir: str):
     """Unigram-LM document scoring (the cheap perplexity proxy used for
     corpus quality filtering): P(t) = corpus_count(t) / total_tokens,

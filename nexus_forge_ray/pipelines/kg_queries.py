@@ -477,6 +477,20 @@ def kg_bgp_describe(sf_dir: str):
                            batch_format="pandas")
 
 
+def kg_bgp_groupconcat(sf_dir: str):
+    """SPARQL GROUP_CONCAT: each English document's mentioned entities as
+    one sorted comma-joined string (the adjacency-list materialization
+    shape). Values collect through the same bucketed exchange as the other
+    aggregates; sorting inside the group makes the result deterministic
+    and SQL-checkable (string_agg ... order by)."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d (GROUP_CONCAT(?e ; SEPARATOR=",") AS ?entities)
+    WHERE { ?d v:mentions ?e . ?d v:lang "en" }
+    GROUP BY ?d"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -598,6 +612,7 @@ QUERIES = {
     "kg_bgp_exists": kg_bgp_exists,
     "kg_bgp_construct": kg_bgp_construct,
     "kg_bgp_describe": kg_bgp_describe,
+    "kg_bgp_groupconcat": kg_bgp_groupconcat,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

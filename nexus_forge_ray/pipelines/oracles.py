@@ -429,6 +429,15 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    "kg_bgp_groupconcat": f"""
+        with {_KG_TRIPLES_CTE}
+        select a.subj as d,
+               string_agg(a.obj, ',' order by a.obj) as entities
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
+        group by 1
+    """,
     "kg_bgp_describe": f"""
         with {_KG_TRIPLES_CTE}
         select subj, pred, obj from t
@@ -1241,6 +1250,12 @@ ORACLES: dict[str, str] = {
         from events
         group by 1
         order by 1
+    """,
+    "q_es_search_page": """
+        select event_id, event_type, value from events
+        where event_type = 'click'
+        order by value desc, event_id
+        limit 5 offset 2
     """,
     "q_es_top_hits": """
         select event_type as key, rank, event_id, value from (

@@ -472,3 +472,30 @@ def test_describe_mixed_targets_and_dispatch(ray_session):
     q = 'DESCRIBE <d2> ?x WHERE { ?x <m> "sort" }'
     out = forge.sparql(q, _construct_fixture()).to_pandas()
     assert set(out["subj"]) == {"d2", "d3"}
+
+
+def test_group_concat_and_offset(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "spark"), ("d1", "m", "table"), ("d2", "m", "sort"),
+         ("d1", "m", "algo"), ("d2", "m", "merge"), ("d3", "m", "x")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d (GROUP_CONCAT(?e ; SEPARATOR=",") AS ?es) '
+         'WHERE { ?d <m> ?e } GROUP BY ?d')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    assert out["es"].tolist() == ["algo,spark,table", "merge,sort", "x"]
+    # default separator is a single space
+    q2 = 'SELECT ?d (GROUP_CONCAT(?e) AS ?es) WHERE { ?d <m> ?e } GROUP BY ?d'
+    out2 = sparql_select(trip, q2).to_pandas().sort_values("d")
+    assert out2["es"].tolist() == ["algo spark table", "merge sort", "x"]
+    # OFFSET pages (needs ORDER BY + LIMIT)
+    q3 = 'SELECT ?e WHERE { ?d <m> ?e } ORDER BY ?e LIMIT 2 OFFSET 2'
+    out3 = sparql_select(trip, q3).to_pandas()
+    assert out3["e"].tolist() == ["sort", "spark"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ORDER BY"):
+        sparql_select(trip, 'SELECT ?e WHERE { ?d <m> ?e } OFFSET 1')

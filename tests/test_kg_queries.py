@@ -14,7 +14,8 @@ ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_pagerank", "kg_bgp_union", "kg_bgp_groupby",
                 "kg_bgp_values", "kg_cooccur", "kg_triangles", "kg_kcore",
                 "kg_communities", "kg_reachable", "kg_bgp_notexists",
-                "kg_bgp_exists", "kg_bgp_construct", "kg_bgp_describe"]
+                "kg_bgp_exists", "kg_bgp_construct", "kg_bgp_describe",
+                "kg_bgp_groupconcat"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

@@ -61,6 +61,7 @@ CASES = {
     "doc_url_normalize": corpus.doc_url_normalize,
     "doc_snapshot_diff": corpus.doc_snapshot_diff,
     "q_es_top_hits": corpus.q_es_top_hits,
+    "q_es_search_page": corpus.q_es_search_page,
 }
 
 
