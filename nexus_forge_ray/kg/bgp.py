@@ -173,6 +173,9 @@ class ParsedQuery(NamedTuple):
     not_exists: list[list[tuple[str, str, str]]] = []
     # FILTER EXISTS {...} groups — bucketed semi-join on the shared vars
     exists: list[list[tuple[str, str, str]]] = []
+    # BIND(expr AS ?v): (fn, args, alias); fn in concat/strlen/ucase/
+    # lcase/str/arith (arith args = [t1, op, t2])
+    binds: list[tuple[str, list, str]] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -292,6 +295,14 @@ def parse_sparql(query: str) -> ParsedQuery:
     exists_raw: list[str] = []
     body = re.sub(r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
                   lambda mm: (exists_raw.append(mm.group(1)), " ")[1],
+                  body)
+
+    # BIND(expr AS ?v) — non-greedy expr, terminated by the trailing
+    # `AS ?v )` (the subset's exprs never contain the token ' AS ')
+    binds_raw: list[tuple[str, str]] = []
+    body = re.sub(r"(?is)\bbind\s*\((.*?)\s+as\s+\?(\w+)\s*\)",
+                  lambda mm: (binds_raw.append(
+                      (mm.group(1).strip(), mm.group(2))), " ")[1],
                   body)
 
     # pull OPTIONAL { ... } groups out of the body first (patterns contain
@@ -420,10 +431,33 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise ValueError("EXISTS inside a UNION query is unsupported")
     if offset is not None and not order_by:
         raise ValueError("OFFSET needs ORDER BY (deterministic pages)")
+
+    binds: list[tuple[str, list, str]] = []
+    for expr, alias in binds_raw:
+        mfn = re.match(r"(?is)^(concat|strlen|ucase|lcase|str)"
+                       r"\s*\((.*)\)$", expr)
+        if mfn:
+            fn = mfn.group(1).lower()
+            args = re.findall(r'\?\w+|"[^"]*"', mfn.group(2))
+            if not args:
+                raise ValueError(f"empty BIND expression: {expr!r}")
+            if fn != "concat" and (len(args) != 1
+                                   or not args[0].startswith("?")):
+                raise ValueError(f"{fn.upper()} takes one variable")
+            binds.append((fn, [a if a.startswith("?") else a.strip('"')
+                               for a in args], alias))
+            continue
+        ma = re.match(r"(?s)^(\?\w+|-?[\d.]+)\s*([+\-*/])"
+                      r"\s*(\?\w+|-?[\d.]+)$", expr)
+        if ma:
+            binds.append(("arith", [ma.group(1), ma.group(2), ma.group(3)],
+                          alias))
+            continue
+        raise ValueError(f"unsupported BIND expression: {expr!r}")
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
                        group_by, aggregates, values_clauses, offset,
-                       not_exists, exists)
+                       not_exists, exists, binds)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -522,15 +556,20 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     q = parse_sparql(query)
     triples = triples.materialize()     # scanned by every pattern group
     sel = [v.lstrip("?") for v in q.select]
-    aliases = {a for _, _, a in q.aggregates}
+    aliases = {a for _, _, a in q.aggregates} | {a for _, _, a in q.binds}
+    bind_inputs = [a[1:] for _, args, _ in q.binds
+                   for a in args if isinstance(a, str) and a.startswith("?")]
     wanted = list(dict.fromkeys(
-        [v for v in sel if v not in aliases]
-        + [v for _, v, _ in q.aggregates if v != "*"]
-        + [f[0] for f in q.filters]
-        + [f[2] for f in q.filters if f[3]]
-        + [r[0] for r in q.regex_filters]
-        + [v for v, _ in q.values_clauses]
-        + [v for v, _ in q.order_by if v not in aliases]))
+        v for v in
+        ([v for v in sel]
+         + [v for _, v, _ in q.aggregates if v != "*"]
+         + [f[0] for f in q.filters]
+         + [f[2] for f in q.filters if f[3]]
+         + [r[0] for r in q.regex_filters]
+         + [v for v, _ in q.values_clauses]
+         + [v for v, _ in q.order_by]
+         + bind_inputs)
+        if v not in aliases))
     if q.union_groups:
         branches = []
         for g in q.union_groups:
@@ -604,6 +643,38 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                extra_keys=shared[1:], how="left",
                                lcols=bound, rcols=gv)
         bound = list(dict.fromkeys(bound + gv))
+    if q.binds:
+        def apply_binds(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for fn, args, alias in q.binds:
+                if fn == "concat":
+                    acc = None
+                    for a in args:
+                        part = df[a[1:]].astype(str) \
+                            if a.startswith("?") else a
+                        acc = part if acc is None else acc + part
+                    df[alias] = acc
+                elif fn == "strlen":
+                    df[alias] = df[args[0][1:]].astype(str) \
+                        .str.len().astype("int64")
+                elif fn in ("ucase", "lcase"):
+                    s = df[args[0][1:]].astype(str)
+                    df[alias] = s.str.upper() if fn == "ucase" \
+                        else s.str.lower()
+                elif fn == "str":
+                    df[alias] = df[args[0][1:]].astype(str)
+                else:                       # arith
+                    t1, op, t2 = args
+                    import operator as _op
+                    ops = {"+": _op.add, "-": _op.sub,
+                           "*": _op.mul, "/": _op.truediv}
+                    def val(t):
+                        return pd.to_numeric(df[t[1:]], errors="coerce") \
+                            if t.startswith("?") else float(t)
+                    df[alias] = ops[op](val(t1), val(t2))
+            return df
+        out = out.map_batches(apply_binds, batch_format="pandas")
+        bound = list(dict.fromkeys(bound + [a for _, _, a in q.binds]))
     if q.filters or q.regex_filters or q.values_clauses:
         out = _apply_filters(out, q)
     if q.aggregates:

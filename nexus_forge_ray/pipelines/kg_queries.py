@@ -491,6 +491,19 @@ def kg_bgp_groupconcat(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_bind(sf_dir: str):
+    """SPARQL BIND expressions (vectorized per-batch column computation):
+    a CONCAT edge key and the entity IRI's STRLEN for every mention."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?k ?n WHERE {
+      ?d v:mentions ?e .
+      BIND(CONCAT(?d, "->", ?e) AS ?k)
+      BIND(STRLEN(?e) AS ?n)
+    }"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -613,6 +626,7 @@ QUERIES = {
     "kg_bgp_construct": kg_bgp_construct,
     "kg_bgp_describe": kg_bgp_describe,
     "kg_bgp_groupconcat": kg_bgp_groupconcat,
+    "kg_bgp_bind": kg_bgp_bind,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

@@ -429,6 +429,11 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    "kg_bgp_bind": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj || '->' || obj as k, length(obj)::bigint as n
+        from t where pred = 'http://example.org/vocab/mentions'
+    """,
     "kg_bgp_groupconcat": f"""
         with {_KG_TRIPLES_CTE}
         select a.subj as d,

@@ -499,3 +499,38 @@ def test_group_concat_and_offset(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="ORDER BY"):
         sparql_select(trip, 'SELECT ?e WHERE { ?d <m> ?e } OFFSET 1')
+
+
+def test_bind_expressions(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "spark"), ("d2", "m", "go")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d ?k ?n WHERE { ?d <m> ?e . '
+         'BIND(CONCAT(?d, "-", ?e) AS ?k) BIND(STRLEN(?e) AS ?n) }')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    assert out["k"].tolist() == ["d1-spark", "d2-go"]
+    assert out["n"].tolist() == [5, 2]
+    # ucase + filter over a bound variable
+    q2 = ('SELECT ?u WHERE { ?d <m> ?e . BIND(UCASE(?e) AS ?u) '
+          'FILTER(?u = "GO") }')
+    out2 = sparql_select(trip, q2).to_pandas()
+    assert out2["u"].tolist() == ["GO"]
+
+
+def test_bind_arithmetic(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("a", "v", "10"), ("b", "v", "4")],
+        columns=["subj", "pred", "obj"])
+    q = ('SELECT ?s ?half WHERE { ?s <v> ?x . BIND(?x / 2 AS ?half) }')
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas() \
+        .sort_values("s")
+    assert out["half"].tolist() == [5.0, 2.0]
