@@ -463,24 +463,30 @@ def normalize_urls(ds: ray.data.Dataset, url_col: str = "url",
     each exactly mirrorable in SQL (regexp_replace/regexp_extract) so the
     operator is oracle-checkable end-to-end.
     """
-    _AUTH = r"^([a-zA-Z][\w+.-]*://[^/?#]*)"
-
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        u = batch[url_col].astype(str)
-        u = u.str.replace(r"#.*$", "", regex=True)              # 1 fragment
-        pre = u.str.extract(_AUTH, expand=False).fillna("")
-        rest = u.str.replace(_AUTH, "", regex=True)
-        u = pre.str.lower() + rest                              # 2 authority
-        # capture-group form (no lookahead): RE2 — the SQL oracle's
-        # regex engine — has no lookahead, and both sides must share the
-        # exact regex for the oracle to be meaningful
-        u = u.str.replace(r"^(http://[^/?#]*):80($|[/?#])", r"\1\2",
-                          regex=True)                           # 3 ports
-        u = u.str.replace(r"^(https://[^/?#]*):443($|[/?#])", r"\1\2",
-                          regex=True)
-        u = u.str.replace(r"/+$", "", regex=True)               # 4 trailing /
         batch = batch.copy()
-        batch[out] = u
+        batch[out] = normalize_url_series(batch[url_col])
         return batch
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+_AUTH_RE = r"^([a-zA-Z][\w+.-]*://[^/?#]*)"
+
+
+def normalize_url_series(u: pd.Series) -> pd.Series:
+    """The pure vectorized rule chain behind `normalize_urls` (exposed for
+    direct/property testing; idempotent by construction)."""
+    u = u.astype(str)
+    u = u.str.replace(r"#.*$", "", regex=True)              # 1 fragment
+    pre = u.str.extract(_AUTH_RE, expand=False).fillna("")
+    rest = u.str.replace(_AUTH_RE, "", regex=True)
+    u = pre.str.lower() + rest                              # 2 authority
+    # capture-group form (no lookahead): RE2 — the SQL oracle's
+    # regex engine — has no lookahead, and both sides must share the
+    # exact regex for the oracle to be meaningful
+    u = u.str.replace(r"^(http://[^/?#]*):80($|[/?#])", r"\1\2",
+                      regex=True)                           # 3 ports
+    u = u.str.replace(r"^(https://[^/?#]*):443($|[/?#])", r"\1\2",
+                      regex=True)
+    return u.str.replace(r"/+$", "", regex=True)            # 4 trailing /

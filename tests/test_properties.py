@@ -99,3 +99,69 @@ def test_jsonld_expand_compact_inverse(rec):
     rec = {"id": "urn:x", "type": "Person", **rec}
     expanded = as_jsonld(rec, ctx, "expanded")
     assert jsonld_compact(expanded, ctx) == rec
+
+
+url_chars = st.text(
+    alphabet="abcXYZ019/:?#&.=-_~", min_size=0, max_size=40)
+
+
+@given(st.sampled_from(["http://", "https://", "HTTPS://", "ftp://"]),
+       st.text(alphabet="aB9.-", min_size=1, max_size=20), url_chars)
+@settings(max_examples=60, deadline=None)
+def test_url_normalization_idempotent(scheme, host, tail):
+    """normalize(normalize(u)) == normalize(u) for arbitrary URL-ish input
+    — the rule chain must be a projection (safe to re-run on already-clean
+    crawls)."""
+    from nexus_forge_ray.ops.text import normalize_url_series
+    s = pd.Series([scheme + host + tail])
+    once = normalize_url_series(s)
+    twice = normalize_url_series(once)
+    assert once.tolist() == twice.tolist()
+    # the authority never keeps uppercase
+    auth = once.str.extract(r"^([a-zA-Z][\w+.-]*://[^/?#]*)",
+                            expand=False).fillna("")
+    assert auth.str.lower().tolist() == auth.tolist()
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=60, unique=True),
+       st.sampled_from([{"train": 80, "valid": 10, "test": 10},
+                        {"a": 50, "b": 50}, {"x": 100}]))
+@settings(max_examples=30, deadline=None)
+def test_split_assignment_exhaustive_and_key_pure(ids, splits):
+    """Every key lands in exactly one split, independent of neighbors
+    (the assignment is a pure function of the key)."""
+    from nexus_forge_ray.ops.splits import _compile
+    from nexus_forge_ray.utils import md5_u64
+    bounds = _compile(splits, 100)
+    h = md5_u64(pd.Series(ids).astype(str)) % np.uint64(100)
+
+    def label(hv):
+        for name, hi in bounds:
+            if hv < hi:
+                return name
+    labels = [label(x) for x in h]
+    assert all(l in splits for l in labels)
+    # neighbor independence: single-element hash equals batch hash
+    for i in (0, len(ids) - 1):
+        solo = md5_u64(pd.Series([ids[i]]).astype(str)) % np.uint64(100)
+        assert solo[0] == h[i]
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.text("abc", max_size=3)),
+                min_size=0, max_size=25))
+@settings(max_examples=25, deadline=None)
+def test_ntriples_line_roundtrip(rows):
+    """serialize -> parse is lossless for literal objects (W3C escaping)."""
+    from nexus_forge_ray.sources.ntriples import parse_lines, serialize_batch
+    df = pd.DataFrame({
+        "subj": [f"http://ex/{k}" for k, _ in rows],
+        "pred": ["http://v/p"] * len(rows),
+        "obj": [v + '"\n\t\\' for _, v in rows],
+        "obj_is_iri": [False] * len(rows),
+        "obj_datatype": [None] * len(rows),
+    })
+    lines = serialize_batch(df)
+    back = parse_lines(lines)
+    assert back["obj"].tolist() == df["obj"].tolist()
+    assert back["subj"].tolist() == df["subj"].tolist()
