@@ -597,8 +597,37 @@ def kg_host_rank(sf_dir: str):
     return pr[["node", "rank"]]
 
 
+def kg_inlinks(sf_dir: str):
+    """Doc-level inlink counts through the REAL html href-extraction path
+    (`sources.pages.extract_links_batch` — C-speed bytes regex): parse the
+    target doc id out of every outbound link, pre-count map-side, one
+    bucketed sum. Exactly SQL-checkable because link targets are pure
+    arithmetic in doc_id ((doc_id*7 + j*13 + 1) % 100000), unlike the
+    SipHash-based hostnames."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.sources.pages import (extract_links_batch,
+                                               synth_pages)
+    pages = synth_pages(sf_dir, replicate=1, drop_text=True)
+
+    def targets(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = extract_links_batch(df)
+        tgt = pairs["link"].str.extract(r"/doc/(\d+)r0$", expand=False) \
+            .dropna().astype("int64")
+        return pd.DataFrame({"tgt": tgt}) \
+            .groupby("tgt", as_index=False).size() \
+            .rename(columns={"size": "n_inlinks"})
+
+    counts = hash_groupby_agg(
+        pages.map_batches(targets, batch_format="pandas"),
+        "tgt", {"n_inlinks": ("n_inlinks", "sum")}, num_buckets=16)
+    return counts.map_batches(
+        lambda df: df.assign(n_inlinks=df["n_inlinks"].astype("int64")),
+        batch_format="pandas")
+
+
 QUERIES = {
     "kg_mentions": kg_mentions,
+    "kg_inlinks": kg_inlinks,
     "kg_triples": kg_triples,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,

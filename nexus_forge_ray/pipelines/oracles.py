@@ -429,6 +429,16 @@ ORACLES: dict[str, str] = {
                 and c.pred = 'http://example.org/vocab/mentions'
                 and c.obj = 'http://example.org/entity/table')
     """,
+    # mirror of sources/pages.link_targets: (doc_id*7 + j*13 + 1) % 100000
+    "kg_inlinks": """
+        with l as (
+            select (doc_id * 7 + 1) % 100000 as tgt from documents
+            union all
+            select (doc_id * 7 + 14) % 100000 from documents
+            union all
+            select (doc_id * 7 + 27) % 100000 from documents)
+        select tgt, count(*)::bigint as n_inlinks from l group by 1
+    """,
     "kg_bgp_bind": f"""
         with {_KG_TRIPLES_CTE}
         select subj || '->' || obj as k, length(obj)::bigint as n
