@@ -195,10 +195,16 @@ def parse_sparql(query: str) -> ParsedQuery:
     one level, no FILTER inside the group), as is a WHERE body that is a
     chain of { group } UNION { group } (branches execute independently
     and union; every branch must bind the selected variables).
+    FILTER EXISTS / FILTER NOT EXISTS / MINUS groups compile to bucketed
+    semi-/anti-joins on the variables shared with the required patterns.
+    BIND(expr AS ?v) supports CONCAT/STRLEN/UCASE/LCASE/STR and binary
+    arithmetic (vectorized per batch; bound vars usable in FILTER).
     GROUP BY ?vars with aggregate projections `(FUNC(?v) AS ?alias)`
-    (COUNT/SUM/MIN/MAX/AVG, COUNT(*) allowed) and inline
-    `VALUES ?v { t1 t2 ... }` bindings (the var must also be
-    pattern-bound) complete the analytics surface. Term
+    (COUNT/SUM/MIN/MAX/AVG, COUNT(*), GROUP_CONCAT with optional
+    `; SEPARATOR="..."` — values sorted within the group for determinism)
+    and inline `VALUES ?v { t1 t2 ... }` bindings (the var must also be
+    pattern-bound) complete the analytics surface. LIMIT takes an optional
+    OFFSET (requires ORDER BY; the page is bounded by LIMIT). Term
     forms: ?var, <iri>, prefix:local (expanded), "literal", numbers,
     bare token (kept verbatim). Numeric FILTER literals compare
     numerically; everything else compares as strings.
