@@ -230,14 +230,21 @@ def grouped_percentiles(ds: ray.data.Dataset, keys: str | list[str],
         return b
 
     def quant(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         out = []
         for kv, g in group.groupby(keys, sort=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             vals = np.percentile(g[col].to_numpy(), qs, method="linear")
+            if ndigits is not None:
+                # half-away rounding to match SQL ROUND — interpolated
+                # quantiles land on exact .xx5 ties at scale (hit at sf0.1)
+                vals = pc.round(pa.array(vals, type=pa.float64()),
+                                ndigits=ndigits,
+                                round_mode="half_towards_infinity") \
+                    .to_numpy(zero_copy_only=False)
             out.append(dict(zip(keys, kv))
-                       | {n: (float(v) if ndigits is None
-                              else round(float(v), ndigits))
-                          for n, v in zip(names, vals)})
+                       | {n: float(v) for n, v in zip(names, vals)})
         return pd.DataFrame(out, columns=keys + names)
 
     return ds.map_batches(tag, batch_format="pandas") \
