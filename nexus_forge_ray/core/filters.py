@@ -187,17 +187,18 @@ _METRIC_HOWS = {"sum": "sum", "min": "min", "max": "max", "avg": None,
 _CALENDAR_FLOORS = {"minute": "min", "hour": "h", "day": "D", "week": "W"}
 
 
-def elastic_search_page(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
+def elastic_search_page(ds: ray.data.Dataset, body: dict,
+                        **search_kw) -> pd.DataFrame:
     """ES search-body pagination: `query` + `sort` + `from`/`size` — one
     sorted page of hits. The sort must totally order ties (add a unique
     tiebreak column, as real ES setups do with _id) for a deterministic
     page. Distributed shape: filter mask, then a partial top-(from+size)
     per block with a driver merge of <= k x blocks rows — the corpus never
-    sorts globally for a bounded page."""
+    sorts globally for a bounded page. `search_kw` forwards to `search`
+    (same deprecated-row default as the unpaginated path)."""
     from nexus_forge_ray.ops.agg import global_topk
     if body.get("query"):
-        ds = search(ds, *filters_from_elastic(body["query"]),
-                    include_deprecated=True)
+        ds = search(ds, *filters_from_elastic(body["query"]), **search_kw)
     sort_list = body.get("sort") or []
     if not sort_list:
         raise ValueError("paginated search needs an explicit sort "
@@ -382,7 +383,8 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
         elif kind != "cardinality":
             plan[name] = (mfield, kind)
     for name, mfield in stats_specs.items():
-        plan[f"{name}_count"] = (mfield, "count")
+        # ES stats.count counts docs WITH the field (non-null), not rows
+        plan[f"{name}_count"] = (mfield, "count_nonnull")
         plan[f"{name}_sum"] = (mfield, "sum")
         plan[f"{name}_min"] = (mfield, "min")
         plan[f"{name}_max"] = (mfield, "max")
@@ -416,8 +418,13 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
             out[name] = out[name].fillna(0).astype("int64")
     cols = ["key", "doc_count"] + list(metrics)
     for name in stats_specs:
-        out[f"{name}_count"] = out[f"{name}_count"].astype("int64")
-        out[f"{name}_avg"] = out[f"{name}_sum"] / out[f"{name}_count"]
+        # empty buckets (range reindex) have NaN partials: ES returns
+        # count=0, sum=0.0, min/max/avg null
+        out[f"{name}_count"] = out[f"{name}_count"].fillna(0) \
+            .astype("int64")
+        out[f"{name}_sum"] = out[f"{name}_sum"].fillna(0.0)
+        out[f"{name}_avg"] = (out[f"{name}_sum"] / out[f"{name}_count"]) \
+            .where(out[f"{name}_count"] > 0)
         cols += [f"{name}_count", f"{name}_min", f"{name}_max",
                  f"{name}_avg", f"{name}_sum"]
     for name, (mfield, percents) in pct_specs.items():

@@ -235,9 +235,10 @@ class KnowledgeGraphForge:
                 raise ValueError("aggs need an explicit Dataset — the "
                                  "record store is row-oriented")
             return elastic_terms_agg(data, query)
-        if data is not None and ("sort" in query or "size" in query
-                                 or "from" in query):
-            return elastic_search_page(data, query)
+        if data is not None and "sort" in query:
+            # explicit sort -> a deterministic page; size/from without sort
+            # keep the plain-search behavior (as before pagination existed)
+            return elastic_search_page(data, query, **kw)
         filters = filters_from_elastic(query)
         if data is not None:
             return _search(data, *filters, **kw)
@@ -254,7 +255,11 @@ class KnowledgeGraphForge:
 
         from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
                                             sparql_describe, sparql_select)
-        form = _re.search(r"(?is)\b(select|construct|ask|describe)\b", query)
+        # strip IRIs and PREFIX lines first: an IRI like <http://ex/ask#>
+        # must not decide the dispatch
+        head = _re.sub(r"<[^>]*>", " ", query)
+        head = _re.sub(r"(?im)^\s*prefix\s+\w*:\s*", " ", head)
+        form = _re.search(r"(?is)\b(select|construct|ask|describe)\b", head)
         if form is None:
             raise ValueError("need a SELECT / CONSTRUCT / ASK / DESCRIBE "
                              "query")

@@ -706,7 +706,9 @@ def sparql_select(triples: ray.data.Dataset, query: str,
 def _template_patterns(block: str, prefixes: dict[str, str]) \
         -> list[tuple[str, str, str]]:
     """Dot-separated triple patterns of a CONSTRUCT/ASK group (same term
-    forms as the WHERE parser: ?var, <iri>, prefix:local, "literal", 'a')."""
+    forms as the WHERE parser: ?var, <iri>, prefix:local, "literal", 'a').
+    Tokenizes BEFORE splitting on '.', exactly like the WHERE parser —
+    IRIs and literals may contain dots."""
     def term(tok: str) -> str:
         if tok.startswith("?"):
             return tok
@@ -722,14 +724,17 @@ def _template_patterns(block: str, prefixes: dict[str, str]) \
                 return prefixes[p] + local
         return tok
 
-    pats = []
-    for stmt in re.split(r"\s*\.\s*", block.strip()):
-        if not stmt.strip():
-            continue
-        toks = re.findall(r'<[^>]*>|"[^"]*"|\S+', stmt)
-        if len(toks) != 3:
-            raise ValueError(f"bad triple pattern: {stmt!r}")
-        pats.append(tuple(term(t) for t in toks))
+    toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', block)
+    pats, cur = [], []
+    for tok in toks + ["."]:
+        if tok == ".":
+            if cur:
+                if len(cur) != 3:
+                    raise ValueError(f"bad triple pattern: {cur!r}")
+                pats.append(tuple(term(t) for t in cur))
+                cur = []
+        else:
+            cur.append(tok)
     return pats
 
 

@@ -20,9 +20,9 @@ import ray.data
 from nexus_forge_ray.utils import stable_hash_u64
 
 _PARTIAL_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "size",
-                "first": "first"}
+                "count_nonnull": "count", "first": "first"}
 _FINAL_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
-              "first": "first"}
+              "count_nonnull": "sum", "first": "first"}
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:

@@ -88,10 +88,18 @@ def logreg_score(ds: ray.data.Dataset, weights: np.ndarray,
     w_ref = ray.put(np.asarray(weights, dtype=np.float64))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         wt = ray.get(w_ref)
         s = _sigmoid(_design(batch, feature_cols) @ wt)
         batch = batch.copy()
-        batch[out] = np.round(s, ndigits) if ndigits is not None else s
+        if ndigits is not None:
+            # half-away rounding to match SQL ROUND (np.round is banker's —
+            # exact 4-decimal ties like 29/32 = 0.90625 would diverge)
+            s = pc.round(pa.array(s, type=pa.float64()), ndigits=ndigits,
+                         round_mode="half_towards_infinity") \
+                .to_numpy(zero_copy_only=False)
+        batch[out] = s
         return batch
 
     return ds.map_batches(score, batch_format="pandas")

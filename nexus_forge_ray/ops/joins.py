@@ -296,44 +296,19 @@ def partitioned_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
     the scale path when the key set is O(corpus) (e.g. near-duplicate page
     ids on a web corpus, 30-50% of pages).
     """
-    lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
-
-    def tag(side: str, cols: list[str]):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({c: (batch[c] if c in batch.columns else None)
-                                for c in lcols})
-            out["__bucket"] = (stable_hash_u64(batch[on])
-                               % np.uint64(num_buckets)).astype("int32") \
-                if len(batch) else np.array([], dtype="int32")
-            out["__side"] = side
-            return out
-        return fn
-
-    lt = left.map_batches(tag("l", lcols), batch_format="pandas")
-    rt = right_keys.map_batches(tag("r", [on]), batch_format="pandas")
-    both = lt.union(rt)
-
-    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["__side"] == "l"]
-        drop = group.loc[group["__side"] == "r", on]
-        out = lg.loc[~lg[on].isin(set(drop)), lcols]
-        # the None-padded union widens dtypes to object; surviving rows are
-        # all left-side, so soft inference restores the original dtypes
-        return out.infer_objects()
-
-    return both.groupby("__bucket").map_groups(filter_bucket,
-                                               batch_format="pandas")
+    return _partitioned_membership(left, right_keys, on, keep=False,
+                                   num_buckets=num_buckets, lcols=lcols)
 
 
-def partitioned_semi_join(left: ray.data.Dataset,
-                          right_keys: ray.data.Dataset, on: str,
-                          num_buckets: int = 32,
-                          lcols: list[str] | None = None) -> ray.data.Dataset:
-    """Bucketed semi-join: keep `left` rows whose `on` value appears in
-    `right_keys` — the scale twin of `semi_join` for key sets too large to
-    broadcast (same one-exchange plan as `partitioned_anti_join`, with the
-    membership test un-negated). Right-side duplicates cannot multiply
-    left rows (it's a membership filter, not a merge)."""
+def _partitioned_membership(left: ray.data.Dataset,
+                            right_keys: ray.data.Dataset, on: str, *,
+                            keep: bool, num_buckets: int,
+                            lcols: list[str] | None) -> ray.data.Dataset:
+    """Shared one-exchange membership filter behind the bucketed semi- and
+    anti-joins: both sides shuffle ONCE by hash(key) % B, each bucket keeps
+    (keep=True) or drops (keep=False) left rows whose key appears on the
+    right. Right-side duplicates cannot multiply left rows (it's a
+    membership test, not a merge)."""
     lcols = list(lcols) if lcols is not None else [c for c in left.schema().names]
 
     def tag(side: str):
@@ -352,12 +327,26 @@ def partitioned_semi_join(left: ray.data.Dataset,
 
     def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["__side"] == "l"]
-        keep = group.loc[group["__side"] == "r", on]
-        out = lg.loc[lg[on].isin(set(keep)), lcols]
+        keys = set(group.loc[group["__side"] == "r", on])
+        mask = lg[on].isin(keys)
+        out = lg.loc[mask if keep else ~mask, lcols]
+        # the None-padded union widens dtypes to object; surviving rows are
+        # all left-side, so soft inference restores the original dtypes
         return out.infer_objects()
 
     return lt.union(rt).groupby("__bucket").map_groups(
         filter_bucket, batch_format="pandas")
+
+
+def partitioned_semi_join(left: ray.data.Dataset,
+                          right_keys: ray.data.Dataset, on: str,
+                          num_buckets: int = 32,
+                          lcols: list[str] | None = None) -> ray.data.Dataset:
+    """Bucketed semi-join: keep `left` rows whose `on` value appears in
+    `right_keys` — the scale twin of `semi_join` for key sets too large to
+    broadcast."""
+    return _partitioned_membership(left, right_keys, on, keep=True,
+                                   num_buckets=num_buckets, lcols=lcols)
 
 
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,

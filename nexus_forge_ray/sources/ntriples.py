@@ -36,6 +36,9 @@ _LINE_RE = re.compile(
     r'<([^>]*)>\s+'                     # predicate IRI
     r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>)?)'   # object
     r'\s*\.\s*$')
+# literal object: lexical form + optional datatype — anchoring the split on
+# the CLOSING QUOTE ('"^^<'), never on a '^^<' inside the lexical form
+_LIT_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>)?$')
 
 
 def _escape(s: pd.Series) -> pd.Series:
@@ -110,13 +113,12 @@ def parse_lines(df: pd.DataFrame, col: str = "line") -> pd.DataFrame:
         if o.startswith("<"):
             objs.append(o[1:-1]); iris.append(True); dts.append(None)
         else:
-            dt = None
-            if "^^<" in o:
-                o, _, tail = o.rpartition("^^<")
-                dt = tail[:-1]
-            objs.append(_unescape(o[1:-1]))
+            lm = _LIT_RE.match(o)
+            if not lm:
+                continue
+            objs.append(_unescape(lm.group(1)))
             iris.append(False)
-            dts.append(dt)
+            dts.append(lm.group(2))
     return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs,
                          "obj_is_iri": pd.Series(iris, dtype=bool),
                          "obj_datatype": pd.Series(dts, dtype=object)})

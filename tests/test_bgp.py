@@ -534,3 +534,42 @@ def test_bind_arithmetic(ray_session):
     out = sparql_select(ray.data.from_pandas(t), q).to_pandas() \
         .sort_values("s")
     assert out["half"].tolist() == [5.0, 2.0]
+
+
+def test_construct_describe_with_dotted_iris(ray_session):
+    """Full dotted IRIs must survive statement splitting (the WHERE parser
+    tokenizes before splitting on '.'; the template parser must too)."""
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_construct, sparql_describe
+    t = pd.DataFrame(
+        [("http://example.org/d1", "http://example.org/vocab/m", "x"),
+         ("http://example.org/d2", "http://example.org/vocab/m", "y")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    out = sparql_describe(trip,
+                          "DESCRIBE <http://example.org/d1>").to_pandas()
+    assert set(out["subj"]) == {"http://example.org/d1"}
+    q = ("CONSTRUCT { ?d <http://example.org/vocab/topic> ?e . "
+         "?e <http://example.org/vocab/of> ?d } "
+         "WHERE { ?d <http://example.org/vocab/m> ?e }")
+    tri = sparql_construct(trip, q).to_pandas()
+    assert len(tri) == 4
+    assert set(tri["pred"]) == {"http://example.org/vocab/topic",
+                                "http://example.org/vocab/of"}
+    from nexus_forge_ray.kg.bgp import sparql_ask
+    assert sparql_ask(trip, 'ASK { ?d <http://example.org/vocab/m> "x" }')
+
+
+def test_sparql_dispatch_ignores_keywords_in_iris(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame([("d1", "http://ex/ask#m", "x")],
+                     columns=["subj", "pred", "obj"])
+    q = ("PREFIX a: <http://ex/ask#>\n"
+         "SELECT ?d WHERE { ?d a:m \"x\" }")
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t))
+    assert out.to_pandas()["d"].tolist() == ["d1"]

@@ -93,3 +93,23 @@ def test_smart_join_paths_agree(ray_session, sf_dir):
     b = b[key].sort_values(key).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_es_range_agg_empty_range_with_stats(ray_session):
+    """Empty ranges must come back with doc_count 0 and null stats, not an
+    IntCastingNaNError (ES returns every range)."""
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1.0, 2.0, 3.0]}))
+    body = {"aggs": {"r": {
+        "range": {"field": "v",
+                  "ranges": [{"to": 10}, {"from": 100, "to": 200}]},
+        "aggs": {"s": {"stats": {"field": "v"}}}}}}
+    out = KnowledgeGraphForge().elastic(body, data=ds)
+    empty = out[out["key"] == "100-200"].iloc[0]
+    assert empty["doc_count"] == 0 and empty["s_count"] == 0
+    assert empty["s_sum"] == 0.0 and pd.isna(empty["s_avg"])
+    full = out[out["key"] == "*-10"].iloc[0]
+    assert full["s_count"] == 3 and full["s_sum"] == 6.0

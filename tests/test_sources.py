@@ -102,3 +102,16 @@ def test_ntriples_export_of_exploded_records(ray_session, tmp_path):
     k = ["subj", "pred", "obj"]
     assert sorted(map(tuple, back[k].to_numpy())) == \
         sorted(map(tuple, orig[k].to_numpy()))
+
+
+def test_ntriples_literal_containing_datatype_marker(ray_session):
+    """A literal containing '^^<' must not be split as a datatype."""
+    import pandas as pd
+
+    from nexus_forge_ray.sources.ntriples import parse_lines, serialize_batch
+    df = pd.DataFrame({
+        "subj": ["http://ex/s"], "pred": ["http://v/p"],
+        "obj": ["x^^<y>"], "obj_is_iri": [False], "obj_datatype": [None]})
+    back = parse_lines(serialize_batch(df))
+    assert back["obj"].tolist() == ["x^^<y>"]
+    assert back["obj_datatype"].tolist() == [None]
