@@ -241,7 +241,12 @@ class KnowledgeGraphForge:
             return elastic_search_page(data, query, **kw)
         filters = filters_from_elastic(query)
         if data is not None:
-            return _search(data, *filters, **kw)
+            out = _search(data, *filters, **kw)
+            src = query.get("_source")
+            if src:       # ES source filtering: project the hit columns
+                out = out.map_batches(lambda df, c=list(src): df[c],
+                                      batch_format="pandas")
+            return out
         return self._need_store().search(*filters, **kw)
 
     def sparql(self, query: str, triples: ray.data.Dataset, **kw):

@@ -345,7 +345,13 @@ def parse_sparql(query: str) -> ParsedQuery:
         rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
         cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
                       r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
-        if rm:
+        bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
+        if bm:
+            # (not-)bound over an OPTIONAL variable: null-ness mask
+            filters.append((bm.group(2),
+                            "notbound" if bm.group(1) else "bound",
+                            None, False))
+        elif rm:
             regex_filters.append((rm.group(1), rm.group(2)))
         elif cm:
             var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
@@ -477,6 +483,10 @@ def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         mask = pd.Series(True, index=batch.index)
         for var, op, val, is_var in q.filters:
+            if op in ("bound", "notbound"):
+                nn = batch[var].notna()
+                mask &= nn if op == "bound" else ~nn
+                continue
             lhs = batch[var]
             rhs = batch[val] if is_var else val
             if not is_var and isinstance(val, float):

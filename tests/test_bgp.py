@@ -573,3 +573,20 @@ def test_sparql_dispatch_ignores_keywords_in_iris(ray_session):
          "SELECT ?d WHERE { ?d a:m \"x\" }")
     out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t))
     assert out.to_pandas()["d"].tolist() == ["d1"]
+
+
+def test_filter_bound_over_optional(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "x"), ("d2", "m", "y"), ("d1", "lang", "en")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d WHERE { ?d <m> ?e . OPTIONAL { ?d <lang> ?l } '
+         'FILTER(bound(?l)) }')
+    assert sparql_select(trip, q).to_pandas()["d"].tolist() == ["d1"]
+    q2 = ('SELECT ?d WHERE { ?d <m> ?e . OPTIONAL { ?d <lang> ?l } '
+          'FILTER(!bound(?l)) }')
+    assert sparql_select(trip, q2).to_pandas()["d"].tolist() == ["d2"]

@@ -153,3 +153,14 @@ def test_from_json_drops_na(forge):
     recs = forge.from_json([{"a": 1, "b": "N/A"}, {"a": 2, "b": 3}],
                            na="N/A")
     assert recs == [{"a": 1}, {"a": 2, "b": 3}]
+
+
+def test_elastic_source_projection(forge):
+    import pandas as pd
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": [1, 2], "b": ["x", "y"], "c": [True, False]}))
+    out = forge.elastic({"query": {"term": {"b": "x"}},
+                         "_source": ["a", "b"]}, data=ds).to_pandas()
+    assert list(out.columns) == ["a", "b"]
+    assert out["a"].tolist() == [1]
