@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_snapshot_diff": corpus.doc_snapshot_diff,
         "q_es_top_hits": corpus.q_es_top_hits,
         "q_es_search_page": corpus.q_es_search_page,
+        "emb_class_centroids": corpus.emb_class_centroids,
+        "emb_nearest_centroid": corpus.emb_nearest_centroid,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

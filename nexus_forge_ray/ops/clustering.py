@@ -155,3 +155,52 @@ def pca_project(ds: ray.data.Dataset, k: int = 8, *,
                 pa.array(proj.astype(np.float32).ravel()), proj.shape[1])})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def class_centroids(ds: ray.data.Dataset, *, label_col: str = "label",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-class mean vectors (nearest-centroid-classifier prototypes /
+    class-balanced semantic summaries). Same tiny-partials shape as
+    k-means: one streaming pass emits at most n_labels (count, sum-vector)
+    rows per batch; the driver reduce sees n_blocks x n_labels tiny rows.
+    Returns a DataFrame (label, centroid ndarray) sorted by label."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(labs))
+        return pd.DataFrame({"label": labs, "n": counts.astype(np.int64),
+                             "s": list(sums)})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, grp in stats.groupby("label"):
+        n = int(grp["n"].sum())
+        s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        rows.append({"label": lab, "n": n, "centroid": s / n})
+    return pd.DataFrame(rows).sort_values("label").reset_index(drop=True)
+
+
+def nearest_centroid_assign(ds: ray.data.Dataset,
+                            centroids: pd.DataFrame, *,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            out: str = "pred") -> ray.data.Dataset:
+    """Nearest-centroid classification: broadcast the (tiny) class
+    prototypes once, one streaming argmin-distance pass (same exact
+    squared-distance formula as k-means so ties behave identically;
+    ties break toward the smaller label)."""
+    labels = centroids["label"].to_numpy()
+    cent = np.stack(centroids["centroid"].to_numpy()).astype(np.float64)
+    cent_ref = ray.put((labels, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(cent_ref)
+        mat = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        a = _sq_dists(mat, c).argmin(axis=1)
+        return pa.table({id_col: batch[id_col],
+                         out: pa.array(labs[a])})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

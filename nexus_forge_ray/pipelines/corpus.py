@@ -146,6 +146,39 @@ def doc_quality_classifier(sf_dir: str):
     return out[["doc_id", "score"]]
 
 
+def emb_class_centroids(sf_dir: str):
+    """Per-class embedding centroids (`ops.clustering.class_centroids`):
+    one streaming pass of (label, count, sum-vector) partials, driver
+    reduce over n_blocks x n_labels tiny rows. Exploded to (label, dim,
+    val) so the exact per-dimension means are SQL-checkable."""
+    from nexus_forge_ray.ops.clustering import class_centroids
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    cents = class_centroids(emb)
+    rows = []
+    for _, r in cents.iterrows():
+        for dim, v in enumerate(r["centroid"], start=1):
+            rows.append({"label": int(r["label"]), "dim": dim,
+                         "val": round(float(v), 6)})
+    return pd.DataFrame(rows)
+
+
+def emb_nearest_centroid(sf_dir: str):
+    """Nearest-centroid classification over the embeddings (broadcast
+    prototypes, streaming argmin pass). The full train+predict loop is
+    SQL-expressible: centroids via grouped per-dimension AVG, prediction
+    via argmin squared distance (ORDER BY dist, label)."""
+    from nexus_forge_ray.ops.clustering import (class_centroids,
+                                                nearest_centroid_assign)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"]).materialize()
+    cents = class_centroids(emb)
+    out = nearest_centroid_assign(emb, cents).to_pandas()
+    return out[["vec_id", "pred"]].sort_values("vec_id") \
+        .reset_index(drop=True)
+
+
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated

@@ -1198,6 +1198,31 @@ ORACLES: dict[str, str] = {
                      md5_number_lower(doc_id::varchar) % 100 as h
               from documents)
     """,
+    "emb_class_centroids": """
+        select label, dim, round(avg(embedding[dim]), 6) as val
+        from embeddings,
+             unnest(generate_series(1, len(embedding))) as t(dim)
+        group by 1, 2
+    """,
+    # train (per-dimension AVG centroids) + predict (argmin squared
+    # distance, ties toward the smaller label) — the full nearest-centroid
+    # loop in SQL
+    "emb_nearest_centroid": """
+        with c as (
+            select label, dim, avg(embedding[dim]) as val
+            from embeddings,
+                 unnest(generate_series(1, len(embedding))) as t(dim)
+            group by 1, 2),
+        d as (
+            select e.vec_id, c.label,
+                   sum((e.embedding[c.dim] - c.val) ^ 2) as dist
+            from embeddings e, c
+            group by 1, 2)
+        select vec_id, label as pred from d
+        qualify row_number() over (partition by vec_id
+                                   order by dist, label) = 1
+        order by vec_id
+    """,
     "doc_snapshot_diff": """
         with old as (
             select doc_id, n_chars from documents where doc_id % 5 != 0),

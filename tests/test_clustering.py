@@ -142,3 +142,42 @@ def test_pca_variance_ordering_and_layout_independence(sf_dir):
     assert np.allclose(a, b, atol=1e-5)
     var = a.var(axis=0)
     assert (var[:-1] >= var[1:] - 1e-9).all()  # components ordered by variance
+
+
+def test_class_centroids_match_numpy(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.clustering import class_centroids
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    cents = class_centroids(emb.repartition(7))
+    ref = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    for _, r in cents.iterrows():
+        mask = ref["label"] == r["label"]
+        want = np.stack(ref.loc[mask, "embedding"].to_numpy()) \
+            .astype(np.float64).mean(axis=0)
+        assert np.allclose(r["centroid"], want, atol=1e-12)
+        assert r["n"] == int(mask.sum())
+
+
+def test_nearest_centroid_planted_clusters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.clustering import (class_centroids,
+                                                nearest_centroid_assign)
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    lab = np.repeat([0, 1, 2], 40)
+    vecs = centers[lab] + rng.normal(scale=0.3, size=(120, 2))
+    df = pd.DataFrame({"vec_id": np.arange(120), "label": lab,
+                       "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(df).repartition(5).materialize()
+    cents = class_centroids(ds)
+    pred = nearest_centroid_assign(ds, cents).to_pandas() \
+        .sort_values("vec_id")
+    assert (pred["pred"].to_numpy() == lab).mean() == 1.0
