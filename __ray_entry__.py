@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_es_search_page": corpus.q_es_search_page,
         "emb_class_centroids": corpus.emb_class_centroids,
         "emb_nearest_centroid": corpus.emb_nearest_centroid,
+        "emb_knn_predict": corpus.emb_knn_predict,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

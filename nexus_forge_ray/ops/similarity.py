@@ -176,3 +176,52 @@ def ivf_topk(emb_ds: ray.data.Dataset, query_ids: list, query_matrix: np.ndarray
     )
     return cosine_topk(pruned, query_ids, query_matrix, k,
                        id_col=id_col, vec_col=vec_col, concurrency=concurrency)
+
+
+def knn_classify(ds: ray.data.Dataset, ref_df: pd.DataFrame, *, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 out: str = "pred") -> ray.data.Dataset:
+    """kNN label assignment against a broadcast labeled seed set — the
+    weak-labeling move (label a web-scale corpus from a small curated set).
+
+    The seed set is `ray.put` ONCE (it must fit a worker heap — true for
+    curated seed sets; for corpus-vs-corpus use the IVF index instead);
+    each batch computes distances with the fast |q|^2 - 2qR^T + |r|^2
+    expansion, takes a top-(k+8) candidate cut, then RE-RANKS candidates
+    with the exact (q-r)^2 sum (same formula as the SQL oracle — the
+    expansion's float error must not decide neighbor order). A row's own id
+    is excluded (self-match) so the query set may equal the seed set.
+    Majority vote with ties toward the smaller label, neighbor ties toward
+    the smaller id."""
+    ids = ref_df[id_col].to_numpy()
+    mat = np.stack(ref_df[vec_col].to_numpy()).astype(np.float64)
+    labs = ref_df[label_col].to_numpy()
+    uniq = np.unique(labs)
+    lab_idx = {v: i for i, v in enumerate(uniq)}
+    lab_codes = np.array([lab_idx[v] for v in labs])
+    ref = ray.put((ids, mat, lab_codes, uniq))
+
+    def predict(batch) -> pd.DataFrame:
+        rid, rmat, rcode, runiq = ray.get(ref)
+        from nexus_forge_ray.utils import list_column_to_matrix
+        q = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        qid = batch[id_col].to_numpy(zero_copy_only=False)
+        # fast candidate cut
+        d2 = (q * q).sum(1)[:, None] - 2.0 * (q @ rmat.T) \
+            + (rmat * rmat).sum(1)[None, :]
+        d2[qid[:, None] == rid[None, :]] = np.inf      # exclude self
+        cand = min(k + 8, d2.shape[1])
+        top = np.argpartition(d2, cand - 1, axis=1)[:, :cand]
+        # exact re-rank of the candidates (oracle formula), ties by id
+        votes = np.zeros((len(q), len(runiq)), dtype=np.int64)
+        diff = q[:, None, :] - rmat[top]               # (n, cand, d)
+        exact = np.einsum("ncd,ncd->nc", diff, diff)
+        exact[qid[:, None] == rid[top]] = np.inf
+        order = np.lexsort((rid[top], exact), axis=1)[:, :k]
+        knn_codes = np.take_along_axis(rcode[top], order, axis=1)
+        np.add.at(votes, (np.arange(len(q))[:, None], knn_codes), 1)
+        pred = runiq[votes.argmax(axis=1)]             # argmax = smallest
+        return pd.DataFrame({id_col: qid, out: pred})  # label on ties
+
+    return ds.map_batches(predict, batch_format="pyarrow")

@@ -179,6 +179,22 @@ def emb_nearest_centroid(sf_dir: str):
         .reset_index(drop=True)
 
 
+def emb_knn_predict(sf_dir: str):
+    """kNN weak labeling (`ops.similarity.knn_classify`): every embedding
+    labeled by the 5-nearest-neighbor majority vote against the labeled
+    set (broadcast seed set, per-batch expansion + exact re-rank; self
+    excluded). Oracle: the full kNN loop in SQL (cross join distances,
+    top-5 per query, majority with deterministic tie-breaks)."""
+    from nexus_forge_ray.ops.similarity import knn_classify
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"])
+    ref = emb.to_pandas()       # the labeled seed set (broadcastable)
+    out = knn_classify(emb, ref, k=5).to_pandas()
+    return out[["vec_id", "pred"]].sort_values("vec_id") \
+        .reset_index(drop=True)
+
+
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated

@@ -1223,6 +1223,28 @@ ORACLES: dict[str, str] = {
                                    order by dist, label) = 1
         order by vec_id
     """,
+    # the full kNN loop in SQL: pairwise distances (cast to double so the
+    # comparison basis equals the engine's float64 math), top-5 per query
+    # with id tie-break, majority vote with smaller-label tie-break
+    "emb_knn_predict": """
+        with d as (
+            select a.vec_id as qid, b.vec_id as nid, b.label as nlab,
+                   list_distance(a.embedding::double[],
+                                 b.embedding::double[]) as dist
+            from embeddings a join embeddings b
+              on a.vec_id != b.vec_id),
+        nn as (
+            select qid, nlab from (
+                select qid, nlab,
+                       row_number() over (partition by qid
+                                          order by dist, nid) as rn
+                from d) where rn <= 5),
+        v as (select qid, nlab, count(*) as c from nn group by 1, 2)
+        select qid as vec_id, nlab as pred from v
+        qualify row_number() over (partition by qid
+                                   order by c desc, nlab) = 1
+        order by vec_id
+    """,
     "doc_snapshot_diff": """
         with old as (
             select doc_id, n_chars from documents where doc_id % 5 != 0),

@@ -64,6 +64,7 @@ CASES = {
     "q_es_search_page": corpus.q_es_search_page,
     "emb_class_centroids": corpus.emb_class_centroids,
     "emb_nearest_centroid": corpus.emb_nearest_centroid,
+    "emb_knn_predict": corpus.emb_knn_predict,
 }
 
 
