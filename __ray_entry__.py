@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_class_centroids": corpus.emb_class_centroids,
         "emb_nearest_centroid": corpus.emb_nearest_centroid,
         "emb_knn_predict": corpus.emb_knn_predict,
+        "emb_centroid_confusion": corpus.emb_centroid_confusion,
+        "doc_classifier_pr": corpus.doc_classifier_pr,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

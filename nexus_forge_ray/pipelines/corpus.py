@@ -179,6 +179,74 @@ def emb_nearest_centroid(sf_dir: str):
         .reset_index(drop=True)
 
 
+def emb_centroid_confusion(sf_dir: str):
+    """Model evaluation as a distributed op: confusion matrix of the
+    nearest-centroid classifier vs gold labels — map-side (label, pred)
+    pair counts, one bucketed sum. The eval never collects predictions to
+    the driver; only the k x k matrix does."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.clustering import (class_centroids,
+                                                nearest_centroid_assign)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"]).materialize()
+    cents = class_centroids(emb)
+    pred = nearest_centroid_assign(emb, cents)
+    gold = emb.map_batches(lambda df: df[["vec_id", "label"]],
+                           batch_format="pandas")
+    from nexus_forge_ray.ops.joins import partitioned_join
+    pairs = partitioned_join(gold, pred, on="vec_id", num_buckets=8,
+                             lcols=["vec_id", "label"],
+                             rcols=["vec_id", "pred"])
+    counted = pairs.map_batches(
+        lambda df: df.groupby(["label", "pred"], as_index=False)
+        .size().rename(columns={"size": "n"}), batch_format="pandas")
+    out = hash_groupby_agg(counted, ["label", "pred"],
+                           {"n": ("n", "sum")}, num_buckets=8).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "pred"]).reset_index(drop=True)
+
+
+def doc_classifier_pr(sf_dir: str):
+    """Threshold sweep of the trained quality classifier: tp/fp/fn/tn per
+    threshold vs the (lang='en') gold label — per-batch partial counts,
+    one tiny grouped sum (3 x 4 ints ever leave the workers)."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.classifier import logreg_score, logreg_train
+    feat = tx.quality_scores(_docs(sf_dir, ["doc_id", "text", "lang"])) \
+        .map_batches(lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "f1": df["n_tokens"].astype("float64") / 100.0,
+            "f2": df["mean_token_len"].astype("float64"),
+            "f3": df["punct_ratio"].astype("float64"),
+            "y": (df["lang"] == "en").astype("float64")}),
+            batch_format="pandas").materialize()
+    w = logreg_train(feat, ["f1", "f2", "f3"], "y", lr=1.0, iters=2)
+    scored = logreg_score(feat, w, ["f1", "f2", "f3"])
+    thresholds = [0.3, 0.5, 0.7]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        y = df["y"].to_numpy() >= 0.5
+        s = df["score"].to_numpy()
+        for t in thresholds:
+            p = s >= t
+            rows.append({"threshold": t,
+                         "tp": int((p & y).sum()),
+                         "fp": int((p & ~y).sum()),
+                         "fn": int((~p & y).sum()),
+                         "tn": int((~p & ~y).sum())})
+        return pd.DataFrame(rows)
+
+    out = hash_groupby_agg(
+        scored.map_batches(partial, batch_format="pandas"), "threshold",
+        {c: (c, "sum") for c in ("tp", "fp", "fn", "tn")},
+        num_buckets=4).to_pandas()
+    for c in ("tp", "fp", "fn", "tn"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("threshold").reset_index(drop=True)
+
+
 def emb_knn_predict(sf_dir: str):
     """kNN weak labeling (`ops.similarity.knn_classify`): every embedding
     labeled by the 5-nearest-neighbor majority vote against the labeled

@@ -1223,6 +1223,77 @@ ORACLES: dict[str, str] = {
                                    order by dist, label) = 1
         order by vec_id
     """,
+    "emb_centroid_confusion": """
+        with c as (
+            select label, dim, avg(embedding[dim]) as val
+            from embeddings,
+                 unnest(generate_series(1, len(embedding))) as t(dim)
+            group by 1, 2),
+        d as (
+            select e.vec_id, c.label,
+                   sum((e.embedding[c.dim] - c.val) ^ 2) as dist
+            from embeddings e, c
+            group by 1, 2),
+        p as (
+            select vec_id, label as pred from d
+            qualify row_number() over (partition by vec_id
+                                       order by dist, label) = 1)
+        select e.label, p.pred, count(*)::bigint as n
+        from embeddings e join p using (vec_id)
+        group by 1, 2
+    """,
+    "doc_classifier_pr": """
+        with t as (
+            select doc_id,
+                   case when trim(text) = '' then 0
+                        else length(string_split_regex(trim(text), '\\s+')) end
+                   ::bigint as n_tokens,
+                   length(text)::bigint as n_chars,
+                   (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::bigint
+                   as n_punct,
+                   (lang = 'en')::int::double as y
+            from documents),
+        f as (
+            select doc_id, y,
+                   n_tokens / 100.0 as f1,
+                   round(n_chars / greatest(n_tokens, 1)::double, 4) as f2,
+                   round(n_punct / greatest(n_chars, 1)::double, 4) as f3
+            from t),
+        w1 as (
+            select avg(y - 0.5)        as b,
+                   avg(f1 * (y - 0.5)) as a1,
+                   avg(f2 * (y - 0.5)) as a2,
+                   avg(f3 * (y - 0.5)) as a3
+            from f),
+        p as (
+            select f.*,
+                   1.0 / (1.0 + exp(-(w1.b + w1.a1 * f1 + w1.a2 * f2
+                                      + w1.a3 * f3))) as p1
+            from f, w1),
+        w2 as (
+            select any_value(w1.b)  - avg(p1 - y)        as b,
+                   any_value(w1.a1) - avg(f1 * (p1 - y)) as a1,
+                   any_value(w1.a2) - avg(f2 * (p1 - y)) as a2,
+                   any_value(w1.a3) - avg(f3 * (p1 - y)) as a3
+            from p, w1),
+        s as (
+            select f.y,
+                   round(1.0 / (1.0 + exp(-(w2.b + w2.a1 * f1 + w2.a2 * f2
+                                            + w2.a3 * f3))), 4) as score
+            from f, w2)
+        select th.threshold,
+               count(*) filter (score >= th.threshold and y >= 0.5)
+                   ::bigint as tp,
+               count(*) filter (score >= th.threshold and y < 0.5)
+                   ::bigint as fp,
+               count(*) filter (score < th.threshold and y >= 0.5)
+                   ::bigint as fn,
+               count(*) filter (score < th.threshold and y < 0.5)
+                   ::bigint as tn
+        from s cross join (values (0.3), (0.5), (0.7)) th(threshold)
+        group by 1
+    """,
     # the full kNN loop in SQL: pairwise distances (cast to double so the
     # comparison basis equals the engine's float64 math), top-5 per query
     # with id tie-break, majority vote with smaller-label tie-break

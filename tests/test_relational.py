@@ -65,6 +65,8 @@ CASES = {
     "emb_class_centroids": corpus.emb_class_centroids,
     "emb_nearest_centroid": corpus.emb_nearest_centroid,
     "emb_knn_predict": corpus.emb_knn_predict,
+    "emb_centroid_confusion": corpus.emb_centroid_confusion,
+    "doc_classifier_pr": corpus.doc_classifier_pr,
 }
 
 
