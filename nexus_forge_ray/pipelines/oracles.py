@@ -1384,6 +1384,17 @@ ORACLES: dict[str, str] = {
         group by 1
         order by 1
     """,
+    "q_events_retention": """
+        with act as (
+            select distinct user_id, date_trunc('day', ts)::date as day
+            from events),
+        fd as (select user_id, min(day) as cohort from act group by 1)
+        select strftime(fd.cohort, '%Y-%m-%d') as cohort,
+               datediff('day', fd.cohort, act.day)::bigint as "offset",
+               count(*)::bigint as n_users
+        from act join fd using (user_id)
+        group by 1, 2
+    """,
     "q_es_search_page": """
         select event_id, event_type, value from events
         where event_type = 'click'

@@ -951,6 +951,43 @@ def q_events_zscore(sf_dir: str) -> pd.DataFrame:
     return w.map_batches(norm, batch_format="pandas")
 
 
+def q_events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by their first active day, counted
+    at each day offset they return — the classic growth-analytics shape.
+    Distributed plan: per-(user, day) activity dedup (bucketed), per-user
+    min day (one grouped agg), ONE bucketed join back on user_id, then a
+    tiny (cohort, offset) grouped count — user activity never reaches the
+    driver."""
+    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    act = distinct_rows(
+        ev.map_batches(lambda df: pd.DataFrame(
+            {"user_id": df["user_id"],
+             "day": pd.to_datetime(df["ts"]).dt.floor("D")}),
+            batch_format="pandas"),
+        ["user_id", "day"], num_buckets=16)
+    act = act.materialize()     # feeds the cohort agg AND the join
+    first = hash_groupby_agg(act, "user_id", {"cohort": ("day", "min")},
+                             num_buckets=16)
+    joined = partitioned_join(act, first, on="user_id", num_buckets=16,
+                              lcols=["user_id", "day"],
+                              rcols=["user_id", "cohort"])
+    pairs = joined.map_batches(
+        lambda df: pd.DataFrame({
+            "cohort": pd.to_datetime(df["cohort"]).dt.strftime("%Y-%m-%d"),
+            "offset": (pd.to_datetime(df["day"])
+                       - pd.to_datetime(df["cohort"])).dt.days
+            .astype("int64")}).groupby(["cohort", "offset"],
+                                       as_index=False).size()
+        .rename(columns={"size": "n_users"}), batch_format="pandas")
+    out = hash_groupby_agg(pairs, ["cohort", "offset"],
+                           {"n_users": ("n_users", "sum")},
+                           num_buckets=8).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
 def q_events_funnel(sf_dir: str) -> pd.DataFrame:
     """Funnel conversion (view -> later purchase, per user): users bucket
     by hash so each user's log lands in one group; the first-view time and

@@ -67,6 +67,7 @@ CASES = {
     "emb_knn_predict": corpus.emb_knn_predict,
     "emb_centroid_confusion": corpus.emb_centroid_confusion,
     "doc_classifier_pr": corpus.doc_classifier_pr,
+    "q_events_retention": relational.q_events_retention,
 }
 
 
