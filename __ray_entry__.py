@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_centroid_confusion": corpus.emb_centroid_confusion,
         "doc_classifier_pr": corpus.doc_classifier_pr,
         "q_events_retention": relational.q_events_retention,
+        "doc_collocations": corpus.doc_collocations,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,

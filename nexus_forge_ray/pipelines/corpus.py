@@ -263,6 +263,79 @@ def emb_knn_predict(sf_dir: str):
         .reset_index(drop=True)
 
 
+def doc_collocations(sf_dir: str):
+    """Collocation extraction (bigram PMI — the phrase-detection signal
+    tokenizer pipelines use before merging multi-word units): bigram and
+    unigram counts from map-side partials, marginals attached through TWO
+    bucketed token joins (vocabularies don't broadcast), PMI computed
+    vectorized, global top-20 via the partial-topk merge. min-count 5
+    filters the unstable tail."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import global_topk, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+    ds = _docs(sf_dir, ["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        counts = toks.map(len).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        if len(flat) < 2:
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        starts = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(counts) - 1
+        ends = ends[(ends >= 0) & (ends < len(flat))]
+        starts[ends] = False
+        keep = starts[:-1]
+        pairs = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        return pairs.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    bc = hash_groupby_agg(ds.map_batches(bigrams, batch_format="pandas"),
+                          ["w1", "w2"], {"n": ("n", "sum")}, num_buckets=8)
+
+    def unis(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split().explode().dropna()
+        return ex.value_counts().rename_axis("token").reset_index(name="c")
+
+    uni = hash_groupby_agg(ds.map_batches(unis, batch_format="pandas"),
+                           "token", {"c": ("c", "sum")},
+                           num_buckets=8).materialize()
+    total = int(uni.sum("c"))
+    u1 = uni.map_batches(lambda df: df.rename(
+        columns={"token": "w1", "c": "c1"}), batch_format="pandas")
+    u2 = uni.map_batches(lambda df: df.rename(
+        columns={"token": "w2", "c": "c2"}), batch_format="pandas")
+    j = partitioned_join(bc, u1, on="w1", num_buckets=8,
+                         lcols=["w1", "w2", "n"], rcols=["w1", "c1"])
+    j = partitioned_join(j, u2, on="w2", num_buckets=8,
+                         lcols=["w1", "w2", "n", "c1"], rcols=["w2", "c2"])
+
+    def pmi(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= 5].copy()
+        if not len(df):
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "pmi": pd.Series(dtype="float64")})
+        val = np.log((df["n"].astype("float64") * float(total))
+                     / (df["c1"].astype("float64")
+                        * df["c2"].astype("float64")))
+        df["pmi"] = pc.round(pa.array(val, type=pa.float64()), ndigits=4,
+                             round_mode="half_towards_infinity") \
+            .to_numpy(zero_copy_only=False)
+        df["bigram"] = df["w1"].astype(str) + " " + df["w2"].astype(str)
+        return df[["bigram", "n", "pmi"]]
+
+    scored = j.map_batches(pmi, batch_format="pandas")
+    top = global_topk(scored, ["pmi", "bigram"], 20,
+                      ascending=[False, True])
+    top["n"] = top["n"].astype("int64")
+    return top[["bigram", "n", "pmi"]].reset_index(drop=True)
+
+
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated

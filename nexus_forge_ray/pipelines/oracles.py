@@ -1591,6 +1591,25 @@ ORACLES: dict[str, str] = {
         select bigram, count(*) as n from b group by 1
         order by n desc, bigram limit 20
     """,
+    "doc_collocations": """
+        with t as (select string_split(text, ' ') as toks from documents),
+        i as (select toks, unnest(generate_series(1, len(toks) - 1)) as i
+              from t),
+        b as (select toks[i] as w1, toks[i + 1] as w2 from i),
+        bc as (select w1, w2, count(*)::bigint as n from b group by 1, 2),
+        u as (select unnest(toks) as token from t),
+        uc as (select token, count(*)::bigint as c from u group by 1)
+        select bc.w1 || ' ' || bc.w2 as bigram, bc.n,
+               round(ln((bc.n::double
+                         * (select count(*) from u)::double)
+                        / (u1.c::double * u2.c::double)), 4) as pmi
+        from bc
+        join uc u1 on bc.w1 = u1.token
+        join uc u2 on bc.w2 = u2.token
+        where bc.n >= 5
+        order by pmi desc, bigram
+        limit 20
+    """,
     "q_events_json": """
         select event_type, count(*) as n,
                round(avg(cast(json_extract_string(props, '$.k') as bigint)), 2)

@@ -68,6 +68,7 @@ CASES = {
     "emb_centroid_confusion": corpus.emb_centroid_confusion,
     "doc_classifier_pr": corpus.doc_classifier_pr,
     "q_events_retention": relational.q_events_retention,
+    "doc_collocations": corpus.doc_collocations,
 }
 
 
