@@ -235,17 +235,37 @@ class KnowledgeGraphForge:
                 raise ValueError("aggs need an explicit Dataset — the "
                                  "record store is row-oriented")
             return elastic_terms_agg(data, query)
+        def _source_cols(src):
+            """ES _source forms: list, single string, {'includes': [...]}."""
+            if isinstance(src, str):
+                return [src]
+            if isinstance(src, dict):
+                return list(src.get("includes") or [])
+            return list(src)
+
         if data is not None and "sort" in query:
-            # explicit sort -> a deterministic page; size/from without sort
-            # keep the plain-search behavior (as before pagination existed)
-            return elastic_search_page(data, query, **kw)
+            page = elastic_search_page(data, query, **kw)
+            src = query.get("_source")
+            if src:       # ES applies _source filtering on sorted pages too
+                cols = [c for c in _source_cols(src) if c in page.columns]
+                page = page[cols]
+            return page
         filters = filters_from_elastic(query)
         if data is not None:
             out = _search(data, *filters, **kw)
             src = query.get("_source")
             if src:       # ES source filtering: project the hit columns
-                out = out.map_batches(lambda df, c=list(src): df[c],
-                                      batch_format="pandas")
+                # missing fields are omitted, not errors (ES semantics)
+                cols = _source_cols(src)
+                out = out.map_batches(
+                    lambda df, c=tuple(cols):
+                    df[[x for x in c if x in df.columns]],
+                    batch_format="pandas")
+            if "size" in query:
+                # size without sort: a bounded but arbitrarily-ordered
+                # page, exactly ES without an explicit sort (no _score
+                # ranking in this engine)
+                out = out.limit(int(query["size"]))
             return out
         return self._need_store().search(*filters, **kw)
 
@@ -260,10 +280,11 @@ class KnowledgeGraphForge:
 
         from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
                                             sparql_describe, sparql_select)
-        # strip IRIs and PREFIX lines first: an IRI like <http://ex/ask#>
-        # must not decide the dispatch
+        # strip IRIs and PREFIX declarations first: an IRI like
+        # <http://ex/ask#> or a prefix NAMED 'ask' must not decide the
+        # dispatch (declarations can share a line, so no ^ anchor)
         head = _re.sub(r"<[^>]*>", " ", query)
-        head = _re.sub(r"(?im)^\s*prefix\s+\w*:\s*", " ", head)
+        head = _re.sub(r"(?is)\bprefix\s+\w*:\s*", " ", head)
         form = _re.search(r"(?is)\b(select|construct|ask|describe)\b", head)
         if form is None:
             raise ValueError("need a SELECT / CONSTRUCT / ASK / DESCRIBE "

@@ -146,7 +146,9 @@ def bgp_select(triples: ray.data.Dataset,
                                rcols=list(dict.fromkeys(pat_vars)))
         bound = list(dict.fromkeys(bound + pat_vars))
     assert cur is not None, "empty pattern list"
-    return cur.map_batches(lambda df: df[sel], batch_format="pandas")
+    # reindex, not df[sel]: empty blocks can arrive column-less
+    return cur.map_batches(lambda df: df.reindex(columns=sel),
+                           batch_format="pandas")
 
 
 class ParsedQuery(NamedTuple):
@@ -212,7 +214,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     import re
 
     prefixes = dict(re.findall(
-        r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>", query))
+        r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
                   r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
                   r"\s*(?:order\s+by\s+((?:\s*(?:asc|desc)\(\s*\?\w+\s*\)"
@@ -484,7 +486,10 @@ def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
         mask = pd.Series(True, index=batch.index)
         for var, op, val, is_var in q.filters:
             if op in ("bound", "notbound"):
-                nn = batch[var].notna()
+                # a variable no pattern ever binds is unbound everywhere
+                # (SPARQL: bound() is false, not an error)
+                nn = batch[var].notna() if var in batch.columns \
+                    else pd.Series(False, index=batch.index)
                 mask &= nn if op == "bound" else ~nn
                 continue
             lhs = batch[var]
@@ -696,7 +701,8 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     if q.aggregates:
         out = _aggregate_groups(out, q)
     else:
-        out = out.map_batches(lambda df: df[sel], batch_format="pandas")
+        out = out.map_batches(lambda df: df.reindex(columns=sel),
+                              batch_format="pandas")
     if q.distinct:
         from nexus_forge_ray.ops.agg import distinct_rows
         out = distinct_rows(out, sel)
@@ -759,7 +765,7 @@ def sparql_construct(triples: ray.data.Dataset, query: str,
     binding, and a bucketed distinct enforces graph (set) semantics.
     Bindings left unbound by OPTIONAL drop that pattern's row, per spec.
     """
-    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>",
                                query))
     header = "\n".join(f"PREFIX {p}: <{iri}>"
                        for p, iri in prefixes.items())
@@ -797,7 +803,7 @@ def sparql_ask(triples: ray.data.Dataset, query: str, **kw) -> bool:
     """ASK { patterns } — True iff the pattern group has any solution.
     Rewrites to a LIMIT-1 SELECT of the group's variables; only one block
     ever leaves the cluster."""
-    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>",
                                query))
     header = "\n".join(f"PREFIX {p}: <{iri}>"
                        for p, iri in prefixes.items())
@@ -828,7 +834,7 @@ def sparql_describe(triples: ray.data.Dataset, query: str,
     through a bucketed semi-join — the description set never touches the
     driver."""
     from nexus_forge_ray.ops.joins import partitioned_semi_join
-    prefixes = dict(re.findall(r"(?im)^\s*prefix\s+(\w*):\s*<([^>]*)>",
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>",
                                query))
     m = re.search(r"(?is)\bdescribe\s+(.*?)\s*(?:where\s*(\{.*\}))?\s*$",
                   query)

@@ -323,7 +323,13 @@ def _partitioned_membership(left: ray.data.Dataset,
         return fn
 
     lt = left.map_batches(tag("l"), batch_format="pandas")
-    rt = right_keys.map_batches(tag("r"), batch_format="pandas")
+    # right rows are a membership set: per-batch key dedup BEFORE the
+    # exchange (duplicate keys are pure shuffle waste here). The None
+    # padding to the left schema stays — the union's blocks must agree on
+    # columns — but dedup bounds the padded volume by the key cardinality.
+    rt = right_keys.map_batches(
+        lambda df: df.drop_duplicates(subset=[on]),
+        batch_format="pandas").map_batches(tag("r"), batch_format="pandas")
 
     def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["__side"] == "l"]

@@ -220,7 +220,11 @@ def knn_classify(ds: ray.data.Dataset, ref_df: pd.DataFrame, *, k: int = 5,
         exact[qid[:, None] == rid[top]] = np.inf
         order = np.lexsort((rid[top], exact), axis=1)[:, :k]
         knn_codes = np.take_along_axis(rcode[top], order, axis=1)
-        np.add.at(votes, (np.arange(len(q))[:, None], knn_codes), 1)
+        # inf rows (the excluded self, when the seed set has < k non-self
+        # candidates) must not vote — mask them out of the tally
+        valid = np.isfinite(np.take_along_axis(exact, order, axis=1))
+        rows = np.broadcast_to(np.arange(len(q))[:, None], knn_codes.shape)
+        np.add.at(votes, (rows[valid], knn_codes[valid]), 1)
         pred = runiq[votes.argmax(axis=1)]             # argmax = smallest
         return pd.DataFrame({id_col: qid, out: pred})  # label on ties
 

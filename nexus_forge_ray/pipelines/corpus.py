@@ -154,12 +154,19 @@ def emb_class_centroids(sf_dir: str):
     from nexus_forge_ray.ops.clustering import class_centroids
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["label", "embedding"])
+    import pyarrow as pa
+    import pyarrow.compute as pc
     cents = class_centroids(emb)
     rows = []
     for _, r in cents.iterrows():
-        for dim, v in enumerate(r["centroid"], start=1):
+        # half-away rounding like every oracle-checked op (round() is
+        # banker's and diverges from SQL ROUND on exact 6-decimal ties)
+        vals = pc.round(pa.array(r["centroid"], type=pa.float64()),
+                        ndigits=6, round_mode="half_towards_infinity") \
+            .to_pylist()
+        for dim, v in enumerate(vals, start=1):
             rows.append({"label": int(r["label"]), "dim": dim,
-                         "val": round(float(v), 6)})
+                         "val": float(v)})
     return pd.DataFrame(rows)
 
 
@@ -263,6 +270,25 @@ def emb_knn_predict(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _bigram_pairs(texts: pd.Series):
+    """(w1, w2) arrays of adjacent token pairs, doc boundaries respected
+    (one numpy shift; the last token of each doc starts no bigram). Shared
+    by doc_bigrams and doc_collocations so the boundary masking has one
+    home."""
+    toks = texts.fillna("").str.split()
+    counts = toks.map(len).to_numpy()
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    if len(flat) < 2:
+        empty = np.array([], dtype=object)
+        return empty, empty
+    starts = np.ones(len(flat), dtype=bool)
+    ends = np.cumsum(counts) - 1            # index of each doc's last tok
+    ends = ends[(ends >= 0) & (ends < len(flat))]
+    starts[ends] = False
+    keep = starts[:-1]
+    return flat[:-1][keep], flat[1:][keep]
+
+
 def doc_collocations(sf_dir: str):
     """Collocation extraction (bigram PMI — the phrase-detection signal
     tokenizer pipelines use before merging multi-word units): bigram and
@@ -278,19 +304,12 @@ def doc_collocations(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def bigrams(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.split()
-        counts = toks.map(len).to_numpy()
-        flat = toks.explode().dropna().to_numpy(dtype=object)
-        if len(flat) < 2:
+        w1, w2 = _bigram_pairs(df["text"])
+        if not len(w1):
             return pd.DataFrame({"w1": pd.Series(dtype=object),
                                  "w2": pd.Series(dtype=object),
                                  "n": pd.Series(dtype="int64")})
-        starts = np.ones(len(flat), dtype=bool)
-        ends = np.cumsum(counts) - 1
-        ends = ends[(ends >= 0) & (ends < len(flat))]
-        starts[ends] = False
-        keep = starts[:-1]
-        pairs = pd.DataFrame({"w1": flat[:-1][keep], "w2": flat[1:][keep]})
+        pairs = pd.DataFrame({"w1": w1, "w2": w2})
         return pairs.groupby(["w1", "w2"], as_index=False).size() \
             .rename(columns={"size": "n"})
 
@@ -1018,19 +1037,11 @@ def doc_bigrams(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def bigrams(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.split()
-        counts = toks.map(len).to_numpy()
-        flat = toks.explode().dropna().to_numpy(dtype=object)
-        if len(flat) < 2:
+        w1, w2 = _bigram_pairs(df["text"])
+        if not len(w1):
             return pd.DataFrame({"bigram": pd.Series(dtype=object),
                                  "n": pd.Series(dtype="int64")})
-        # boundaries: the last token of each doc cannot start a bigram
-        starts = np.ones(len(flat), dtype=bool)
-        ends = np.cumsum(counts) - 1            # index of each doc's last tok
-        ends = ends[(ends >= 0) & (ends < len(flat))]
-        starts[ends] = False
-        keep = starts[:-1]
-        bg = pd.Series(flat[:-1][keep]) + " " + pd.Series(flat[1:][keep])
+        bg = pd.Series(w1) + " " + pd.Series(w2)
         out = bg.value_counts().rename_axis("bigram").reset_index(name="n")
         return out
 

@@ -108,17 +108,21 @@ def parse_lines(df: pd.DataFrame, col: str = "line") -> pd.DataFrame:
         if not m:
             continue
         s, p, o = m.group(1), m.group(2), m.group(3)
-        subjs.append(s[1:-1] if s.startswith("<") else s)
-        preds.append(p)
+        # parse the object FIRST: a failed literal parse must drop the
+        # whole line, never leave subj/pred appended without an object
+        # (misaligned columns would kill the entire batch)
         if o.startswith("<"):
-            objs.append(o[1:-1]); iris.append(True); dts.append(None)
+            obj, is_iri, dt = o[1:-1], True, None
         else:
             lm = _LIT_RE.match(o)
             if not lm:
                 continue
-            objs.append(_unescape(lm.group(1)))
-            iris.append(False)
-            dts.append(lm.group(2))
+            obj, is_iri, dt = _unescape(lm.group(1)), False, lm.group(2)
+        subjs.append(s[1:-1] if s.startswith("<") else s)
+        preds.append(p)
+        objs.append(obj)
+        iris.append(is_iri)
+        dts.append(dt)
     return pd.DataFrame({"subj": subjs, "pred": preds, "obj": objs,
                          "obj_is_iri": pd.Series(iris, dtype=bool),
                          "obj_datatype": pd.Series(dts, dtype=object)})

@@ -590,3 +590,17 @@ def test_filter_bound_over_optional(ray_session):
     q2 = ('SELECT ?d WHERE { ?d <m> ?e . OPTIONAL { ?d <lang> ?l } '
           'FILTER(!bound(?l)) }')
     assert sparql_select(trip, q2).to_pandas()["d"].tolist() == ["d2"]
+
+
+def test_bound_on_never_bound_variable(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame([("d1", "m", "x")], columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    # bound() on a variable no pattern binds: false (SPARQL), not KeyError
+    q = 'SELECT ?d WHERE { ?d <m> ?e . FILTER(!bound(?zz)) }'
+    assert sparql_select(trip, q).to_pandas()["d"].tolist() == ["d1"]
+    q2 = 'SELECT ?d WHERE { ?d <m> ?e . FILTER(bound(?zz)) }'
+    assert len(sparql_select(trip, q2).to_pandas()) == 0

@@ -164,3 +164,40 @@ def test_elastic_source_projection(forge):
                          "_source": ["a", "b"]}, data=ds).to_pandas()
     assert list(out.columns) == ["a", "b"]
     assert out["a"].tolist() == [1]
+
+
+def test_elastic_source_forms_and_size_without_sort(forge):
+    import pandas as pd
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": list(range(10)), "b": ["x"] * 10}))
+    # string form + missing field omitted (ES semantics), not KeyError
+    out = forge.elastic({"query": {"term": {"b": "x"}},
+                         "_source": "a"}, data=ds).to_pandas()
+    assert list(out.columns) == ["a"]
+    out2 = forge.elastic({"query": {"match_all": {}},
+                          "_source": {"includes": ["a", "nope"]}},
+                         data=ds).to_pandas()
+    assert list(out2.columns) == ["a"]
+    # size without sort: bounded page, not the full result set
+    out3 = forge.elastic({"query": {"match_all": {}}, "size": 3},
+                         data=ds).to_pandas()
+    assert len(out3) == 3
+    # _source applies on the sorted page path too
+    out4 = forge.elastic({"query": {"match_all": {}},
+                          "sort": [{"a": "desc"}], "size": 2,
+                          "_source": ["a"]}, data=ds)
+    assert list(out4.columns) == ["a"] and out4["a"].tolist() == [9, 8]
+
+
+def test_sparql_dispatch_inline_prefix_named_ask(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame([("d1", "http://y/m", "x")],
+                     columns=["subj", "pred", "obj"])
+    q = ('PREFIX a: <http://x/> PREFIX ask: <http://y/> '
+         'SELECT ?d WHERE { ?d ask:m "x" }')
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t))
+    assert out.to_pandas()["d"].tolist() == ["d1"]

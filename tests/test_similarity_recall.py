@@ -57,3 +57,25 @@ def test_ivf_persisted_index_matches_inline(sf_dir, tmp_path):
     assert got[["query_id", "vec_id"]].values.tolist() == \
         want[["query_id", "vec_id"]].values.tolist()
     assert np.allclose(got["score"], want["score"])
+
+
+def test_knn_small_seed_set_self_never_votes(ray_session):
+    """Seed set smaller than k: the excluded self must not leak its gold
+    label into the vote."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.similarity import knn_classify
+    # 3 vectors: v0 sits next to two label-1 vectors; its own label is 0.
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "label": [0, 1, 1],
+        "embedding": [np.array([0.0, 0.0], dtype=np.float32),
+                      np.array([0.1, 0.0], dtype=np.float32),
+                      np.array([0.0, 0.1], dtype=np.float32)],
+    })
+    ds = ray.data.from_pandas(df)
+    out = knn_classify(ds, df, k=5).to_pandas().sort_values("vec_id")
+    # with self excluded and only 2 real neighbors, v0's vote is 1-1... wait
+    assert out.loc[out["vec_id"] == 0, "pred"].iloc[0] == 1
