@@ -178,6 +178,8 @@ class ParsedQuery(NamedTuple):
     # BIND(expr AS ?v): (fn, args, alias); fn in concat/strlen/ucase/
     # lcase/str/arith (arith args = [t1, op, t2])
     binds: list[tuple[str, list, str]] = []
+    # HAVING(?aggAlias OP number) — post-aggregation group filter
+    having: list[tuple[str, str, float]] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -217,6 +219,7 @@ def parse_sparql(query: str) -> ParsedQuery:
         r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
                   r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
+                  r"\s*(?:having\s*\(([^()]*)\))?"
                   r"\s*(?:order\s+by\s+((?:\s*(?:asc|desc)\(\s*\?\w+\s*\)"
                   r"|\s*\?\w+)+))?\s*(?:limit\s+(\d+))?"
                   r"\s*(?:offset\s+(\d+))?\s*$", query)
@@ -257,12 +260,20 @@ def parse_sparql(query: str) -> ParsedQuery:
     elif group_by:
         raise ValueError("GROUP BY requires at least one aggregate "
                          "in the SELECT clause")
-    limit = int(m.group(6)) if m.group(6) else None
-    offset = int(m.group(7)) if m.group(7) else None
+    limit = int(m.group(7)) if m.group(7) else None
+    offset = int(m.group(8)) if m.group(8) else None
+    having: list[tuple[str, str, float]] = []
+    if m.group(5):
+        hm = re.match(r"(?s)^\s*\?(\w+)\s*(!=|<=|>=|=|<|>)\s*"
+                      r"(-?[\d.]+)\s*$", m.group(5))
+        if not hm:
+            raise ValueError("HAVING must be (?aggAlias OP number)")
+        having.append((hm.group(1), _CMP_OPS[hm.group(2)],
+                       float(hm.group(3))))
     order_by = [(g1 or g2, (d or "").lower() == "desc")
                 for d, g1, g2 in re.findall(
                     r"(?i)(?:(asc|desc)\(\s*\?(\w+)\s*\)|\?(\w+))",
-                    m.group(5) or "")]
+                    m.group(6) or "")]
     body = m.group(3)
 
     def term(tok: str) -> str:
@@ -468,10 +479,16 @@ def parse_sparql(query: str) -> ParsedQuery:
                           alias))
             continue
         raise ValueError(f"unsupported BIND expression: {expr!r}")
+    if having:
+        agg_aliases = {a for _, _, a in aggregates}
+        bad = [h for h, _, _ in having if h not in agg_aliases]
+        if not aggregates or bad:
+            raise ValueError("HAVING filters aggregate aliases only "
+                             f"(got {bad or having})")
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
                        group_by, aggregates, values_clauses, offset,
-                       not_exists, exists, binds)
+                       not_exists, exists, binds, having)
 
 
 def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -700,6 +717,19 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         out = _apply_filters(out, q)
     if q.aggregates:
         out = _aggregate_groups(out, q)
+        if q.having:
+            import operator as _op
+            hops = {"eq": _op.eq, "ne": _op.ne, "lt": _op.lt,
+                    "le": _op.le, "gt": _op.gt, "ge": _op.ge}
+
+            def hav(df: pd.DataFrame) -> pd.DataFrame:
+                mask = pd.Series(True, index=df.index)
+                for alias, op, val in q.having:
+                    mask &= hops[op](
+                        pd.to_numeric(df[alias], errors="coerce"), val) \
+                        .fillna(False)
+                return df[mask]
+            out = out.map_batches(hav, batch_format="pandas")
     else:
         out = out.map_batches(lambda df: df.reindex(columns=sel),
                               batch_format="pandas")

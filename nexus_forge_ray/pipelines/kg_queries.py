@@ -504,6 +504,16 @@ def kg_bgp_bind(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_having(sf_dir: str):
+    """SPARQL HAVING: entities mentioned by at least 20 documents — the
+    post-aggregation group filter runs on the (tiny) aggregated rows."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d v:mentions ?e }
+    GROUP BY ?e HAVING(?n >= 20)"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -656,6 +666,7 @@ QUERIES = {
     "kg_bgp_describe": kg_bgp_describe,
     "kg_bgp_groupconcat": kg_bgp_groupconcat,
     "kg_bgp_bind": kg_bgp_bind,
+    "kg_bgp_having": kg_bgp_having,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

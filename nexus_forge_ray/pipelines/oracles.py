@@ -439,6 +439,12 @@ ORACLES: dict[str, str] = {
             select (doc_id * 7 + 27) % 100000 from documents)
         select tgt, count(*)::bigint as n_inlinks from l group by 1
     """,
+    "kg_bgp_having": f"""
+        with {_KG_TRIPLES_CTE}
+        select obj as e, count(*)::bigint as n from t
+        where pred = 'http://example.org/vocab/mentions'
+        group by 1 having count(*) >= 20
+    """,
     "kg_bgp_bind": f"""
         with {_KG_TRIPLES_CTE}
         select subj || '->' || obj as k, length(obj)::bigint as n

@@ -604,3 +604,22 @@ def test_bound_on_never_bound_variable(ray_session):
     assert sparql_select(trip, q).to_pandas()["d"].tolist() == ["d1"]
     q2 = 'SELECT ?d WHERE { ?d <m> ?e . FILTER(bound(?zz)) }'
     assert len(sparql_select(trip, q2).to_pandas()) == 0
+
+
+def test_having_filters_groups(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "a"), ("d1", "m", "b"), ("d1", "m", "c"),
+         ("d2", "m", "a"), ("d3", "m", "b"), ("d3", "m", "c")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d <m> ?e } '
+         'GROUP BY ?d HAVING(?n >= 2) ORDER BY ?d')
+    out = sparql_select(trip, q).to_pandas()
+    assert list(zip(out["d"], out["n"])) == [("d1", 3), ("d3", 2)]
+    with _pytest.raises(ValueError, match="HAVING"):
+        sparql_select(trip, 'SELECT ?d WHERE { ?d <m> ?e } HAVING(?n > 1)')
