@@ -232,13 +232,18 @@ def parse_sparql(query: str) -> ParsedQuery:
     # an optional `; SEPARATOR="..."` (default " ") and encodes it into the
     # func slot ("group_concat\x00<sep>") to keep the tuple shape
     agg_re = re.compile(
-        r"(?is)\(\s*(count|sum|min|max|avg|group_concat)\s*\(\s*(\*|\?\w+)"
+        r"(?is)\(\s*(count|sum|min|max|avg|group_concat)\s*\("
+        r"\s*(distinct\s+)?(\*|\?\w+)"
         r'\s*(?:;\s*separator\s*=\s*"([^"]*)")?\s*\)'
         r"\s+as\s+\?(\w+)\s*\)")
     aggregates = []
     for mm in agg_re.finditer(m.group(2)):
-        f, v, sep, a = (mm.group(1).lower(), mm.group(2),
-                        mm.group(3), mm.group(4))
+        f, dis, v, sep, a = (mm.group(1).lower(), mm.group(2),
+                             mm.group(3), mm.group(4), mm.group(5))
+        if dis:
+            if f != "count" or v == "*":
+                raise ValueError("DISTINCT supported for COUNT(?v) only")
+            f = "count_distinct"
         if f == "group_concat":
             # findall would blur absent vs empty separator; finditer keeps
             # the distinction (None = absent -> the SPARQL default " ")
@@ -529,40 +534,70 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
     the exchange moves one row per (batch, group), never the bindings.
     Numeric aggregates coerce string literals with to_numeric (SPARQL bag
     semantics: non-numeric bindings contribute nothing)."""
-    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
 
     keys = list(q.group_by) or ["__all"]
-    # partial column plan: alias -> (partial producer, final how, finisher)
-    numeric = {"sum", "min", "max", "avg"}
+    cd = [(f, v, a) for f, v, a in q.aggregates if f == "count_distinct"]
+    rest = [(f, v, a) for f, v, a in q.aggregates
+            if f != "count_distinct"]
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def keyed(batch: pd.DataFrame, cols: dict) -> pd.DataFrame:
         out = pd.DataFrame(index=batch.index)
         for k in q.group_by:
             out[k] = batch[k]
         if not q.group_by:
             out["__all"] = 0
-        for func, var, alias in q.aggregates:
-            if func == "count":
-                out[alias] = (1.0 if var == "*"
-                              else batch[var].notna().astype("float64"))
-            elif func.startswith("group_concat"):
-                out[alias] = batch[var]          # raw strings, no coercion
-            else:
-                out[alias] = pd.to_numeric(batch[var], errors="coerce")
-            if func == "avg":
-                out[alias + "__n"] = out[alias].notna().astype("float64")
+        for name, series in cols.items():
+            out[name] = series
         return out
 
-    aggs = {}
-    for func, _, alias in q.aggregates:
-        how = ("collect" if func.startswith("group_concat") else
-               {"count": "sum", "sum": "sum", "min": "min",
-                "max": "max", "avg": "sum"}[func])
-        aggs[alias] = (alias, how)
-        if func == "avg":
-            aggs[alias + "__n"] = (alias + "__n", "sum")
-    out = hash_groupby_agg(ds.map_batches(partial, batch_format="pandas"),
-                           keys, aggs, num_buckets=16)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {}
+        for func, var, alias in rest:
+            if func == "count":
+                cols[alias] = (1.0 if var == "*"
+                               else batch[var].notna().astype("float64"))
+            elif func.startswith("group_concat"):
+                cols[alias] = batch[var]         # raw strings, no coercion
+            else:
+                cols[alias] = pd.to_numeric(batch[var], errors="coerce")
+            if func == "avg":
+                cols[alias + "__n"] = cols[alias].notna().astype("float64")
+        return keyed(batch, cols)
+
+    out, out_cols = None, list(keys)
+    if rest:
+        aggs = {}
+        for func, _, alias in rest:
+            how = ("collect" if func.startswith("group_concat") else
+                   {"count": "sum", "sum": "sum", "min": "min",
+                    "max": "max", "avg": "sum"}[func])
+            aggs[alias] = (alias, how)
+            if func == "avg":
+                aggs[alias + "__n"] = (alias + "__n", "sum")
+        out = hash_groupby_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys, aggs, num_buckets=16)
+        out_cols = list(keys) + list(aggs)
+
+    # COUNT(DISTINCT ?v): per-group value dedup (map-side pair dedup inside
+    # distinct_rows bounds the exchange by group-value cardinality), then a
+    # plain grouped count; joined back on the group keys
+    for func, var, alias in cd:
+        dd = distinct_rows(
+            ds.map_batches(lambda df, v=var: keyed(df, {v: df[v]}),
+                           batch_format="pandas"),
+            keys + [var], num_buckets=16)
+        cnt = hash_groupby_agg(dd, keys, {alias: (var, "count")},
+                               num_buckets=16)
+        if out is None:
+            out = cnt
+        else:
+            out = partitioned_join(
+                out, cnt, on=keys[0], extra_keys=keys[1:],
+                num_buckets=16, lcols=out_cols, rcols=keys + [alias])
+        out_cols = list(dict.fromkeys(out_cols + keys + [alias]))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -570,7 +605,7 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             if func == "avg":
                 df[alias] = df[alias] / df[alias + "__n"]
                 df = df.drop(columns=[alias + "__n"])
-            elif func == "count":
+            elif func in ("count", "count_distinct"):
                 df[alias] = df[alias].astype("int64")
             elif func.startswith("group_concat"):
                 sep = func.split("\x00", 1)[1]
@@ -579,6 +614,7 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
         sel = [v.lstrip("?") for v in q.select]
         return df[sel]
 
+    assert out is not None
     return out.map_batches(finish, batch_format="pandas")
 
 

@@ -514,6 +514,19 @@ def kg_bgp_having(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_count_distinct(sf_dir: str):
+    """SPARQL COUNT(DISTINCT ?v): distinct entities per language — the
+    per-group value dedup bounds the exchange by group-value cardinality,
+    then a plain grouped count; mixed with a plain COUNT in the same
+    query (the two aggregate paths join on the group keys)."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?l (COUNT(DISTINCT ?e) AS ?entities) (COUNT(?e) AS ?mentions)
+    WHERE { ?d v:mentions ?e . ?d v:lang ?l }
+    GROUP BY ?l"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_communities(sf_dir: str):
     """Label-propagation communities (2 synchronous rounds) over the
     weighted co-occurrence graph (`kg.communities.label_propagation`):
@@ -667,6 +680,7 @@ QUERIES = {
     "kg_bgp_groupconcat": kg_bgp_groupconcat,
     "kg_bgp_bind": kg_bgp_bind,
     "kg_bgp_having": kg_bgp_having,
+    "kg_bgp_count_distinct": kg_bgp_count_distinct,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

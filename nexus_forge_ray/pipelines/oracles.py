@@ -439,6 +439,16 @@ ORACLES: dict[str, str] = {
             select (doc_id * 7 + 27) % 100000 from documents)
         select tgt, count(*)::bigint as n_inlinks from l group by 1
     """,
+    "kg_bgp_count_distinct": f"""
+        with {_KG_TRIPLES_CTE}
+        select b.obj as l,
+               count(distinct a.obj)::bigint as entities,
+               count(*)::bigint as mentions
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang'
+        group by 1
+    """,
     "kg_bgp_having": f"""
         with {_KG_TRIPLES_CTE}
         select obj as e, count(*)::bigint as n from t

@@ -623,3 +623,28 @@ def test_having_filters_groups(ray_session):
     assert list(zip(out["d"], out["n"])) == [("d1", 3), ("d3", 2)]
     with _pytest.raises(ValueError, match="HAVING"):
         sparql_select(trip, 'SELECT ?d WHERE { ?d <m> ?e } HAVING(?n > 1)')
+
+
+def test_count_distinct_aggregate(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "a"), ("d1", "m", "a"), ("d1", "m", "b"),
+         ("d2", "m", "a"), ("d2", "m", "a")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d (COUNT(DISTINCT ?e) AS ?u) (COUNT(?e) AS ?n) '
+         'WHERE { ?d <m> ?e } GROUP BY ?d ORDER BY ?d')
+    out = sparql_select(trip, q).to_pandas()
+    assert list(zip(out["d"], out["u"], out["n"])) == \
+        [("d1", 2, 3), ("d2", 1, 2)]
+    # count_distinct alone, no GROUP BY (global scalar)
+    q2 = 'SELECT (COUNT(DISTINCT ?e) AS ?u) WHERE { ?d <m> ?e }'
+    out2 = sparql_select(trip, q2).to_pandas()
+    assert out2["u"].tolist() == [2]
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        sparql_select(trip, 'SELECT (SUM(DISTINCT ?e) AS ?s) '
+                            'WHERE { ?d <m> ?e }')
