@@ -379,7 +379,10 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     plan: dict[str, tuple[str, str]] = {"doc_count": (field, "count")}
     for name, (mfield, kind) in metrics.items():
         if kind == "avg":
+            # ES avg divides by the count of docs that HAVE the field
+            # (non-null), not doc_count — same basis as the stats sub-agg
             plan[f"__sum_{name}"] = (mfield, "sum")
+            plan[f"__n_{name}"] = (mfield, "count_nonnull")
         elif kind != "cardinality":
             plan[name] = (mfield, kind)
     for name, mfield in stats_specs.items():
@@ -405,7 +408,8 @@ def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     out["doc_count"] = out["doc_count"].astype("int64")
     for name, (mfield, kind) in metrics.items():
         if kind == "avg":
-            out[name] = out.pop(f"__sum_{name}") / out["doc_count"]
+            n = out.pop(f"__n_{name}")
+            out[name] = (out.pop(f"__sum_{name}") / n).where(n > 0)
         elif kind == "cardinality":
             pairs = distinct_rows(ds, [field, mfield], num_buckets=16,
                                   keep_cols=[])

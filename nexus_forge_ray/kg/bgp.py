@@ -112,21 +112,53 @@ def bgp_select(triples: ray.data.Dataset,
     cur: ray.data.Dataset | None = None
     for pat in patterns:
         pat_vars = [t[1:] for t in pat if _is_var(t)]
-        if not _is_var(pat[1]) and pat[1].endswith("+"):
-            # one-or-more path: close the predicate's edge slice (iterated
-            # doubling, kg.closure), then bind like a plain pattern
+        pred = pat[1]
+        mod = pred[-1] if (not _is_var(pred) and pred
+                           and pred[-1] in "+*") else ""
+        base = pred[:-1] if mod else pred
+        alts = base.split("|") if (not _is_var(base) and "|" in base) \
+            else [base]
+        if mod:
+            # one-or-more / zero-or-more path: close the predicate slice
+            # (iterated doubling, kg.closure); `*` additionally unions the
+            # zero-length identity over every RDF term in the graph (W3C
+            # path semantics), then binds like a plain pattern
             from nexus_forge_ray.kg.closure import transitive_closure
-            base = pat[1][:-1]
+            from nexus_forge_ray.ops.agg import distinct_rows
             slice_ = triples.map_batches(
-                lambda df, p=base: df.loc[df["pred"] == p,
-                                          ["subj", "obj"]].rename(
+                lambda df, ps=frozenset(alts): df.loc[
+                    df["pred"].isin(ps), ["subj", "obj"]].rename(
                     columns={"subj": "src", "obj": "dst"}),
                 batch_format="pandas")
             closed = transitive_closure(slice_, num_buckets=num_buckets)
+            if mod == "*":
+                nodes = distinct_rows(triples.map_batches(
+                    lambda df: pd.DataFrame({"n": pd.concat(
+                        [df["subj"], df["obj"]], ignore_index=True)}),
+                    batch_format="pandas"), ["n"],
+                    num_buckets=num_buckets, keep_cols=[])
+                zero = nodes.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"src": df["n"], "dst": df["n"]}),
+                    batch_format="pandas")
+                closed = distinct_rows(closed.union(zero), ["src", "dst"],
+                                       num_buckets=num_buckets,
+                                       keep_cols=[])
             nxt = match_pattern(
                 closed.map_batches(
                     lambda df, p=base: pd.DataFrame(
                         {"subj": df["src"], "pred": p, "obj": df["dst"]}),
+                    batch_format="pandas"),
+                (pat[0], base, pat[2]))
+        elif len(alts) > 1:
+            # alternative path p1|p2|...: one vectorized isin over the
+            # predicate column (a branch-union without the extra scans)
+            nxt = match_pattern(
+                triples.map_batches(
+                    lambda df, ps=frozenset(alts), p=base:
+                    df.loc[df["pred"].isin(ps),
+                           ["subj", "obj"]].assign(pred=p)[
+                        ["subj", "pred", "obj"]],
                     batch_format="pandas"),
                 (pat[0], base, pat[2]))
         else:
@@ -180,6 +212,10 @@ class ParsedQuery(NamedTuple):
     binds: list[tuple[str, list, str]] = []
     # HAVING(?aggAlias OP number) — post-aggregation group filter
     having: list[tuple[str, str, float]] = []
+    # per-UNION-branch (filters, regex_filters, values_clauses, binds),
+    # parallel to union_groups — clauses written INSIDE a branch apply to
+    # that branch's solutions only (SPARQL group scoping)
+    union_clauses: list[tuple] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -294,111 +330,114 @@ def parse_sparql(query: str) -> ParsedQuery:
                 return prefixes[p] + local
         return tok
 
-    # pull VALUES ?v { term term ... } inline-binding clauses first (the
-    # var must also be bound by a pattern; compiles to a vectorized isin)
-    values_clauses: list[tuple[str, list[object]]] = []
+    def extract_clauses(text: str):
+        """Pull VALUES / BIND / FILTER clauses out of a pattern text
+        (shared by the global WHERE body and each UNION branch, so clauses
+        written inside a branch stay branch-scoped — SPARQL group scoping).
+        Returns (clean_text, filters, regex_filters, values_clauses,
+        binds_raw)."""
+        values_clauses: list[tuple[str, list[object]]] = []
 
-    def _values(mm) -> str:
-        toks = re.findall(r'<[^>]*>|"[^"]*"|\S+', mm.group(2))
-        values_clauses.append((mm.group(1), [term(t) for t in toks]))
-        return " "
+        def _values(mm) -> str:
+            toks = re.findall(r'<[^>]*>|"[^"]*"|\S+', mm.group(2))
+            values_clauses.append((mm.group(1), [term(t) for t in toks]))
+            return " "
 
-    body = re.sub(r"(?is)\bvalues\s+\?(\w+)\s*\{([^{}]*)\}", _values, body)
+        text = re.sub(r"(?is)\bvalues\s+\?(\w+)\s*\{([^{}]*)\}",
+                      _values, text)
 
-    # pull FILTER NOT EXISTS { ... } / MINUS { ... } groups before the
-    # generic FILTER scan (which expects a parenthesized expression)
-    not_exists_raw: list[str] = []
-    body = re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
-                  lambda mm: (not_exists_raw.append(mm.group(1)), " ")[1],
-                  body)
-    body = re.sub(r"(?is)\bminus\s*\{([^{}]*)\}",
-                  lambda mm: (not_exists_raw.append(mm.group(1)), " ")[1],
-                  body)
-    # positive FILTER EXISTS { ... } (after NOT EXISTS: that regex requires
-    # the `not`, so the remaining `filter exists` matches are all positive)
-    exists_raw: list[str] = []
-    body = re.sub(r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
-                  lambda mm: (exists_raw.append(mm.group(1)), " ")[1],
-                  body)
+        # BIND(expr AS ?v) — non-greedy expr, terminated by the trailing
+        # `AS ?v )` (the subset's exprs never contain the token ' AS ')
+        binds_raw: list[tuple[str, str]] = []
+        text = re.sub(r"(?is)\bbind\s*\((.*?)\s+as\s+\?(\w+)\s*\)",
+                      lambda mm: (binds_raw.append(
+                          (mm.group(1).strip(), mm.group(2))), " ")[1],
+                      text)
 
-    # BIND(expr AS ?v) — non-greedy expr, terminated by the trailing
-    # `AS ?v )` (the subset's exprs never contain the token ' AS ')
-    binds_raw: list[tuple[str, str]] = []
-    body = re.sub(r"(?is)\bbind\s*\((.*?)\s+as\s+\?(\w+)\s*\)",
-                  lambda mm: (binds_raw.append(
-                      (mm.group(1).strip(), mm.group(2))), " ")[1],
-                  body)
-
-    # pull OPTIONAL { ... } groups out of the body first (patterns contain
-    # no braces, so the groups never nest)
-    optionals_raw: list[str] = []
-    body = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
-                  lambda mm: (optionals_raw.append(mm.group(1)), " ")[1],
-                  body)
-
-    # then pull FILTER clauses (their parens may nest)
-    filters: list[tuple[str, str, object, bool]] = []
-    regex_filters: list[tuple[str, str]] = []
-    out_body = []
-    i, n = 0, len(body)
-    while i < n:
-        fm = re.compile(r"(?i)\bfilter\b\s*").search(body, i)
-        if not fm:
-            out_body.append(body[i:])
-            break
-        out_body.append(body[i:fm.start()])
-        fun = re.match(r"(?is)(regex\s*)?\(", body[fm.end():])
-        if not fun:
-            raise ValueError("FILTER must be FILTER(expr) or "
-                             "FILTER regex(?v, \"pat\")")
-        depth, j = 1, fm.end() + fun.end()
-        inner_start = j
-        while j < n and depth:
-            depth += {"(": 1, ")": -1}.get(body[j], 0)
-            j += 1
-        if depth:
-            raise ValueError("unbalanced parens in FILTER")
-        inner = body[inner_start:j - 1].strip()
-        expr = f"regex({inner})" if fun.group(1) else inner
-        rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
-        cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
-                      r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
-        bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
-        if bm:
-            # (not-)bound over an OPTIONAL variable: null-ness mask
-            filters.append((bm.group(2),
-                            "notbound" if bm.group(1) else "bound",
-                            None, False))
-        elif rm:
-            regex_filters.append((rm.group(1), rm.group(2)))
-        elif cm:
-            var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
-            is_var = rhs.startswith("?")
-            val: object = rhs[1:] if is_var else term(rhs)
-            if not is_var:
-                try:
-                    val = float(rhs)
-                except ValueError:
-                    pass
-            filters.append((var, _CMP_OPS[op], val, is_var))
-        else:
-            raise ValueError(f"unsupported FILTER expression: {expr!r}")
-        i = j
-        # swallow an optional pattern separator after the FILTER
-        while i < n and body[i] in " \t\r\n.":
-            i += 1
-    body = "".join(out_body)
+        # then pull FILTER clauses (their parens may nest)
+        filters: list[tuple[str, str, object, bool]] = []
+        regex_filters: list[tuple[str, str]] = []
+        out_body = []
+        i, n = 0, len(text)
+        while i < n:
+            fm = re.compile(r"(?i)\bfilter\b\s*").search(text, i)
+            if not fm:
+                out_body.append(text[i:])
+                break
+            out_body.append(text[i:fm.start()])
+            fun = re.match(r"(?is)(regex\s*)?\(", text[fm.end():])
+            if not fun:
+                raise ValueError("FILTER must be FILTER(expr) or "
+                                 "FILTER regex(?v, \"pat\")")
+            depth, j = 1, fm.end() + fun.end()
+            inner_start = j
+            while j < n and depth:
+                depth += {"(": 1, ")": -1}.get(text[j], 0)
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parens in FILTER")
+            inner = text[inner_start:j - 1].strip()
+            expr = f"regex({inner})" if fun.group(1) else inner
+            rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$',
+                          expr)
+            cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
+                          r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
+            bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
+            if bm:
+                # (not-)bound over an OPTIONAL variable: null-ness mask
+                filters.append((bm.group(2),
+                                "notbound" if bm.group(1) else "bound",
+                                None, False))
+            elif rm:
+                regex_filters.append((rm.group(1), rm.group(2)))
+            elif cm:
+                var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
+                is_var = rhs.startswith("?")
+                val: object = rhs[1:] if is_var else term(rhs)
+                if not is_var:
+                    try:
+                        val = float(rhs)
+                    except ValueError:
+                        pass
+                filters.append((var, _CMP_OPS[op], val, is_var))
+            else:
+                raise ValueError(f"unsupported FILTER expression: {expr!r}")
+            i = j
+            # swallow an optional pattern separator after the FILTER
+            while i < n and text[i] in " \t\r\n.":
+                i += 1
+        return ("".join(out_body), filters, regex_filters, values_clauses,
+                binds_raw)
 
     fresh = [0]
 
+    def norm_pred(p: str) -> str:
+        """Normalize a (non-sequence) path step in the predicate position:
+        strip a trailing `+`/`*` modifier and surrounding parens, expand
+        each `|`-alternative through term(), re-join with `|` and re-append
+        the modifier. `<iri>+`, `(p1|p2)*`, `p1|p2` all normalize here."""
+        if p.startswith(("?", '"')):
+            return term(p)
+        mod = ""
+        if p and p[-1] in "+*":
+            p, mod = p[:-1], p[-1]
+        if p.startswith("(") and p.endswith(")"):
+            p = p[1:-1]
+        return "|".join(term(x) for x in p.split("|")) + mod
+
     def expand_path(cur: list[str]) -> list[tuple[str, str, str]]:
         """Expand property-path sugar in the predicate position: `^p`
-        (inverse) and `p1/p2/...` sequences over prefixed names — each
-        sequence step becomes a pattern chained through a fresh variable
-        (IRI-bracketed chains are not supported; use PREFIX names)."""
+        (inverse) and `p1/p2/...` sequences — each sequence step becomes a
+        pattern chained through a fresh variable. Steps may carry `+`/`*`
+        modifiers and `|` alternations (handled downstream in bgp_select);
+        bracketed-IRI sequence chains (`<a>/<b>`) are supported because the
+        tokenizer keeps IRIs opaque."""
         s, p, o = cur
-        steps = ([p] if p.startswith(("<", "?", '"')) or "/" not in p
-                 else p.split("/"))
+        if p.startswith(("<", "?", '"')):
+            steps = [p] if not re.search(r">\s*/", p) else \
+                re.split(r"/(?=[<^])", p)
+        else:
+            steps = [p] if "/" not in p else p.split("/")
         out, subj = [], s
         for i, step in enumerate(steps):
             if i == len(steps) - 1:
@@ -409,14 +448,17 @@ def parse_sparql(query: str) -> ParsedQuery:
             inv = step.startswith("^")
             pred = step[1:] if inv else step
             trip = (obj, pred, subj) if inv else (subj, pred, obj)
-            out.append(tuple(term(t) for t in trip))
+            out.append((term(trip[0]), norm_pred(trip[1]), term(trip[2])))
             subj = obj
         return out
 
     def patterns_of(text: str) -> list[tuple[str, str, str]]:
-        # tokenize: '.' separates patterns ONLY outside <> / "" (IRIs and
-        # literals may contain dots)
-        toks = re.findall(r'<[^>]*>|"[^"]*"|[^\s.]+|\.', text)
+        # tokenize: '.' separates patterns ONLY outside <> / "" / () (IRIs
+        # and literals may contain dots); a token is a maximal run of
+        # bracketed IRIs, quoted literals, paren groups and plain chars, so
+        # path forms like `<iri>+` and `(p1|p2)*` stay single tokens
+        toks = re.findall(
+            r'(?:<[^>]*>|"[^"]*"|\([^()]*\)|[^\s.])+|\.', text)
         pats, cur = [], []
         for tok in toks + ["."]:
             if tok == ".":
@@ -430,38 +472,94 @@ def parse_sparql(query: str) -> ParsedQuery:
         return pats
 
     # a WHERE body that is a chain of { group } UNION { group } becomes
-    # branch pattern-lists executed independently and unioned
+    # branch pattern-lists executed independently and unioned; the
+    # structural split runs BEFORE clause extraction so FILTER/VALUES/BIND
+    # written inside a branch stay branch-scoped (SPARQL group scoping)
+    # instead of silently hoisting to global scope
     union_groups: list[list[tuple[str, str, str]]] = []
-    um = re.match(r"(?is)^\s*\{([^{}]*)\}(\s*union\s*\{[^{}]*\})+\s*$", body)
-    if um:
-        union_groups = [patterns_of(g) for g in
-                        re.findall(r"\{([^{}]*)\}", body)]
-        if any(not g for g in union_groups):
-            raise ValueError("empty UNION branch")
+    union_clauses: list[tuple] = []
+    union_split = _split_union(body)
+    if union_split is not None:
+        branch_texts, global_text = union_split
+        gbody, filters, regex_filters, values_clauses, binds_raw = \
+            extract_clauses(global_text)
+        if re.search(r"(?is)\b(optional|minus|exists)\b", gbody) \
+                or "{" in gbody:
+            raise ValueError("OPTIONAL/EXISTS/NOT EXISTS/MINUS combined "
+                             "with UNION is unsupported")
+        leftover = re.sub(r"(?i)\bunion\b", " ", gbody).strip(" \t\r\n.")
+        if leftover:
+            raise ValueError(f"unparsed text around UNION branches: "
+                             f"{leftover!r}")
+        for bt in branch_texts:
+            btext, bf, brf, bv, bb_raw = extract_clauses(bt)
+            if "{" in btext:
+                raise ValueError("nested groups inside UNION branches are "
+                                 "unsupported")
+            pats = patterns_of(btext)
+            if not pats:
+                raise ValueError("empty UNION branch")
+            union_groups.append(pats)
+            union_clauses.append((bf, brf, bv, _parse_binds(bb_raw)))
         patterns: list[tuple[str, str, str]] = []
+        optionals: list[list[tuple[str, str, str]]] = []
+        not_exists: list[list[tuple[str, str, str]]] = []
+        exists: list[list[tuple[str, str, str]]] = []
     else:
+        # pull FILTER NOT EXISTS { ... } / MINUS { ... } / FILTER EXISTS
+        # { ... } / OPTIONAL { ... } groups before the clause scan (the
+        # generic FILTER scanner expects a parenthesized expression)
+        not_exists_raw: list[str] = []
+        body = re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
+                      lambda mm: (not_exists_raw.append(mm.group(1)),
+                                  " ")[1], body)
+        body = re.sub(r"(?is)\bminus\s*\{([^{}]*)\}",
+                      lambda mm: (not_exists_raw.append(mm.group(1)),
+                                  " ")[1], body)
+        # positive FILTER EXISTS (after NOT EXISTS: that regex requires the
+        # `not`, so the remaining `filter exists` matches are all positive)
+        exists_raw: list[str] = []
+        body = re.sub(r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
+                      lambda mm: (exists_raw.append(mm.group(1)), " ")[1],
+                      body)
+        optionals_raw: list[str] = []
+        body = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
+                      lambda mm: (optionals_raw.append(mm.group(1)),
+                                  " ")[1], body)
+        body, filters, regex_filters, values_clauses, binds_raw = \
+            extract_clauses(body)
         patterns = patterns_of(body)
         if not patterns:
             raise ValueError("empty WHERE block")
-    optionals = [patterns_of(g) for g in optionals_raw]
-    if any(not g for g in optionals):
-        raise ValueError("empty OPTIONAL block")
-    if union_groups and optionals:
-        raise ValueError("OPTIONAL inside a UNION query is unsupported")
-    not_exists = [patterns_of(g) for g in not_exists_raw]
-    if any(not g for g in not_exists):
-        raise ValueError("empty NOT EXISTS / MINUS block")
-    if union_groups and not_exists:
-        raise ValueError("NOT EXISTS/MINUS inside a UNION query is "
-                         "unsupported")
-    exists = [patterns_of(g) for g in exists_raw]
-    if any(not g for g in exists):
-        raise ValueError("empty EXISTS block")
-    if union_groups and exists:
-        raise ValueError("EXISTS inside a UNION query is unsupported")
+        optionals = [patterns_of(g) for g in optionals_raw]
+        if any(not g for g in optionals):
+            raise ValueError("empty OPTIONAL block")
+        not_exists = [patterns_of(g) for g in not_exists_raw]
+        if any(not g for g in not_exists):
+            raise ValueError("empty NOT EXISTS / MINUS block")
+        exists = [patterns_of(g) for g in exists_raw]
+        if any(not g for g in exists):
+            raise ValueError("empty EXISTS block")
     if offset is not None and not order_by:
         raise ValueError("OFFSET needs ORDER BY (deterministic pages)")
 
+    binds = _parse_binds(binds_raw)
+    if having:
+        agg_aliases = {a for _, _, a in aggregates}
+        bad = [h for h, _, _ in having if h not in agg_aliases]
+        if not aggregates or bad:
+            raise ValueError("HAVING filters aggregate aliases only "
+                             f"(got {bad or having})")
+    return ParsedQuery(select, patterns, limit, distinct, filters,
+                       regex_filters, order_by, optionals, union_groups,
+                       group_by, aggregates, values_clauses, offset,
+                       not_exists, exists, binds, having, union_clauses)
+
+
+def _parse_binds(binds_raw: list[tuple[str, str]]) \
+        -> list[tuple[str, list, str]]:
+    """Compile raw BIND (expr, alias) pairs into (fn, args, alias) triples;
+    fn in concat/strlen/ucase/lcase/str/arith."""
     binds: list[tuple[str, list, str]] = []
     for expr, alias in binds_raw:
         mfn = re.match(r"(?is)^(concat|strlen|ucase|lcase|str)"
@@ -484,19 +582,71 @@ def parse_sparql(query: str) -> ParsedQuery:
                           alias))
             continue
         raise ValueError(f"unsupported BIND expression: {expr!r}")
-    if having:
-        agg_aliases = {a for _, _, a in aggregates}
-        bad = [h for h, _, _ in having if h not in agg_aliases]
-        if not aggregates or bad:
-            raise ValueError("HAVING filters aggregate aliases only "
-                             f"(got {bad or having})")
-    return ParsedQuery(select, patterns, limit, distinct, filters,
-                       regex_filters, order_by, optionals, union_groups,
-                       group_by, aggregates, values_clauses, offset,
-                       not_exists, exists, binds, having)
+    return binds
 
 
-def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
+def _split_union(body: str):
+    """Detect the `{ group } UNION { group } ...` WHERE-body shape BEFORE
+    clause extraction. Returns (branch_texts, global_text) when the body is
+    a top-level UNION chain, else None. Brace groups that are payloads of a
+    preceding VALUES / OPTIONAL / EXISTS / MINUS keyword are folded back
+    into the surrounding text (they are clauses, not union branches);
+    between-branch text must be exactly the UNION keyword."""
+    if "{" not in body:
+        return None
+    segs: list[tuple[str, str]] = []   # ('t', text) | ('g', group body)
+    depth, start = 0, 0
+    for i, ch in enumerate(body):
+        if ch == "{":
+            if depth == 0:
+                segs.append(("t", body[start:i]))
+                start = i + 1
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced braces in WHERE block")
+            if depth == 0:
+                segs.append(("g", body[start:i]))
+                start = i + 1
+    if depth:
+        raise ValueError("unbalanced braces in WHERE block")
+    segs.append(("t", body[start:]))
+    merged: list[tuple[str, str]] = []
+    for kind, s in segs:
+        if kind == "g" and merged and merged[-1][0] == "t" \
+                and re.search(r"(?is)\b(values\s+\?\w+|optional|minus|"
+                              r"exists)\s*$", merged[-1][1]):
+            merged[-1] = ("t", merged[-1][1] + "{" + s + "}")
+            continue
+        if kind == "t" and merged and merged[-1][0] == "t":
+            merged[-1] = ("t", merged[-1][1] + s)
+            continue
+        merged.append((kind, s))
+    branches = [s for k, s in merged if k == "g"]
+    texts = [s for k, s in merged if k == "t"]
+    n_unions = sum(len(re.findall(r"(?i)\bunion\b", t)) for t in texts)
+    if not branches or not n_unions:
+        return None
+    if n_unions != len(branches) - 1:
+        raise ValueError("unsupported UNION shape: a WHERE body with UNION "
+                         "must be a chain of { group } UNION { group }")
+    # between-branch text must be exactly UNION; leading/trailing text
+    # around the chain carries global clauses
+    between = [t for (k1, t), nxt in zip(merged, merged[1:] + [("t", "")])
+               if k1 == "t" and nxt[0] == "g"][1:]
+    for t in between:
+        if not re.match(r"(?is)^\s*union\s*$", t):
+            raise ValueError(f"only the UNION keyword may separate UNION "
+                             f"branches (got {t!r})")
+    return branches, " ".join(texts)
+
+
+def _apply_filters(ds: ray.data.Dataset,
+                   filters: list[tuple[str, str, object, bool]],
+                   regex_filters: list[tuple[str, str]],
+                   values_clauses: list[tuple[str, list[object]]]) \
+        -> ray.data.Dataset:
     """One vectorized mask per batch for every FILTER clause. Numeric
     literals coerce the binding column (non-numeric bindings drop, SPARQL
     type-error semantics); strings/IRIs compare lexicographically."""
@@ -506,7 +656,7 @@ def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         mask = pd.Series(True, index=batch.index)
-        for var, op, val, is_var in q.filters:
+        for var, op, val, is_var in filters:
             if op in ("bound", "notbound"):
                 # a variable no pattern ever binds is unbound everywhere
                 # (SPARQL: bound() is false, not an error)
@@ -519,13 +669,51 @@ def _apply_filters(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             if not is_var and isinstance(val, float):
                 lhs = pd.to_numeric(lhs, errors="coerce")
             mask &= ops[op](lhs, rhs).fillna(False)
-        for var, pat in q.regex_filters:
+        for var, pat in regex_filters:
             mask &= batch[var].str.contains(pat, regex=True, na=False)
-        for var, vals in q.values_clauses:
+        for var, vals in values_clauses:
             mask &= batch[var].isin(vals)
         return batch[mask]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _apply_binds(ds: ray.data.Dataset,
+                 binds: list[tuple[str, list, str]]) -> ray.data.Dataset:
+    """Vectorized BIND(expr AS ?alias) application: appends one column per
+    bind (concat/strlen/ucase/lcase/str/arith over existing bindings)."""
+    def apply_binds(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for fn, args, alias in binds:
+            if fn == "concat":
+                acc = None
+                for a in args:
+                    part = df[a[1:]].astype(str) \
+                        if a.startswith("?") else a
+                    acc = part if acc is None else acc + part
+                df[alias] = acc
+            elif fn == "strlen":
+                df[alias] = df[args[0][1:]].astype(str) \
+                    .str.len().astype("int64")
+            elif fn in ("ucase", "lcase"):
+                s = df[args[0][1:]].astype(str)
+                df[alias] = s.str.upper() if fn == "ucase" \
+                    else s.str.lower()
+            elif fn == "str":
+                df[alias] = df[args[0][1:]].astype(str)
+            else:                       # arith
+                t1, op, t2 = args
+                import operator as _op
+                ops = {"+": _op.add, "-": _op.sub,
+                       "*": _op.mul, "/": _op.truediv}
+
+                def val(t):
+                    return pd.to_numeric(df[t[1:]], errors="coerce") \
+                        if t.startswith("?") else float(t)
+                df[alias] = ops[op](val(t1), val(t2))
+        return df
+
+    return ds.map_batches(apply_binds, batch_format="pandas")
 
 
 def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
@@ -646,14 +834,40 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         if v not in aliases))
     if q.union_groups:
         branches = []
-        for g in q.union_groups:
+        clauses = q.union_clauses or [([], [], [], [])] * len(q.union_groups)
+        # a var that is ANY branch's BIND alias is allowed to stay unbound
+        # (null) in the branches that don't bind it
+        any_alias = {a for _, _, _, bb in clauses for _, _, a in bb}
+        for g, (bf, brf, bv, bb) in zip(q.union_groups, clauses):
             gvars = {t[1:] for pat in g for t in pat if _is_var(t)}
-            missing = [v for v in wanted if v not in gvars]
+            b_aliases = {a for _, _, a in bb}
+            # branch-local working set: globally wanted vars the branch must
+            # bind, plus vars its own clauses touch
+            b_want = list(dict.fromkeys(
+                [v for v in wanted if v not in any_alias]
+                + [f[0] for f in bf]
+                + [f[2] for f in bf if f[3]]
+                + [r[0] for r in brf]
+                + [v for v, _ in bv]
+                + [a[1:] for _, args, _ in bb for a in args
+                   if isinstance(a, str) and a.startswith("?")]))
+            missing = [v for v in b_want if v not in gvars]
             if missing:
                 raise ValueError(f"UNION branch {g} does not bind {missing}"
                                  " — branches must bind the selected/"
                                  "filtered variables")
-            branches.append(bgp_select(triples, g, wanted, **kw))
+            b = bgp_select(triples, g, b_want, **kw)
+            if bb:
+                b = _apply_binds(b, bb)
+            if bf or brf or bv:
+                b = _apply_filters(b, bf, brf, bv)
+            # align the branch schemas before union (branch-local clause
+            # vars drop; bind aliases materialize as columns)
+            b = b.map_batches(
+                lambda df, cols=tuple(wanted): df.reindex(
+                    columns=list(cols)),
+                batch_format="pandas")
+            branches.append(b)
         out = branches[0]
         for b in branches[1:]:
             out = out.union(b)
@@ -718,41 +932,28 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                lcols=bound, rcols=gv)
         bound = list(dict.fromkeys(bound + gv))
     if q.binds:
-        def apply_binds(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for fn, args, alias in q.binds:
-                if fn == "concat":
-                    acc = None
-                    for a in args:
-                        part = df[a[1:]].astype(str) \
-                            if a.startswith("?") else a
-                        acc = part if acc is None else acc + part
-                    df[alias] = acc
-                elif fn == "strlen":
-                    df[alias] = df[args[0][1:]].astype(str) \
-                        .str.len().astype("int64")
-                elif fn in ("ucase", "lcase"):
-                    s = df[args[0][1:]].astype(str)
-                    df[alias] = s.str.upper() if fn == "ucase" \
-                        else s.str.lower()
-                elif fn == "str":
-                    df[alias] = df[args[0][1:]].astype(str)
-                else:                       # arith
-                    t1, op, t2 = args
-                    import operator as _op
-                    ops = {"+": _op.add, "-": _op.sub,
-                           "*": _op.mul, "/": _op.truediv}
-                    def val(t):
-                        return pd.to_numeric(df[t[1:]], errors="coerce") \
-                            if t.startswith("?") else float(t)
-                    df[alias] = ops[op](val(t1), val(t2))
-            return df
-        out = out.map_batches(apply_binds, batch_format="pandas")
+        out = _apply_binds(out, q.binds)
         bound = list(dict.fromkeys(bound + [a for _, _, a in q.binds]))
     if q.filters or q.regex_filters or q.values_clauses:
-        out = _apply_filters(out, q)
+        out = _apply_filters(out, q.filters, q.regex_filters,
+                             q.values_clauses)
     if q.aggregates:
         out = _aggregate_groups(out, q)
+        if not q.group_by:
+            # SPARQL: an ungrouped aggregate query ALWAYS yields exactly one
+            # solution — over an empty input, COUNT aliases are 0 and the
+            # other aggregates are unbound (the grouped shuffle would emit
+            # zero rows). The result is at most one row, so the driver-side
+            # materialization here is O(1).
+            pdf = out.to_pandas()
+            if len(pdf) == 0:
+                row = {a: (0 if f in ("count", "count_distinct") else None)
+                       for f, _, a in q.aggregates}
+                pdf = pd.DataFrame([row])[[v.lstrip("?") for v in q.select]]
+                for f, _, a in q.aggregates:
+                    if f in ("count", "count_distinct"):
+                        pdf[a] = pdf[a].astype("int64")
+            out = ray.data.from_pandas(pdf)
         if q.having:
             import operator as _op
             hops = {"eq": _op.eq, "ne": _op.ne, "lt": _op.lt,

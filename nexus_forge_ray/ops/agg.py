@@ -52,10 +52,13 @@ def hash_groupby_agg(ds: ray.data.Dataset, keys: str | list[str],
         return sorted(x for lst in s for x in lst)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: null group keys form their own group (SQL GROUP BY /
+        # SPARQL semantics — a key bound only via OPTIONAL must not silently
+        # drop its rows); _bucket_of hashes NaN deterministically
         spec = {name: (col, _collect_partial if how == "collect"
                        else _PARTIAL_HOW[how])
                 for name, (col, how) in aggs.items()}
-        g = batch.groupby(keys, as_index=False).agg(**spec)
+        g = batch.groupby(keys, as_index=False, dropna=False).agg(**spec)
         g["__bucket"] = _bucket_of(g, keys, num_buckets)
         return g
 
@@ -63,7 +66,7 @@ def hash_groupby_agg(ds: ray.data.Dataset, keys: str | list[str],
         spec = {name: (name, _collect_final if how == "collect"
                        else _FINAL_HOW[how])
                 for name, (_, how) in aggs.items()}
-        return group.groupby(keys, as_index=False).agg(**spec)
+        return group.groupby(keys, as_index=False, dropna=False).agg(**spec)
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("__bucket").map_groups(final, batch_format="pandas")

@@ -648,3 +648,120 @@ def test_count_distinct_aggregate(ray_session):
     with _pytest.raises(ValueError, match="DISTINCT"):
         sparql_select(trip, 'SELECT (SUM(DISTINCT ?e) AS ?s) '
                             'WHERE { ?d <m> ?e }')
+
+
+def test_union_branch_scoped_filter(ray_session):
+    # a FILTER written INSIDE a UNION branch applies to that branch only
+    # (SPARQL group scoping) — previously it was hoisted to global scope
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "score", "5"), ("d2", "score", "1"),
+         ("d3", "tag", "keep"), ("d4", "tag", "drop")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d WHERE { '
+         '{ ?d <score> ?s . FILTER(?s >= 3) } UNION '
+         '{ ?d <tag> "keep" } }')
+    out = sparql_select(trip, q).to_pandas()
+    assert sorted(out["d"]) == ["d1", "d3"]
+
+
+def test_union_branch_scoped_values_and_bind(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "lang", "en"), ("d2", "lang", "fr"), ("d3", "lang", "de"),
+         ("d4", "kind", "doc")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    # VALUES inside branch 1 restricts branch 1 only; BIND inside branch 2
+    # materializes a selected alias for branch 2 (null in branch 1)
+    q = ('SELECT ?d ?k WHERE { '
+         '{ ?d <lang> ?l . VALUES ?l { "en" "fr" } } UNION '
+         '{ ?d <kind> ?x . BIND(UCASE(?x) AS ?k) } }')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    assert out["d"].tolist() == ["d1", "d2", "d4"]
+    assert out["k"].tolist()[:2] == [None, None] or \
+        pd.isna(out["k"].tolist()[:2]).all()
+    assert out["k"].tolist()[2] == "DOC"
+
+
+def test_union_global_filter_applies_to_all_branches(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "a", "2"), ("d2", "a", "9"),
+         ("d3", "b", "4"), ("d4", "b", "0")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d ?v WHERE { '
+         '{ ?d <a> ?v } UNION { ?d <b> ?v } FILTER(?v > 1) }')
+    out = sparql_select(trip, q).to_pandas()
+    assert sorted(out["d"]) == ["d1", "d2", "d3"]
+
+
+def test_sparql_zero_or_more_path(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("x", "other", "y")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = "PREFIX : <> SELECT ?n WHERE { <a> :next* ?n }"
+    out = sparql_select(trip, q).to_pandas()
+    # zero-length (a itself) plus the transitive successors
+    assert sorted(out["n"]) == ["a", "b", "c"]
+
+
+def test_sparql_alternative_path(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "title", "t1"), ("d2", "label", "t2"), ("d3", "other", "t3")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = "PREFIX : <> SELECT ?d ?v WHERE { ?d :title|:label ?v }"
+    out = sparql_select(trip, q).to_pandas()
+    assert sorted(out["d"]) == ["d1", "d2"]
+    # parenthesized alternation with a + modifier closes over BOTH slices
+    t2 = pd.DataFrame(
+        [("a", "p", "b"), ("b", "q", "c")], columns=["subj", "pred", "obj"])
+    q2 = "PREFIX : <> SELECT ?n WHERE { <a> (:p|:q)+ ?n }"
+    out2 = sparql_select(ray.data.from_pandas(t2), q2).to_pandas()
+    assert sorted(out2["n"]) == ["b", "c"]
+
+
+def test_sparql_bracketed_iri_plus_path(ray_session):
+    # ADVICE round 2: '<http://ex/p>+' used to keep its angle brackets and
+    # silently match nothing
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("a", "http://ex/p", "b"), ("b", "http://ex/p", "c")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    out = sparql_select(
+        trip, "SELECT ?n WHERE { <a> <http://ex/p>+ ?n }").to_pandas()
+    assert sorted(out["n"]) == ["b", "c"]
+
+
+def test_empty_ungrouped_aggregate_yields_one_row(ray_session):
+    # SPARQL: SELECT (COUNT(*) AS ?n) over no matches returns ONE row, n=0
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = ('SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s) '
+         'WHERE { ?x <nosuchpred> ?v }')
+    out = sparql_select(_ds(), q).to_pandas()
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 0
+    assert pd.isna(out["s"].iloc[0])
+
+
+def test_group_by_keeps_null_optional_keys(ray_session):
+    # a GROUP BY variable bound only via OPTIONAL keeps its unbound group
+    # (pandas dropna default would silently drop those rows)
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "x"), ("d2", "m", "y"), ("d3", "m", "z"),
+         ("d1", "lang", "en"), ("d2", "lang", "en")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?l (COUNT(?d) AS ?n) WHERE { ?d <m> ?e . '
+         'OPTIONAL { ?d <lang> ?l } } GROUP BY ?l')
+    out = sparql_select(trip, q).to_pandas()
+    by = {(None if pd.isna(k) else k): v for k, v in zip(out["l"], out["n"])}
+    assert by == {"en": 2, None: 1}
