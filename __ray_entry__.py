@@ -34,10 +34,47 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     import nexus_forge_ray
     nexus_forge_ray.configure(quiet=True)
-    from nexus_forge_ray.pipelines import corpus, relational
+    from nexus_forge_ray.pipelines import corpus, kg_queries, relational
 
+    # --- slots 1-50: the driver's oracle window (it checks the FIRST 50
+    # entries). Round 2 recorded the relational + base-corpus suite green,
+    # so round 3 rotates the KG core (the engine's actual domain) and the
+    # dedup/similarity family into the window. Every entry below has an
+    # ORACLES row; rows-only queries live at the very end of the dict.
+    KG_WINDOW = [
+        "kg_triples", "kg_mentions", "kg_components", "kg_assemble",
+        "kg_triples_typed", "kg_entity_popularity", "kg_resolve_exact",
+        "kg_resolve_fuzzy", "kg_resolve_ontology", "kg_validate_customers",
+        "kg_validate_nested", "kg_validate_logical", "kg_actions_summary",
+        "kg_bgp", "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
+        "kg_bgp_union_scoped", "kg_bgp_groupby", "kg_bgp_values",
+        "kg_bgp_bind", "kg_bgp_having", "kg_bgp_count_distinct",
+        "kg_bgp_groupconcat", "kg_bgp_exists", "kg_bgp_notexists",
+        "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
+        "kg_pagerank", "kg_degree_dist", "kg_cooccur", "kg_inlinks",
+        "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
+    ]
     q: dict[str, Callable[[str], Any]] = {
-        # relational operator suite (oracle-checked)
+        name: kg_queries.QUERIES[name] for name in KG_WINDOW}
+    q.update({
+        # dedup / similarity / text family not yet inside a driver window
+        "minhash_near_dup": corpus.minhash_near_dup,
+        "embedding_near_dup": corpus.embedding_near_dup,
+        "simhash_signatures": corpus.simhash_signatures,
+        "simhash_near_dup": corpus.simhash_near_dup,
+        "doc_span_dedup": corpus.doc_span_dedup,
+        "doc_dedup_incremental": corpus.doc_dedup_incremental,
+        "doc_tfidf": corpus.doc_tfidf,
+        "doc_inverted_index": corpus.doc_inverted_index,
+        "doc_heavy_tokens": corpus.doc_heavy_tokens,
+        "doc_quality_classifier": corpus.doc_quality_classifier,
+        "doc_decontaminate": corpus.doc_decontaminate,
+        "q_events_retention": relational.q_events_retention,
+    })
+
+    # --- slots 51+: recorded green in the round-2 window (relational +
+    # base corpus), then the remainder; rows-only entries dead last.
+    q.update({
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q3_top_revenue_orders": relational.q3_top_revenue_orders,
@@ -82,17 +119,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": corpus.dedup_exact,
         "similarity_topk": corpus.similarity_topk,
         "emb_kmeans": corpus.emb_kmeans,
-        "doc_bpe_merges": corpus.doc_bpe_merges,
         "doc_length_deciles": corpus.doc_length_deciles,
         "q_events_outliers": relational.q_events_outliers,
         "q_integrity_check": relational.q_integrity_check,
         "q_profile_lineitem": relational.q_profile_lineitem,
         "q_events_moving_avg": relational.q_events_moving_avg,
         "q_smb_join": relational.q_smb_join,
-        "emb_pca": corpus.emb_pca,
-        "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "q_es_range_agg": corpus.q_es_range_agg,
-        "doc_quality_classifier": corpus.doc_quality_classifier,
         "q_es_stats_agg": corpus.q_es_stats_agg,
         "doc_splits": corpus.doc_splits,
         "doc_host_cap": corpus.doc_host_cap,
@@ -105,7 +138,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_predict": corpus.emb_knn_predict,
         "emb_centroid_confusion": corpus.emb_centroid_confusion,
         "doc_classifier_pr": corpus.doc_classifier_pr,
-        "q_events_retention": relational.q_events_retention,
         "doc_collocations": corpus.doc_collocations,
         "doc_repetition": corpus.doc_repetition,
         "doc_filter_pass": corpus.doc_filter_pass,
@@ -113,13 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_es_agg": corpus.q_es_agg,
         "q_es_should": corpus.q_es_should,
         "q_es_date_histogram": corpus.q_es_date_histogram,
-        "doc_tfidf": corpus.doc_tfidf,
-        "doc_inverted_index": corpus.doc_inverted_index,
         "doc_mixture": corpus.doc_mixture,
-        "doc_pack_sequences": corpus.doc_pack_sequences,
         "doc_pii_redact": corpus.doc_pii_redact,
         "doc_normalize": corpus.doc_normalize,
-        "doc_decontaminate": corpus.doc_decontaminate,
         "doc_top_per_lang": corpus.doc_top_per_lang,
         "doc_sample": corpus.doc_sample,
         "doc_sample_stratified": corpus.doc_sample_stratified,
@@ -128,22 +156,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigrams": corpus.doc_bigrams,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
-        "minhash_near_dup": corpus.minhash_near_dup,
-        "embedding_near_dup": corpus.embedding_near_dup,
-        "simhash_signatures": corpus.simhash_signatures,
-        "simhash_near_dup": corpus.simhash_near_dup,
-        "doc_span_dedup": corpus.doc_span_dedup,
-        "doc_heavy_tokens": corpus.doc_heavy_tokens,
-        # rows-only (justifications in pipelines/oracles.py docstring)
+    })
+    # remaining kg_queries entries (the window subset above keeps its early
+    # dict positions — update() does not move existing keys)
+    q.update(kg_queries.QUERIES)
+    # rows-only, dead last (justifications in pipelines/oracles.py docstring)
+    q.update({
+        "doc_bpe_merges": corpus.doc_bpe_merges,
+        "emb_pca": corpus.emb_pca,
+        "doc_pack_sequences": corpus.doc_pack_sequences,
         "doc_approx_distinct": corpus.doc_approx_distinct,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "mm_image_features": corpus.mm_image_features,
-    }
-    try:
-        from nexus_forge_ray.pipelines import kg_queries
-        q.update(kg_queries.QUERIES)
-    except ImportError:
-        pass
+    })
     return q
 
 

@@ -109,7 +109,10 @@ def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
         labels = hash_groupby_agg(combined, "node",
                                   {"label": ("label", "min")},
                                   num_buckets=num_buckets)
-        labels = labels.materialize()  # small: one row per node in the edge set
+        # bound the block count: the sort shuffle emits one block per input
+        # block and `combined` stacks prop (join output) + labels, so without
+        # this the per-iteration block count (and scheduling cost) compounds
+        labels = labels.repartition(num_buckets).materialize()
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
             break

@@ -62,7 +62,8 @@ def label_propagation(edges: ray.data.Dataset, *, src: str = "src",
                               tiebreak=["label"],
                               num_buckets=num_buckets) \
             .map_batches(lambda df: df[["node", "label"]],
-                         batch_format="pandas").materialize()
+                         batch_format="pandas") \
+            .repartition(num_buckets).materialize()  # bound per-round blocks
         # every node has >= 1 incident edge in the undirected expansion,
         # so the winner table covers all nodes — no keep-old fallback needed
     return labels

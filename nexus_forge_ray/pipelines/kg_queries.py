@@ -212,6 +212,42 @@ def kg_validate_nested(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+LOGICAL_CUSTOMER_SHAPE = Shape(target_type="Customer", constraints=[
+    # sh:or — acctbal must be >= 0 OR <= -500 (fires on the gap between)
+    PropertyConstraint(path="c_acctbal",
+                       any_of=[PropertyConstraint(min_inclusive=0),
+                               PropertyConstraint(max_inclusive=-500)]),
+    # sh:xone — EXACTLY one of (>= 0) / (<= 1000) may hold: fires on
+    # the [0, 1000] overlap where both are satisfied
+    PropertyConstraint(path="c_acctbal",
+                       one_of=[PropertyConstraint(min_inclusive=0),
+                               PropertyConstraint(max_inclusive=1000)]),
+    # sh:hasValue / sh:nodeKind / sh:and — exercised on every row (the
+    # corpus satisfies them; their failure modes are pinned by the golden
+    # tests in tests/test_validation.py)
+    PropertyConstraint(path="rtype", has_value="Customer"),
+    PropertyConstraint(path="c_mktsegment", node_kind="Literal"),
+    PropertyConstraint(path="c_name",
+                       all_of=[PropertyConstraint(datatype="string"),
+                               PropertyConstraint(pattern=r"Customer#")]),
+])
+
+
+def kg_validate_logical(sf_dir: str):
+    """SHACL logical collectors (sh:or / sh:xone / sh:hasValue /
+    sh:nodeKind / sh:and — And/Or/Xone/HasValue/NodeKind collectors at
+    rdf/collectors.py:81-96,134-153,286-418) over the customer table; the
+    or/xone alternatives split on c_acctbal so both constraint kinds fire
+    on real rows."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.assign(rtype="Customer"), batch_format="pandas")
+    out = validate_dataset(cust, [LOGICAL_CUSTOMER_SHAPE], type_col="rtype")
+    return out.select_columns(["c_custkey", "valid", "violation"])
+
+
 def kg_actions_summary(sf_dir: str):
     """Actions report counting (actions.py:46-59): count x (operation,
     succeeded, error) over the validation stage's outcomes."""
@@ -323,6 +359,59 @@ def kg_bgp_values(sf_dir: str):
     SELECT ?d ?l WHERE {
       ?d v:lang ?l .
       VALUES ?l { "fr" "zh" }
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
+PRED_NEXT = "http://example.org/vocab/next"
+
+
+def _next_triples(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic bounded successor chains over the documents table:
+    (doc/i, v:next, doc/i+1) when i % 20 != 19 — 20-long chains whose
+    transitive closure stays linear in the corpus (the partitioning
+    assumption for p* at scale: close a bounded predicate slice, never an
+    unbounded dense graph)."""
+    def nxt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        dd = d[(d % 20) != 19]
+        return pd.DataFrame({
+            "subj": KB.DOC_BASE + dd.astype(str),
+            "pred": PRED_NEXT,
+            "obj": KB.DOC_BASE + (dd + 1).astype(str)})
+    return _docs(sf_dir, ["doc_id"]).map_batches(nxt, batch_format="pandas")
+
+
+def kg_bgp_star(sf_dir: str):
+    """SPARQL zero-or-more property path (`v:next*`): iterated-doubling
+    transitive closure of the predicate slice UNION the zero-length
+    identity over every graph term (W3C path semantics). Oracle: recursive
+    CTE over the same arithmetic chain."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?a ?b WHERE { ?a v:next* ?b }"""
+    return KnowledgeGraphForge().sparql(q, _next_triples(sf_dir))
+
+
+def kg_bgp_alt(sf_dir: str):
+    """SPARQL alternative property path (`v:mentions|v:lang`): one
+    vectorized predicate-isin scan instead of a two-branch union."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?x WHERE { ?d v:mentions|v:lang ?x }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
+def kg_bgp_union_scoped(sf_dir: str):
+    """Branch-scoped clauses inside UNION (SPARQL group scoping): the
+    FILTER in branch 1 restricts branch 1 only — documents whose language
+    sorts after "en" PLUS documents mentioning the 'query' entity."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d WHERE {
+      { ?d v:lang ?l . FILTER(?l > "en") }
+      UNION
+      { ?d v:mentions <http://example.org/entity/query> }
     }"""
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
@@ -681,6 +770,10 @@ QUERIES = {
     "kg_bgp_bind": kg_bgp_bind,
     "kg_bgp_having": kg_bgp_having,
     "kg_bgp_count_distinct": kg_bgp_count_distinct,
+    "kg_bgp_star": kg_bgp_star,
+    "kg_bgp_alt": kg_bgp_alt,
+    "kg_bgp_union_scoped": kg_bgp_union_scoped,
+    "kg_validate_logical": kg_validate_logical,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

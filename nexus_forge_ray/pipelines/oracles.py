@@ -755,6 +755,54 @@ ORACLES: dict[str, str] = {
                     else '' end as violation
         from customer
     """,
+    # sh:or fires on the (-500, 0) gap, sh:xone on the [0, 1000] overlap
+    # where both alternatives hold (first-violation-wins label order
+    # matches the shape's constraint order)
+    "kg_validate_logical": """
+        select c_custkey,
+               case when c_acctbal > -500 and c_acctbal < 0 then false
+                    when c_acctbal >= 0 and c_acctbal <= 1000 then false
+                    else true end as valid,
+               case when c_acctbal > -500 and c_acctbal < 0
+                         then 'OrConstraint: c_acctbal'
+                    when c_acctbal >= 0 and c_acctbal <= 1000
+                         then 'XoneConstraint: c_acctbal'
+                    else '' end as violation
+        from customer
+    """,
+    # zero-or-more path: recursive closure of the bounded 20-chain edges
+    # UNION the zero-length identity over every graph term
+    "kg_bgp_star": """
+        with recursive
+        e as (select 'http://example.org/doc/' || doc_id as src,
+                     'http://example.org/doc/' || (doc_id + 1) as dst
+              from documents where doc_id % 20 != 19),
+        terms as (select src as n from e union select dst from e),
+        closure as (select src, dst from e
+                    union
+                    select c.src, e.dst from closure c
+                    join e on c.dst = e.src),
+        star as (select n as a, n as b from terms
+                 union
+                 select src as a, dst as b from closure)
+        select distinct a, b from star
+    """,
+    "kg_bgp_alt": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d, obj as x from t
+        where pred in ('http://example.org/vocab/mentions',
+                       'http://example.org/vocab/lang')
+    """,
+    # branch-scoped FILTER: the lang comparison applies to branch 1 only
+    "kg_bgp_union_scoped": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d from t
+        where pred = 'http://example.org/vocab/lang' and obj > 'en'
+        union all
+        select subj as d from t
+        where pred = 'http://example.org/vocab/mentions'
+          and obj = 'http://example.org/entity/query'
+    """,
     "kg_actions_summary": """
         with v as (
             select case when c_name is null or c_name = '' then false

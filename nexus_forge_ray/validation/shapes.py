@@ -16,6 +16,18 @@ kgforge/specializations/models/rdf/service.py:49-63):
                             the nested resource must conform to the referenced
                             shape — validated recursively, vectorized over the
                             nested frame)
+- hasValue                 (sh:hasValue, HasValueCollector at
+                            rdf/collectors.py:81-96: the property MUST carry
+                            the given value — absence is a violation)
+- nodeKind                 (sh:nodeKind, NodeKindCollector at
+                            rdf/collectors.py:134-153: IRI / Literal /
+                            BlankNodeOrIRI value-kind check)
+- and / or / xone          (sh:and/sh:or/sh:xone, And/Or/XoneCollector at
+                            rdf/collectors.py:286-418: the value must satisfy
+                            all / at least one / exactly one of the
+                            alternative constraint lists; alternatives are
+                            PropertyConstraints sharing the parent's path
+                            unless they set their own)
 - "no focus node" rule     (rdf/service.py:241-266): a row whose type has no
                             matching shape target fails validation.
 - rdfs inference           (rdf_model.py validate(inference="rdfs"),
@@ -43,10 +55,31 @@ import ray.data
 _DATETIME_RE = re.compile(
     r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$")
 
+# IRI = string with a URI scheme (http://…, urn:…); matches the reference's
+# node-kind split where resources are IRI-identified and raw scalars are
+# literals (rdf/collectors.py:134-153)
+_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _node_kind_of(v) -> str:
+    """Classify a value as IRI / BlankNode / Literal for sh:nodeKind. A dict
+    (nested node) with an IRI id is an IRI reference; an id-less dict is a
+    blank node; scheme-shaped strings are IRIs; everything else a literal."""
+    if isinstance(v, dict):
+        vid = v.get("id", v.get("@id"))
+        if isinstance(vid, str) and _IRI_RE.match(vid):
+            return "IRI"
+        return "BlankNode"
+    if isinstance(v, str) and _IRI_RE.match(v):
+        return "IRI"
+    return "Literal"
+
 
 @dataclass
 class PropertyConstraint:
-    path: str                      # column (dots for nested-flattened fields)
+    path: str = ""                 # column (dots for nested-flattened fields);
+    #                                empty only inside logical alternatives
+    #                                (inherits the parent constraint's path)
     min_count: int = 0
     max_count: int | None = None
     datatype: str | None = None    # xsd local name: string/integer/float/boolean/dateTime/anyURI
@@ -56,6 +89,26 @@ class PropertyConstraint:
     max_inclusive: float | None = None
     class_type: str | None = None  # sh:class — nested node's type must match
     node_shape: "Shape | None" = None  # sh:node — nested shape conformance
+    has_value: Any = None          # sh:hasValue — value must be present+equal
+    node_kind: str | None = None   # sh:nodeKind — IRI/Literal/BlankNodeOrIRI
+    # logical collectors: alternatives are PropertyConstraints; an empty
+    # alternative path inherits this constraint's path
+    all_of: "list[PropertyConstraint] | None" = None   # sh:and
+    any_of: "list[PropertyConstraint] | None" = None   # sh:or
+    one_of: "list[PropertyConstraint] | None" = None   # sh:xone
+
+    def _alt_matrix(self, df: pd.DataFrame,
+                    alts: "list[PropertyConstraint]") -> np.ndarray:
+        """(n_alts, n_rows) bool matrix: row i = alternative i's ok mask
+        (vacuously true where the value is absent — callers gate on
+        presence)."""
+        from dataclasses import replace
+        rows = []
+        for alt in alts:
+            sub = alt if alt.path else replace(alt, path=self.path)
+            ok, _ = sub.check(df)
+            rows.append(ok)
+        return np.vstack(rows)
 
     def check(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         """Returns (ok_mask, per-row violation labels '' where ok)."""
@@ -110,6 +163,40 @@ class PropertyConstraint:
             full = np.ones(n, dtype=bool)
             full[sub_idx] = nested_ok
             apply(full, f"NodeConstraint: {self.path}")
+        if self.has_value is not None:
+            # sh:hasValue mandates the value be PRESENT and equal (or a
+            # member, for list-valued properties) — absence violates
+            hv = self.has_value
+            eq = col.map(
+                lambda v, hv=hv: hv in list(v)
+                if isinstance(v, (list, tuple, np.ndarray)) else v == hv
+            ).to_numpy(dtype=bool)
+            apply(present & eq, f"HasValueConstraint: {self.path}")
+        if self.node_kind is not None and present.any():
+            kinds = col.map(_node_kind_of).to_numpy(dtype=object)
+            if self.node_kind == "IRI":
+                kind_ok = kinds == "IRI"
+            elif self.node_kind == "Literal":
+                kind_ok = kinds == "Literal"
+            elif self.node_kind == "BlankNodeOrIRI":
+                kind_ok = (kinds == "IRI") | (kinds == "BlankNode")
+            elif self.node_kind == "BlankNode":
+                kind_ok = kinds == "BlankNode"
+            else:
+                raise ValueError(f"unknown sh:nodeKind {self.node_kind!r}")
+            apply(~present | kind_ok.astype(bool),
+                  f"NodeKindConstraint: {self.path}")
+        if self.all_of is not None and present.any():
+            sat = self._alt_matrix(df, self.all_of).all(axis=0)
+            apply(~present | sat, f"AndConstraint: {self.path}")
+        if self.any_of is not None and present.any():
+            sat = self._alt_matrix(df, self.any_of).any(axis=0)
+            apply(~present | sat, f"OrConstraint: {self.path}")
+        if self.one_of is not None and present.any():
+            # sh:xone: EXACTLY one alternative satisfied (alternatives are
+            # vacuously true on absent values, hence the presence gate)
+            sat = self._alt_matrix(df, self.one_of).sum(axis=0) == 1
+            apply(~present | sat, f"XoneConstraint: {self.path}")
         return ok, labels
 
     def _class_ok(self, v) -> bool:

@@ -157,3 +157,99 @@ def test_rdfs_inference_subclass_validates_against_ancestor_shape():
     on2 = run_nested(rows, subclass_of={"Patient": ["Human"],
                                         "Human": ["Person"]})
     assert on2["valid"][0]
+
+
+# ---- sh:hasValue / sh:nodeKind / sh:and / sh:or / sh:xone (logical
+# collectors: reference HasValue/NodeKind/And/Or/Xone collectors at
+# kgforge/specializations/models/rdf/collectors.py:81-96,134-153,286-418)
+
+AGENT = Shape(target_type="Agent", constraints=[
+    PropertyConstraint(path="role", has_value="curator"),
+    PropertyConstraint(path="homepage", node_kind="IRI"),
+    PropertyConstraint(path="label", node_kind="Literal"),
+    # sh:or — age is a non-negative integer OR the literal "unknown"
+    PropertyConstraint(path="age",
+                       any_of=[PropertyConstraint(datatype="integer",
+                                                  min_inclusive=0),
+                               PropertyConstraint(in_values=["unknown"])]),
+    # sh:and — name is a string AND matches the prefix pattern
+    PropertyConstraint(path="name",
+                       all_of=[PropertyConstraint(datatype="string"),
+                               PropertyConstraint(pattern=r"^Agent")]),
+    # sh:xone — score in [0,10] xor flagged "legacy" (both -> violation)
+    PropertyConstraint(path="score",
+                       one_of=[PropertyConstraint(min_inclusive=0,
+                                                  max_inclusive=10),
+                               PropertyConstraint(in_values=["legacy"])]),
+])
+
+GOOD_AGENT = {"type": "Agent", "role": "curator",
+              "homepage": "http://example.org/a", "label": "an agent",
+              "age": 4, "name": "Agent Smith", "score": 3}
+
+
+def run_agent(rows):
+    v = ShapeValidator([AGENT], type_col="type")
+    return v(pd.DataFrame(rows))
+
+
+def test_logical_all_pass():
+    out = run_agent([GOOD_AGENT])
+    assert out["valid"][0] and out["violation"][0] == ""
+
+
+def test_has_value_absent_or_wrong_fails():
+    out = run_agent([{**GOOD_AGENT, "role": None},
+                     {**GOOD_AGENT, "role": "reader"},
+                     {**GOOD_AGENT, "role": ["reader", "curator"]}])
+    assert out["violation"].tolist() == [
+        "HasValueConstraint: role", "HasValueConstraint: role", ""]
+
+
+def test_node_kind():
+    out = run_agent([{**GOOD_AGENT, "homepage": "not a uri"},
+                     {**GOOD_AGENT, "label": "urn:x:looks-like-iri"},
+                     {**GOOD_AGENT, "homepage": "urn:uuid:1"}])
+    assert out["violation"].tolist() == [
+        "NodeKindConstraint: homepage", "NodeKindConstraint: label", ""]
+
+
+def test_or_either_alternative_suffices():
+    out = run_agent([{**GOOD_AGENT, "age": "unknown"},
+                     {**GOOD_AGENT, "age": -3},
+                     {**GOOD_AGENT, "age": "tall"}])
+    assert out["violation"].tolist() == [
+        "", "OrConstraint: age", "OrConstraint: age"]
+
+
+def test_and_requires_all():
+    out = run_agent([{**GOOD_AGENT, "name": "Smith, Agent"},
+                     {**GOOD_AGENT, "name": 7}])
+    assert out["violation"].tolist() == [
+        "AndConstraint: name", "AndConstraint: name"]
+
+
+def test_xone_exactly_one():
+    out = run_agent([{**GOOD_AGENT, "score": "legacy"},    # 2nd alt only: ok
+                     {**GOOD_AGENT, "score": 99},          # neither: fail
+                     {**GOOD_AGENT, "score": 3}])          # 1st alt only: ok
+    assert out["violation"].tolist() == ["", "XoneConstraint: score", ""]
+
+
+def test_logical_absent_value_vacuous():
+    # or/and/xone gate on presence: an absent optional property conforms
+    out = run_agent([{**GOOD_AGENT, "age": None, "score": None}])
+    assert out["valid"][0]
+
+
+def test_alternative_with_own_path():
+    # an alternative naming its own path checks that column instead
+    shape = Shape(target_type="T", constraints=[
+        PropertyConstraint(path="a",
+                           any_of=[PropertyConstraint(min_inclusive=10),
+                                   PropertyConstraint(path="b",
+                                                      min_inclusive=0)])])
+    v = ShapeValidator([shape], type_col="type")
+    out = v(pd.DataFrame([{"type": "T", "a": 1, "b": 5},
+                          {"type": "T", "a": 1, "b": -5}]))
+    assert out["valid"].tolist() == [True, False]
