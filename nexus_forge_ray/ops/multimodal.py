@@ -1,17 +1,24 @@
 """Multimodal column operators — binary payloads with typed metadata.
 
-Images/audio/video are opaque `binary` columns plus metadata. The decode /
-resize / feature-extract / frame-sample kernels are STUBBED (no image/audio
-libraries in this environment): with `fake=True` (default for tests/bench)
-each stage produces a deterministic hash-derived result so the Ray-side
-plumbing — schema, actor-pool signature, batch sizing, output layout — is
-real and testable; with `fake=False` they raise NotImplementedError at the
-exact point a real codec (Pillow/ffmpeg/torchvision) would be called.
+Images/audio/video are opaque `binary` columns plus metadata, processed by
+actor-pool-shaped `map_batches` stages. Two kernel modes:
 
-Scale notes: binary payloads make rows wide — these stages are actor pools
-with SMALL batch sizes (batch_size=32 default) so batch × concurrency stays
-within worker heaps; blocks of binaries should be bounded via
-DataContext.target_max_block_size at read time.
+- ``fake=False`` (REAL, default where the payload is one of the formats the
+  in-repo codecs cover): PNG decode/resize/features via the pure
+  numpy+zlib codec in `ops.imagecodec` (8-bit grey/RGB/RGBA), WAV PCM
+  decode via stdlib `wave`, and frame sampling over the length-prefixed
+  `ANIM` PNG container. These are real computations with checksum-oracle
+  tests (tests/test_multimodal.py) — not hash stubs.
+- ``fake=True``: deterministic hash-derived results for arbitrary bytes —
+  kept for plumbing/bench tests with non-decodable payloads, and as the
+  honest stand-in for formats a production deployment would hand to
+  Pillow/ffmpeg (JPEG, H.264, ... — no codecs for those in this sandbox).
+
+Scale notes: binary payloads make rows wide — these stages run with SMALL
+batch sizes (batch_size=32 default) so batch × concurrency stays within
+worker heaps; blocks of binaries should be bounded via
+DataContext.target_max_block_size at read time. Real codecs/models load
+state once per actor when `concurrency` pins an actor pool.
 """
 
 from __future__ import annotations
@@ -22,105 +29,156 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from nexus_forge_ray.ops import imagecodec as ic
+
 
 def _hash_bytes(b: bytes) -> np.ndarray:
     return np.frombuffer(hashlib.sha256(b).digest(), dtype=np.uint8)
 
 
 class ImageDecoder:
-    """binary -> (width, height, mode) metadata + decoded flag."""
+    """binary -> (width, height, mode) metadata (real PNG parse by default)."""
 
-    def __init__(self, image_col: str = "image", fake: bool = True):
+    def __init__(self, image_col: str = "image", fake: bool = False):
         self.image_col = image_col
         self.fake = fake
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires Pillow; run with fake=True")
-        h = np.stack([_hash_bytes(b) for b in batch[self.image_col]])
         batch = batch.copy()
-        batch["width"] = (16 + h[:, 0].astype(np.int64) % 2032)
-        batch["height"] = (16 + h[:, 1].astype(np.int64) % 2032)
-        batch["mode"] = np.where(h[:, 2] % 2 == 0, "RGB", "L")
+        if self.fake:
+            h = np.stack([_hash_bytes(b) for b in batch[self.image_col]])
+            batch["width"] = (16 + h[:, 0].astype(np.int64) % 2032)
+            batch["height"] = (16 + h[:, 1].astype(np.int64) % 2032)
+            batch["mode"] = np.where(h[:, 2] % 2 == 0, "RGB", "L")
+            return batch
+        dims = [ic.png_decode(b).shape for b in batch[self.image_col]]
+        batch["width"] = np.array([d[1] for d in dims], dtype=np.int64)
+        batch["height"] = np.array([d[0] for d in dims], dtype=np.int64)
+        batch["mode"] = ["L" if len(d) == 2 else
+                         {2: "LA", 3: "RGB", 4: "RGBA"}[d[2]] for d in dims]
         return batch
 
 
 class ImageResizer:
-    """Resize stub: records target dims; payload untouched (deterministic)."""
+    """Real resize: decode PNG -> nearest-neighbor -> re-encode PNG."""
 
     def __init__(self, width: int, height: int, image_col: str = "image",
-                 fake: bool = True):
+                 fake: bool = False):
         self.w, self.h = width, height
         self.image_col = image_col
         self.fake = fake
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError("real resize requires Pillow")
         batch = batch.copy()
+        if not self.fake:
+            batch[self.image_col] = [
+                ic.png_encode(ic.resize_nearest(ic.png_decode(b),
+                                                self.w, self.h))
+                for b in batch[self.image_col]]
         batch["width"] = self.w
         batch["height"] = self.h
         return batch
 
 
 class FeatureExtractor:
-    """binary -> dense feature vector (fake: hash-derived, unit-normalized).
+    """binary -> dense feature vector.
 
-    The real version would hold a vision/audio model loaded ONCE per actor in
-    __init__ — this class is the actor-pool harness for it.
+    Real path: PNG decode + mean-luminance grid descriptor (unit-norm).
+    A heavier model would load once per actor in __init__ — this class is
+    the actor-pool harness for it either way.
     """
 
     def __init__(self, dim: int = 16, payload_col: str = "image",
-                 fake: bool = True):
+                 fake: bool = False):
         self.dim = dim
         self.payload_col = payload_col
         self.fake = fake
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError("real features require a model runtime")
         feats = []
         for b in batch[self.payload_col]:
-            h = _hash_bytes(b)[: self.dim].astype(np.float32)
-            n = np.linalg.norm(h)
-            feats.append((h / n if n else h).tolist())
+            if self.fake:
+                h = _hash_bytes(b)[: self.dim].astype(np.float32)
+                n = np.linalg.norm(h)
+                feats.append((h / n if n else h).tolist())
+            else:
+                feats.append(
+                    ic.image_features(ic.png_decode(b), self.dim).tolist())
         batch = batch.copy()
         batch["embedding"] = feats
         return batch
 
 
 class FrameSampler:
-    """video binary -> one row per sampled frame offset (flat_map shape)."""
+    """video binary -> one row per sampled frame (flat_map shape).
 
-    def __init__(self, every_n_bytes: int = 1 << 16, max_frames: int = 8,
-                 video_col: str = "video", fake: bool = True):
-        self.step = every_n_bytes
+    Real path: parse the ANIM container, keep every `stride`-th frame up to
+    `max_frames`, emit the frame's PNG bytes plus its decoded dimensions —
+    sampling skips non-kept frames WITHOUT decoding them (the point of a
+    length-prefixed container)."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 8,
+                 video_col: str = "video", fake: bool = False,
+                 every_n_bytes: int = 1 << 16):
+        self.stride = max(1, stride)
+        self.step = every_n_bytes          # fake-mode chunking only
         self.max_frames = max_frames
         self.video_col = video_col
         self.fake = fake
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError("real frame sampling requires ffmpeg")
         rows = []
+        keep = [k for k in batch.columns if k != self.video_col]
         for _, rec in batch.iterrows():
             payload = rec[self.video_col]
-            n = min(self.max_frames, max(1, len(payload) // self.step))
-            for i in range(n):
-                chunk = payload[i * self.step:(i + 1) * self.step]
-                rows.append({**{k: rec[k] for k in batch.columns
-                                if k != self.video_col},
-                             "frame_index": i,
-                             "frame": hashlib.sha256(chunk).digest()})
-        return pd.DataFrame(rows) if rows else pd.DataFrame(
-            {c: [] for c in list(batch.columns.drop(self.video_col))
-             + ["frame_index", "frame"]})
+            base = {k: rec[k] for k in keep}
+            if self.fake:
+                n = min(self.max_frames, max(1, len(payload) // self.step))
+                for i in range(n):
+                    chunk = payload[i * self.step:(i + 1) * self.step]
+                    rows.append({**base, "frame_index": i,
+                                 "frame": hashlib.sha256(chunk).digest()})
+                continue
+            taken = 0
+            for i, png in ic.anim_iter_frames(payload):
+                if i % self.stride or taken >= self.max_frames:
+                    continue
+                img = ic.png_decode(png)
+                rows.append({**base, "frame_index": i, "frame": png,
+                             "frame_h": img.shape[0], "frame_w": img.shape[1]})
+                taken += 1
+        if rows:
+            return pd.DataFrame(rows)
+        cols = keep + ["frame_index", "frame"] \
+            + ([] if self.fake else ["frame_h", "frame_w"])
+        return pd.DataFrame({c: [] for c in cols})
+
+
+class AudioDecoder:
+    """WAV binary -> real per-clip features (rate, duration, rms, zcr, peak)
+    via stdlib `wave` — PCM 8/16-bit mono/stereo."""
+
+    def __init__(self, audio_col: str = "audio"):
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"sample_rate": [], "duration_s": [], "rms": [], "zcr": [],
+               "peak": []}
+        for b in batch[self.audio_col]:
+            x, rate = ic.wav_decode(b)
+            f = ic.audio_features(x, rate)
+            out["sample_rate"].append(rate)
+            for k in ("duration_s", "rms", "zcr", "peak"):
+                out[k].append(f[k])
+        batch = batch.copy()
+        for k, v in out.items():
+            batch[k] = v
+        return batch
 
 
 def _mm_stage(ds, cls, kwargs, concurrency, batch_size):
-    """Task mode by default (fake kernels are stateless); pass concurrency for
-    an actor pool when a real model/codec must load once per worker."""
+    """Task mode by default; pass concurrency for an actor pool when a real
+    model/codec must load once per worker."""
     if concurrency is None:
         return ds.map_batches(cls(**kwargs), batch_format="pandas",
                               batch_size=batch_size)
@@ -131,15 +189,23 @@ def _mm_stage(ds, cls, kwargs, concurrency, batch_size):
 
 def decode_images(ds: ray.data.Dataset, *, image_col: str = "image",
                   concurrency: int | None = None, batch_size: int = 32,
-                  fake: bool = True) -> ray.data.Dataset:
+                  fake: bool = False) -> ray.data.Dataset:
     return _mm_stage(ds, ImageDecoder, dict(image_col=image_col, fake=fake),
                      concurrency, batch_size)
+
+
+def resize_images(ds: ray.data.Dataset, width: int, height: int, *,
+                  image_col: str = "image", concurrency: int | None = None,
+                  batch_size: int = 32, fake: bool = False) -> ray.data.Dataset:
+    return _mm_stage(ds, ImageResizer,
+                     dict(width=width, height=height, image_col=image_col,
+                          fake=fake), concurrency, batch_size)
 
 
 def extract_features(ds: ray.data.Dataset, *, dim: int = 16,
                      payload_col: str = "image",
                      concurrency: int | None = None,
-                     batch_size: int = 32, fake: bool = True) -> ray.data.Dataset:
+                     batch_size: int = 32, fake: bool = False) -> ray.data.Dataset:
     return _mm_stage(ds, FeatureExtractor,
                      dict(dim=dim, fake=fake, payload_col=payload_col),
                      concurrency, batch_size)
@@ -147,6 +213,15 @@ def extract_features(ds: ray.data.Dataset, *, dim: int = 16,
 
 def sample_frames(ds: ray.data.Dataset, *, video_col: str = "video",
                   concurrency: int | None = None, batch_size: int = 8,
-                  fake: bool = True) -> ray.data.Dataset:
-    return _mm_stage(ds, FrameSampler, dict(video_col=video_col, fake=fake),
+                  fake: bool = False, stride: int = 2,
+                  max_frames: int = 8) -> ray.data.Dataset:
+    return _mm_stage(ds, FrameSampler,
+                     dict(video_col=video_col, fake=fake, stride=stride,
+                          max_frames=max_frames), concurrency, batch_size)
+
+
+def decode_audio(ds: ray.data.Dataset, *, audio_col: str = "audio",
+                 concurrency: int | None = None,
+                 batch_size: int = 32) -> ray.data.Dataset:
+    return _mm_stage(ds, AudioDecoder, dict(audio_col=audio_col),
                      concurrency, batch_size)

@@ -581,18 +581,34 @@ def embedding_near_dup(sf_dir: str):
 
 
 def mm_image_features(sf_dir: str):
-    """Multimodal plumbing over synthesized binary payloads (html bytes act
-    as the opaque image column): decode metadata + hash-fake features.
-    Rows-only: kernels are deterministic stubs (no codecs in this env)."""
+    """Multimodal pipeline over REAL image payloads: each document gets a
+    deterministic PNG (gradient keyed by doc_id, size from doc length),
+    then real decode -> resize -> luminance-grid features via the pure
+    numpy+zlib codec (`ops.imagecodec`). Rows-only: the synthesized-binary
+    -> feature path has no SQL equivalent, but the kernels are gated by
+    roundtrip/checksum oracles in tests/test_multimodal.py."""
+    from nexus_forge_ray.ops import imagecodec as ic
     from nexus_forge_ray.ops import multimodal as mm
-    from nexus_forge_ray.sources.pages import synth_pages
-    pages = synth_pages(sf_dir).map_batches(
-        lambda df: df.rename(columns={"html": "image"})[["url", "image"]],
-        batch_format="pandas")
+
+    def synth_png(df: pd.DataFrame) -> pd.DataFrame:
+        imgs = []
+        for did, txt in zip(df["doc_id"].astype("int64"),
+                            df["text"].fillna("")):
+            h = 8 + (len(txt) % 24)
+            w = 8 + (did % 24)
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            imgs.append(ic.png_encode(img))
+        return pd.DataFrame({"doc_id": df["doc_id"], "image": imgs})
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_png, batch_format="pandas")
     decoded = mm.decode_images(pages)
-    feats = mm.extract_features(decoded, dim=8)
+    resized = mm.resize_images(decoded, 16, 16)
+    feats = mm.extract_features(resized, dim=16)
     return feats.map_batches(
-        lambda df: pd.DataFrame({"url": df["url"], "width": df["width"],
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "width": df["width"],
                                  "height": df["height"],
                                  "dim": [len(e) for e in df["embedding"]]}),
         batch_format="pandas")

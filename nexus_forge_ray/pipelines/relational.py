@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from nexus_forge_ray.ops.joins import broadcast_join, partitioned_join, semi_join
+from nexus_forge_ray.ops.joins import broadcast_join, partitioned_join
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -101,16 +101,21 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """customer(filter, broadcast) ⋈ orders(filter) ⋈ lineitem (bucketed) →
     groupby revenue → global top-10. Only order keys + revenue cross the wire.
     """
-    # BUILDING key set computed DISTRIBUTED (filter + project inside
-    # map_batches); only the filtered key column reaches the driver, which is
-    # then broadcast once for the semi join.
+    # BUILDING is ~20% of customers — O(corpus) at scale, so the key set
+    # never touches the driver: filter distributed, then a bucketed
+    # semi-join (one shuffle keyed on o_custkey for both sides).
+    from nexus_forge_ray.ops.joins import partitioned_semi_join
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.map_batches(
-        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
-        batch_format="pandas").to_pandas()
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                          ["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = semi_join(orders, building["c_custkey"].tolist(), "o_custkey")
+    orders = partitioned_semi_join(
+        orders, building, on="o_custkey", num_buckets=16,
+        lcols=["o_orderkey", "o_custkey", "o_orderdate"])
 
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -1053,55 +1058,74 @@ def q_events_outliers(sf_dir: str) -> pd.DataFrame:
     return res[["event_type", "p99", "n_outliers"]]
 
 
-def q_integrity_check(sf_dir: str) -> pd.DataFrame:
-    """Referential-integrity audit (relation, n_rows, n_orphans) over the
-    four FK edges. Dimension key sets (customer/part/supplier) broadcast
-    via ray.put with per-batch isin + partial sums; the fact-fact edge
-    (lineitem -> orders) goes through a bucketed anti-join of per-key
-    lineitem counts against the orders key set — no fact table ever
-    reaches the driver."""
+def orphan_count(fact: "ray.data.Dataset", col: str,
+                 dim: "ray.data.Dataset", dim_col: str,
+                 num_buckets: int = 16,
+                 broadcast_cap: int = 1_000_000) -> int:
+    """Number of `fact` rows whose `col` has no match in `dim[dim_col]`.
+
+    Hybrid: a dim small enough to broadcast ships once via ray.put
+    (sorted-array membership per batch, zero shuffle); above the cap the
+    dim is a quasi-fact, so the fact side pre-aggregates to per-key counts
+    and a bucketed anti-join does the membership — neither side's key
+    column ever reaches the driver. Both paths are equality-tested
+    (tests/test_relational.py)."""
     import ray
 
     from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
 
-    def orphan_count_broadcast(ds, col, keys) -> int:
-        keys_ref = ray.put(np.sort(np.asarray(keys)))
+    dim = dim.materialize()
+    if dim.count() <= broadcast_cap:
+        dpd = dim.to_pandas()  # an empty dataset drops its schema entirely
+        keys_ref = ray.put(np.sort(dpd[dim_col].to_numpy())
+                           if dim_col in dpd.columns else np.array([]))
 
         def part(df: pd.DataFrame) -> pd.DataFrame:
             k = ray.get(keys_ref)
             vals = df[col].to_numpy()
             idx = np.searchsorted(k, vals)
             idx[idx >= len(k)] = len(k) - 1
-            miss = k[idx] != vals
+            miss = k[idx] != vals if len(k) else np.ones(len(vals), bool)
             return pd.DataFrame({"n": [int(miss.sum())]})
 
-        return int(ds.map_batches(part, batch_format="pandas").sum("n") or 0)
+        return int(fact.map_batches(part, batch_format="pandas").sum("n") or 0)
 
-    cust = _read_pd(sf_dir, "customer", ["c_custkey"])["c_custkey"]
-    part_k = _read_pd(sf_dir, "part", ["p_partkey"])["p_partkey"]
-    supp = _read_pd(sf_dir, "supplier", ["s_suppkey"])["s_suppkey"]
+    # scale path: shrink the shuffle to one row per distinct fact key
+    per_key = hash_groupby_agg(fact, col, {"cnt": (col, "count")},
+                               num_buckets=num_buckets)
+    keys = dim.map_batches(
+        lambda df, c=col, dc=dim_col: pd.DataFrame({c: df[dc]}),
+        batch_format="pandas")
+    orphan_rows = partitioned_anti_join(per_key, keys, on=col,
+                                        num_buckets=num_buckets,
+                                        lcols=[col, "cnt"])
+    return int(orphan_rows.map_batches(
+        lambda df: pd.DataFrame({"n": [int(df["cnt"].sum())]}),
+        batch_format="pandas").sum("n") or 0)
+
+
+def q_integrity_check(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit (relation, n_rows, n_orphans) over the
+    four FK edges, all via `orphan_count`: small dims broadcast once, a
+    quasi-fact side (orders keys vs lineitem; any dim above the cap) goes
+    through per-key counts + a bucketed anti-join — no fact table and no
+    above-cap key column ever reaches the driver."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    part_k = _read(sf_dir, "part", ["p_partkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
     n_orders = orders.count()
     n_line = line.count()
 
-    o_orph = orphan_count_broadcast(orders, "o_custkey", cust)
-    l_part_orph = orphan_count_broadcast(line, "l_partkey", part_k)
-    l_supp_orph = orphan_count_broadcast(line, "l_suppkey", supp)
-
-    # fact->fact: per-key lineitem counts, bucketed anti-join vs orders keys
-    from nexus_forge_ray.ops.joins import partitioned_anti_join
-    per_key = hash_groupby_agg(line, "l_orderkey",
-                               {"cnt": ("l_orderkey", "count")})
-    okeys = orders.map_batches(
-        lambda df: pd.DataFrame({"l_orderkey": df["o_orderkey"]}),
-        batch_format="pandas")
-    orphan_rows = partitioned_anti_join(per_key, okeys, on="l_orderkey",
-                                        lcols=["l_orderkey", "cnt"])
-    l_ord_orph = int(orphan_rows.map_batches(
-        lambda df: pd.DataFrame({"n": [int(df["cnt"].sum())]}),
-        batch_format="pandas").sum("n") or 0)
+    o_orph = orphan_count(orders, "o_custkey", cust, "c_custkey")
+    l_part_orph = orphan_count(line, "l_partkey", part_k, "p_partkey")
+    l_supp_orph = orphan_count(line, "l_suppkey", supp, "s_suppkey")
+    # fact->fact: orders keys are never broadcastable
+    l_ord_orph = orphan_count(line, "l_orderkey", orders.select_columns(
+        ["o_orderkey"]), "o_orderkey", broadcast_cap=0)
 
     return pd.DataFrame({
         "relation": ["lineitem->orders", "lineitem->part",

@@ -120,3 +120,22 @@ def test_es_range_agg_empty_range_with_stats(ray_session):
     assert empty["s_sum"] == 0.0 and pd.isna(empty["s_avg"])
     full = out[out["key"] == "*-10"].iloc[0]
     assert full["s_count"] == 3 and full["s_sum"] == 6.0
+
+
+def test_orphan_count_broadcast_and_partitioned_paths_agree(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.pipelines.relational import orphan_count
+    fact = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2, 3, 5, 8, 8, 8, 13]})).repartition(3)
+    dim = ray.data.from_pandas(pd.DataFrame(
+        {"d": [1, 2, 3, 4]})).repartition(2)
+    # orphans: 5, 8x3, 13 -> 5 rows
+    bc = orphan_count(fact, "k", dim, "d", broadcast_cap=1_000)
+    part = orphan_count(fact, "k", dim, "d", broadcast_cap=0)
+    assert bc == part == 5
+    # empty dim: every fact row is an orphan on both paths
+    empty = ray.data.from_pandas(pd.DataFrame({"d": pd.Series(dtype="int64")}))
+    assert orphan_count(fact, "k", empty, "d", broadcast_cap=1_000) == 9
+    assert orphan_count(fact, "k", empty, "d", broadcast_cap=0) == 9
