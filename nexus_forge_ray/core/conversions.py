@@ -219,6 +219,52 @@ def dataframe_to_records(df: pd.DataFrame, na=None) -> list[dict]:
     return [deflatten_record(row, na=na) for row in df.to_dict("records")]
 
 
+class JsonLdNormalizer:
+    """Actor-pool stage: full JSON-LD 1.1 expand→compact per record against
+    a model context — context processed ONCE per actor in __init__ (term
+    maps + inverse index), per-batch work is pure dict transforms. Use for
+    heterogeneous crawled JSON-LD (per-doc @context) normalized to one
+    model context, the reference's compact-on-retrieve path (rdf.py:128)."""
+
+    def __init__(self, context, documents: dict | None = None,
+                 record_col: str = "record"):
+        from nexus_forge_ray.core import jsonld as ld
+        self._ld = ld
+        self.raw = context
+        self.resolver = ld.ContextResolver(documents or {})
+        self.ctx = ld.Context.parse(context, resolver=self.resolver)
+        self.record_col = record_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ld, ctx = self._ld, self.ctx
+        out = []
+        for rec in batch[self.record_col]:
+            doc = rec if isinstance(rec, dict) else {}
+            body = {k: v for k, v in doc.items() if k != "@context"}
+            local = (ld.Context.parse(doc["@context"], parent=ctx)
+                     if "@context" in doc else ctx)
+            expanded = ld.expand(body, local)
+            compacted = ld.compact(expanded, self.raw,
+                                   resolver=self.resolver)
+            compacted.pop("@context", None)
+            out.append(compacted)
+        batch = batch.copy()
+        batch[self.record_col] = out
+        return batch
+
+
+def jsonld_normalize_dataset(ds: ray.data.Dataset, context, *,
+                             documents: dict | None = None,
+                             record_col: str = "record",
+                             concurrency: int | tuple | None = None,
+                             ) -> ray.data.Dataset:
+    """Normalize per-record JSON-LD to one model context (see
+    JsonLdNormalizer). Actor pool so context processing amortizes."""
+    return ds.map_batches(
+        JsonLdNormalizer, fn_constructor_args=(context, documents, record_col),
+        batch_format="pandas", concurrency=concurrency or (1, 8))
+
+
 def jsonld_expand_dataset(ds: ray.data.Dataset, context: dict[str, str], *,
                           record_col: str = "record",
                           default_ns: str = "http://example.org/vocab/",

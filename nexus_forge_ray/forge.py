@@ -47,7 +47,20 @@ class KnowledgeGraphForge:
     def __init__(self, config: dict | None = None, **kwargs):
         cfg = dict(config or {})
         cfg.update(kwargs)
-        self.context: dict = dict(cfg.get("context") or {})
+        raw_context = cfg.get("context")
+        self.context: dict = (dict(raw_context)
+                              if isinstance(raw_context, dict) else {})
+        from nexus_forge_ray.core.jsonld import ContextResolver
+        self._context_resolver = ContextResolver(
+            cfg.get("context_documents") or {})
+        if isinstance(raw_context, (str, list)):
+            # resolvable reference(s) — flatten through the 1.1 processor
+            from nexus_forge_ray.core.jsonld import Context as _LDContext
+            ld = _LDContext.parse(raw_context, resolver=self._context_resolver)
+            self.context = {t: d.iri for t, d in ld.terms.items()
+                            if d.iri and not d.iri.startswith("@")}
+            if ld.vocab:
+                self.context.setdefault("@vocab", ld.vocab)
         self._formatters: dict[str, str] = dict(cfg.get("formatters") or {})
         model = cfg.get("model") or {}
         self._schema_dir: SchemaDirectory | None = (
@@ -327,6 +340,26 @@ class KnowledgeGraphForge:
 
     def from_jsonld(self, doc: dict) -> dict:
         return conv.from_jsonld(doc)
+
+    def jsonld_expand(self, doc: dict, context=None) -> list:
+        """Full JSON-LD 1.1 expansion (the reference's pyld jsonld.expand,
+        rdf.py:428-487) against the forge context (or an explicit one):
+        @base/@vocab/curies/containers/@reverse/scoped contexts all apply.
+        String contexts resolve offline via the configured resolver."""
+        from nexus_forge_ray.core import jsonld as ld
+        raw = context if context is not None else self.context
+        ctx = ld.Context.parse(raw, resolver=self._context_resolver)
+        body = {k: v for k, v in doc.items() if k != "@context"}
+        if "@context" in doc:
+            ctx = ld.Context.parse(doc["@context"], parent=ctx)
+        return ld.expand(body, ctx)
+
+    def jsonld_compact(self, doc, context=None) -> dict:
+        """Full JSON-LD 1.1 compaction (the reference's jsonld.compact with
+        processingMode json-ld-1.1, rdf.py:128-138)."""
+        from nexus_forge_ray.core import jsonld as ld
+        raw = context if context is not None else self.context
+        return ld.compact(doc, raw, resolver=self._context_resolver)
 
     def as_graph(self, data):
         """record dict/list -> (subj, pred, obj, obj_is_iri, obj_datatype)

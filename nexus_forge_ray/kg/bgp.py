@@ -216,6 +216,10 @@ class ParsedQuery(NamedTuple):
     # parallel to union_groups — clauses written INSIDE a branch apply to
     # that branch's solutions only (SPARQL group scoping)
     union_clauses: list[tuple] = []
+    # nested `{ SELECT ... }` group texts (PREFIX decls re-attached) —
+    # each executes recursively and inner-joins the outer solutions on the
+    # variables shared with its projection
+    subqueries: list[str] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -253,6 +257,45 @@ def parse_sparql(query: str) -> ParsedQuery:
 
     prefixes = dict(re.findall(
         r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
+    # pull nested `{ SELECT ... }` groups (subqueries) BEFORE the outer
+    # shape match — their internal braces would defeat the body regex.
+    # An occurrence whose `{` directly follows WHERE is the outer body
+    # itself, not a subquery.
+    subqueries: list[str] = []
+    prefix_text = "".join(f"PREFIX {p}: <{iri}> "
+                          for p, iri in prefixes.items())
+
+    def _cut_subqueries(text: str) -> str:
+        out, i = [], 0
+        while True:
+            mm = re.search(r"\{\s*(?i:select)\b", text[i:])
+            if not mm:
+                out.append(text[i:])
+                break
+            start = i + mm.start()
+            if re.search(r"(?is)\bwhere\s*$", text[:start]):
+                # outer WHERE body that IS a select — unsupported shape,
+                # leave for the main regex to reject coherently
+                out.append(text[i:start + 1])
+                i = start + 1
+                continue
+            depth, j = 0, start
+            while j < len(text):
+                if text[j] == "{":
+                    depth += 1
+                elif text[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError("unbalanced braces around subquery")
+            subqueries.append(prefix_text + text[start + 1:j].strip())
+            out.append(text[i:start] + " ")
+            i = j + 1
+        return "".join(out)
+
+    query = _cut_subqueries(query)
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
                   r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
                   r"\s*(?:having\s*\(([^()]*)\))?"
@@ -479,6 +522,9 @@ def parse_sparql(query: str) -> ParsedQuery:
     union_groups: list[list[tuple[str, str, str]]] = []
     union_clauses: list[tuple] = []
     union_split = _split_union(body)
+    if union_split is not None and subqueries:
+        raise ValueError("a subquery inside a UNION branch is unsupported "
+                         "(branch scoping would be lost)")
     if union_split is not None:
         branch_texts, global_text = union_split
         gbody, filters, regex_filters, values_clauses, binds_raw = \
@@ -553,7 +599,8 @@ def parse_sparql(query: str) -> ParsedQuery:
     return ParsedQuery(select, patterns, limit, distinct, filters,
                        regex_filters, order_by, optionals, union_groups,
                        group_by, aggregates, values_clauses, offset,
-                       not_exists, exists, binds, having, union_clauses)
+                       not_exists, exists, binds, having, union_clauses,
+                       subqueries)
 
 
 def _parse_binds(binds_raw: list[tuple[str, str]]) \
@@ -666,7 +713,23 @@ def _apply_filters(ds: ray.data.Dataset,
                 continue
             lhs = batch[var]
             rhs = batch[val] if is_var else val
-            if not is_var and isinstance(val, float):
+            if is_var:
+                # var-var compare: the sides may carry different dtypes
+                # (e.g. a stringly-typed binding vs a numeric aggregate
+                # alias) — compare numerically where BOTH coerce, else
+                # lexically (matches the literal-vs-literal convention)
+                ln = pd.to_numeric(lhs, errors="coerce")
+                rn = pd.to_numeric(rhs, errors="coerce")
+                num = ln.notna() & rn.notna()
+                res = pd.Series(False, index=batch.index)
+                if num.any():
+                    res[num] = ops[op](ln[num], rn[num])
+                if (~num).any():
+                    res[~num] = ops[op](lhs[~num].astype(str),
+                                        rhs[~num].astype(str))
+                mask &= res.fillna(False)
+                continue
+            if isinstance(val, float):
                 lhs = pd.to_numeric(lhs, errors="coerce")
             mask &= ops[op](lhs, rhs).fillna(False)
         for var, pat in regex_filters:
@@ -895,6 +958,24 @@ def sparql_select(triples: ray.data.Dataset, query: str,
             + [v for sh in semi_shared for v in sh]))
         out = bgp_select(triples, q.patterns, needed, **kw)
         bound = list(needed)
+
+    # nested { SELECT ... } groups: evaluate recursively (each is a full
+    # query over the same triple Dataset), then bucketed inner-join the
+    # outer solutions on the variables shared with the sub-projection —
+    # the sub's other projected vars (typically aggregate aliases) become
+    # bound for the outer FILTERs/SELECT (SPARQL 11.2.4 join semantics)
+    for subtext in q.subqueries:
+        subq = parse_sparql(subtext)
+        sub_cols = [v.lstrip("?") for v in subq.select]
+        shared = [v for v in sub_cols if v in bound]
+        if not shared:
+            raise ValueError(f"subquery projects {sub_cols} but shares no "
+                             "variable with the outer patterns")
+        sub = sparql_select(triples, subtext, **kw)
+        out = partitioned_join(out, sub, on=shared[0],
+                               extra_keys=shared[1:], how="inner",
+                               lcols=bound, rcols=sub_cols)
+        bound = list(dict.fromkeys(bound + sub_cols))
 
     def key_of(cols):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

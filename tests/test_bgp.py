@@ -765,3 +765,43 @@ def test_group_by_keeps_null_optional_keys(ray_session):
     out = sparql_select(trip, q).to_pandas()
     by = {(None if pd.isna(k) else k): v for k, v in zip(out["l"], out["n"])}
     assert by == {"en": 2, None: 1}
+
+
+def test_subquery_aggregate_join(ray_session):
+    """Nested { SELECT (MAX ...) GROUP BY } joins back on the shared var —
+    the classic 'row matching its group max' shape (SPARQL 11.2.4)."""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame({
+        "subj": ["p1", "p2", "p3", "p1", "p2", "p3"],
+        "pred": ["cat", "cat", "cat", "score", "score", "score"],
+        "obj":  ["a",   "a",   "b",   "1",    "3",     "2"],
+    })
+    q = """
+    SELECT ?p ?c ?s WHERE {
+      ?p <cat> ?c .
+      ?p <score> ?s .
+      { SELECT ?c (MAX(?s2) AS ?best) WHERE {
+          ?x <cat> ?c . ?x <score> ?s2 . } GROUP BY ?c }
+      FILTER(?s = ?best)
+    }
+    """
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    got = sorted(map(tuple, out[["p", "c", "s"]].to_numpy()))
+    assert got == [("p2", "a", "3"), ("p3", "b", "2")]
+
+
+def test_subquery_shares_no_var_raises(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    q = """SELECT ?p WHERE { ?p <cat> ?c .
+           { SELECT ?z (COUNT(*) AS ?n) WHERE { ?z <x> ?y } GROUP BY ?z } }"""
+    with pytest.raises(ValueError, match="shares no"):
+        sparql_select(_ds(), q).to_pandas()
+
+
+def test_subquery_in_union_rejected():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      { ?d <a> ?x . { SELECT ?x WHERE { ?x <b> ?c } } }
+      UNION { ?d <c> ?x } }"""
+    with pytest.raises(ValueError, match="subquery inside a UNION"):
+        parse_sparql(q)

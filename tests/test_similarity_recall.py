@@ -28,7 +28,7 @@ def test_mm_image_features_rows(sf_dir):
     from nexus_forge_ray.pipelines.corpus import mm_image_features
     out = mm_image_features(sf_dir).to_pandas()
     assert len(out) > 0
-    assert (out["dim"] == 8).all()
+    assert (out["dim"] == 16).all()
     assert (out["width"] >= 16).all()
 
 
