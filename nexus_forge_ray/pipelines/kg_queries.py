@@ -248,6 +248,46 @@ def kg_validate_logical(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+def kg_validate_pairs(sf_dir: str):
+    """SHACL property-pair constraints (sh:lessThan / sh:lessThanOrEquals,
+    SHACL core 4.3.3-4.3.4) over lineitem dates: commit must precede
+    receipt, ship may not follow receipt."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    li = li.map_batches(lambda df: df.assign(rtype="Lineitem"),
+                        batch_format="pandas")
+    shape = Shape(target_type="Lineitem", constraints=[
+        PropertyConstraint(path="l_quantity", less_than="l_extendedprice"),
+        PropertyConstraint(path="l_discount", less_than_or_equals="l_tax"),
+    ])
+    out = validate_dataset(li, [shape], type_col="rtype")
+    return out.select_columns(["l_orderkey", "l_linenumber", "valid",
+                               "violation"])
+
+
+def kg_validate_closed(sf_dir: str):
+    """sh:closed + sh:ignoredProperties (SHACL core 4.8.1): rows carrying a
+    value under an undeclared path violate; the undeclared `extra` column
+    here is populated only for every third customer, so the violation set
+    is data-dependent."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.assign(
+            rtype="Customer",
+            extra=df["c_mktsegment"].where(df["c_custkey"] % 3 == 0)),
+        batch_format="pandas")
+    shape = Shape(target_type="Customer",
+                  constraints=[PropertyConstraint(path="c_name", min_count=1)],
+                  closed=True,
+                  ignored_properties=["c_custkey", "c_mktsegment", "rtype"])
+    out = validate_dataset(cust, [shape], type_col="rtype")
+    return out.select_columns(["c_custkey", "valid", "violation"])
+
+
 def kg_actions_summary(sf_dir: str):
     """Actions report counting (actions.py:46-59): count x (operation,
     succeeded, error) over the validation stage's outcomes."""
@@ -399,6 +439,20 @@ def kg_bgp_alt(sf_dir: str):
     from nexus_forge_ray.forge import KnowledgeGraphForge
     q = """PREFIX v: <http://example.org/vocab/>
     SELECT ?d ?x WHERE { ?d v:mentions|v:lang ?x }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
+def kg_bgp_subquery(sf_dir: str):
+    """Nested { SELECT ... GROUP BY } subquery (SPARQL 11.2.4): per-document
+    mention counts computed in the inner aggregate join back to the outer
+    lang bindings; the outer FILTER reads the aggregate alias."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?l ?n WHERE {
+      ?d v:lang ?l .
+      { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d v:mentions ?e } GROUP BY ?d }
+      FILTER(?n >= 3)
+    }"""
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
@@ -772,8 +826,11 @@ QUERIES = {
     "kg_bgp_count_distinct": kg_bgp_count_distinct,
     "kg_bgp_star": kg_bgp_star,
     "kg_bgp_alt": kg_bgp_alt,
+    "kg_bgp_subquery": kg_bgp_subquery,
     "kg_bgp_union_scoped": kg_bgp_union_scoped,
     "kg_validate_logical": kg_validate_logical,
+    "kg_validate_pairs": kg_validate_pairs,
+    "kg_validate_closed": kg_validate_closed,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

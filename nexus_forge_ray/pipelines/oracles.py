@@ -770,6 +770,27 @@ ORACLES: dict[str, str] = {
                     else '' end as violation
         from customer
     """,
+    # sh:lessThan fires when commit !< receipt; sh:lessThanOrEquals when
+    # ship > receipt (constraint order = first-violation label order)
+    "kg_validate_pairs": """
+        select l_orderkey, l_linenumber,
+               case when not (l_quantity < l_extendedprice) then false
+                    when not (l_discount <= l_tax) then false
+                    else true end as valid,
+               case when not (l_quantity < l_extendedprice)
+                         then 'LessThanConstraint: l_quantity'
+                    when not (l_discount <= l_tax)
+                         then 'LessThanOrEqualsConstraint: l_discount'
+                    else '' end as violation
+        from lineitem
+    """,
+    "kg_validate_closed": """
+        select c_custkey,
+               case when c_custkey % 3 = 0 then false else true end as valid,
+               case when c_custkey % 3 = 0 then 'ClosedConstraint: extra'
+                    else '' end as violation
+        from customer
+    """,
     # zero-or-more path: recursive closure of the bounded 20-chain edges
     # UNION the zero-length identity over every graph term
     "kg_bgp_star": """
@@ -792,6 +813,16 @@ ORACLES: dict[str, str] = {
         select subj as d, obj as x from t
         where pred in ('http://example.org/vocab/mentions',
                        'http://example.org/vocab/lang')
+    """,
+    # subquery: per-doc mention counts join back to the outer lang binding
+    "kg_bgp_subquery": f"""
+        with {_KG_TRIPLES_CTE},
+        mc as (select subj as d, count(*)::bigint as n from t
+               where pred = 'http://example.org/vocab/mentions'
+               group by subj)
+        select lt.subj as d, lt.obj as l, mc.n
+        from t lt join mc on mc.d = lt.subj
+        where lt.pred = 'http://example.org/vocab/lang' and mc.n >= 3
     """,
     # branch-scoped FILTER: the lang comparison applies to branch 1 only
     "kg_bgp_union_scoped": f"""

@@ -96,6 +96,16 @@ class PropertyConstraint:
     all_of: "list[PropertyConstraint] | None" = None   # sh:and
     any_of: "list[PropertyConstraint] | None" = None   # sh:or
     one_of: "list[PropertyConstraint] | None" = None   # sh:xone
+    # property-pair constraints (SHACL core 4.3.1-4.3.4): compare this
+    # path's value against ANOTHER path's value on the same focus row
+    equals: str | None = None        # sh:equals — values must be equal
+    disjoint: str | None = None      # sh:disjoint — values must differ
+    less_than: str | None = None     # sh:lessThan — strictly smaller
+    less_than_or_equals: str | None = None   # sh:lessThanOrEquals
+    # language constraints (SHACL core 4.2.4-4.2.5) over language-tagged
+    # literals ({"@value": ..., "@language": tag} dicts or lists of them)
+    language_in: list[str] | None = None     # sh:languageIn
+    unique_lang: bool = False                # sh:uniqueLang
 
     def _alt_matrix(self, df: pd.DataFrame,
                     alts: "list[PropertyConstraint]") -> np.ndarray:
@@ -192,6 +202,71 @@ class PropertyConstraint:
         if self.any_of is not None and present.any():
             sat = self._alt_matrix(df, self.any_of).any(axis=0)
             apply(~present | sat, f"OrConstraint: {self.path}")
+        if self.equals or self.disjoint or self.less_than \
+                or self.less_than_or_equals:
+            for other, kind, label in (
+                    (self.equals, "eq", "EqualsConstraint"),
+                    (self.disjoint, "ne", "DisjointConstraint"),
+                    (self.less_than, "lt", "LessThanConstraint"),
+                    (self.less_than_or_equals, "le",
+                     "LessThanOrEqualsConstraint")):
+                if not other:
+                    continue
+                oth = df[other] if other in df.columns \
+                    else pd.Series([None] * n, index=df.index)
+                both = present & oth.notna().to_numpy()
+                # numeric compare where both sides coerce, lexical otherwise
+                ln = pd.to_numeric(col, errors="coerce")
+                rn = pd.to_numeric(oth, errors="coerce")
+                numeric = ln.notna().to_numpy() & rn.notna().to_numpy()
+                cmp = np.zeros(n, dtype=bool)
+                if kind == "eq":
+                    cmp[numeric] = (ln[numeric] == rn[numeric]).to_numpy()
+                    nl = ~numeric
+                    cmp[nl] = (col[nl].astype(str)
+                               == oth[nl].astype(str)).to_numpy()
+                elif kind == "ne":
+                    cmp[numeric] = (ln[numeric] != rn[numeric]).to_numpy()
+                    nl = ~numeric
+                    cmp[nl] = (col[nl].astype(str)
+                               != oth[nl].astype(str)).to_numpy()
+                elif kind == "lt":
+                    cmp[numeric] = (ln[numeric] < rn[numeric]).to_numpy()
+                    nl = ~numeric
+                    cmp[nl] = (col[nl].astype(str)
+                               < oth[nl].astype(str)).to_numpy()
+                else:
+                    cmp[numeric] = (ln[numeric] <= rn[numeric]).to_numpy()
+                    nl = ~numeric
+                    cmp[nl] = (col[nl].astype(str)
+                               <= oth[nl].astype(str)).to_numpy()
+                # pair constraints only judge rows where BOTH values exist;
+                # sh:lessThan on an absent other-side value is a violation
+                # (the comparison cannot be proven), matching pySHACL
+                apply(~present | (both & cmp),
+                      f"{label}: {self.path}")
+        if self.language_in is not None and present.any():
+            allowed = set(self.language_in)
+
+            def lang_ok(v, allowed=allowed) -> bool:
+                vals = v if isinstance(v, (list, tuple, np.ndarray)) else [v]
+                for item in vals:
+                    tag = item.get("@language") if isinstance(item, dict) \
+                        else None
+                    if tag not in allowed:
+                        return False
+                return True
+            apply(~present | col.map(lang_ok).to_numpy(dtype=bool),
+                  f"LanguageInConstraint: {self.path}")
+        if self.unique_lang and present.any():
+            def uniq_ok(v) -> bool:
+                vals = v if isinstance(v, (list, tuple, np.ndarray)) else [v]
+                tags = [item.get("@language") for item in vals
+                        if isinstance(item, dict)
+                        and item.get("@language") is not None]
+                return len(tags) == len(set(tags))
+            apply(~present | col.map(uniq_ok).to_numpy(dtype=bool),
+                  f"UniqueLangConstraint: {self.path}")
         if self.one_of is not None and present.any():
             # sh:xone: EXACTLY one alternative satisfied (alternatives are
             # vacuously true on absent values, hence the presence gate)
@@ -249,9 +324,15 @@ class PropertyConstraint:
 
 @dataclass
 class Shape:
-    """A target-typed shape: applies to rows whose `type_col` == target_type."""
+    """A target-typed shape: applies to rows whose `type_col` == target_type.
+
+    closed=True (sh:closed, SHACL core 4.8.1): a focus row may only carry
+    values under the declared constraint paths plus `ignored_properties`
+    (sh:ignoredProperties) — any other non-null column is a violation."""
     target_type: str
     constraints: list[PropertyConstraint] = field(default_factory=list)
+    closed: bool = False
+    ignored_properties: list[str] = field(default_factory=list)
 
 
 class ShapeValidator:
@@ -312,6 +393,18 @@ class ShapeValidator:
                 newly_bad = sub_valid & ~ok
                 sub_viol[newly_bad] = labels[newly_bad]
                 sub_valid &= ok
+            if shape.closed:
+                allowed = ({c.path for c in shape.constraints}
+                           | set(shape.ignored_properties)
+                           | {self.type_col, "id", "@id"})
+                for extra in [c for c in sub.columns if c not in allowed]:
+                    colv = sub[extra]
+                    bad = colv.notna().to_numpy()
+                    if colv.dtype == object:
+                        bad &= ~(colv.astype(str) == "").to_numpy()
+                    newly_bad = sub_valid & bad
+                    sub_viol[newly_bad] = f"ClosedConstraint: {extra}"
+                    sub_valid &= ~bad
             valid[mask] = sub_valid
             violation[mask] = sub_viol
         out = batch.copy()

@@ -253,3 +253,63 @@ def test_alternative_with_own_path():
     out = v(pd.DataFrame([{"type": "T", "a": 1, "b": 5},
                           {"type": "T", "a": 1, "b": -5}]))
     assert out["valid"].tolist() == [True, False]
+
+
+def test_property_pair_constraints():
+    import numpy as np
+    from nexus_forge_ray.validation.shapes import PropertyConstraint
+    df = pd.DataFrame({"a": [1, 5, 2, None], "b": [3, 3, 2, 3],
+                       "c": ["x", "y", "x", "x"]})
+    ok, lab = PropertyConstraint(path="a", less_than="b").check(df)
+    assert ok.tolist() == [True, False, False, True]  # absent a -> vacuous
+    assert lab[1] == "LessThanConstraint: a"
+    ok, _ = PropertyConstraint(path="a", less_than_or_equals="b").check(df)
+    assert ok.tolist() == [True, False, True, True]
+    ok, _ = PropertyConstraint(path="a", equals="b").check(df)
+    assert ok.tolist() == [False, False, True, True]
+    ok, lab = PropertyConstraint(path="c", disjoint="c").check(df)
+    assert not ok.any()            # a column is never disjoint from itself
+    ok, _ = PropertyConstraint(path="a", disjoint="b").check(df)
+    assert ok.tolist() == [True, True, False, True]
+
+
+def test_pair_constraint_missing_other_side_violates():
+    from nexus_forge_ray.validation.shapes import PropertyConstraint
+    df = pd.DataFrame({"a": [1, 2], "b": [2, None]})
+    ok, _ = PropertyConstraint(path="a", less_than="b").check(df)
+    assert ok.tolist() == [True, False]   # unprovable comparison -> violation
+
+
+def test_language_in_and_unique_lang():
+    from nexus_forge_ray.validation.shapes import PropertyConstraint
+    en = {"@value": "cat", "@language": "en"}
+    fr = {"@value": "chat", "@language": "fr"}
+    de = {"@value": "katze", "@language": "de"}
+    df = pd.DataFrame({"label": [[en, fr], [de], [en], "bare", None]})
+    ok, lab = PropertyConstraint(
+        path="label", language_in=["en", "fr"]).check(df)
+    assert ok.tolist() == [True, False, True, False, True]
+    assert lab[1] == "LanguageInConstraint: label"
+    df2 = pd.DataFrame({"label": [[en, fr], [en, {"@value": "dog",
+                                                  "@language": "en"}], None]})
+    ok, lab = PropertyConstraint(path="label", unique_lang=True).check(df2)
+    assert ok.tolist() == [True, False, True]
+    assert lab[1] == "UniqueLangConstraint: label"
+
+
+def test_closed_shape_with_ignored(ray_session):
+    import ray.data
+    from nexus_forge_ray.validation.shapes import (PropertyConstraint, Shape,
+                                                   validate_dataset)
+    df = pd.DataFrame({
+        "type": ["T", "T", "T"],
+        "name": ["a", "b", "c"],
+        "meta": ["m", "m", "m"],                 # ignored
+        "stray": [None, "boom", ""],             # undeclared
+    })
+    shape = Shape(target_type="T",
+                  constraints=[PropertyConstraint(path="name", min_count=1)],
+                  closed=True, ignored_properties=["meta"])
+    out = validate_dataset(ray.data.from_pandas(df), [shape]).to_pandas()
+    assert out["valid"].tolist() == [True, False, True]   # '' is absence
+    assert out.loc[1, "violation"] == "ClosedConstraint: stray"
