@@ -358,9 +358,9 @@ def doc_collocations(sf_dir: str):
 def doc_bpe_merges(sf_dir: str):
     """Learn 20 BPE merges over the corpus (`ops.bpe.bpe_learn`): one
     distributed word-count shuffle, then the merge loop on the aggregated
-    vocabulary (the only data that leaves the cluster). No SQL oracle —
-    iterative algorithm; gated by an independent-reference-implementation
-    test (tests/test_bpe.py)."""
+    vocabulary (the only data that leaves the cluster). Oracle-checked via
+    an unrolled round-per-CTE SQL (`oracles._bpe_merge_sql`), plus an
+    independent-reference-implementation test (tests/test_bpe.py)."""
     from nexus_forge_ray.ops.bpe import bpe_learn
     return bpe_learn(_docs(sf_dir, ["doc_id", "text"]), n_merges=20)
 

@@ -22,11 +22,6 @@ Remaining no-oracle queries (each with its justification):
 - emb_pca: principal components come from an eigendecomposition — no SQL
   equivalent; gated by a same-algorithm numpy reference comparison and
   layout-independence tests (tests/test_clustering.py).
-- doc_bpe_merges: BPE merge learning is an iterative algorithm (each round's
-  pair counts depend on the previous round's merge applied to the vocab) —
-  no SQL equivalent; gated by an independent pure-Python reference
-  implementation + determinism tests (tests/test_bpe.py). The corpus-scale
-  stage it rides on (word counting) IS oracle-checked via doc_vocab.
 - kg_host_rank: PageRank over the href-extracted host graph; the link
   synthesis basis is SipHash (not reproducible in DuckDB) — gated by the
   link-extraction-vs-synthesis-rule and rank-mass-conservation tests
@@ -157,7 +152,52 @@ def _pagerank_cte(iters: int = 3, d: float = 0.85) -> tuple[str, str]:
 _PR_ITERS, _PR_LAST = _pagerank_cte()
 
 
+def _bpe_merge_sql(n_merges: int) -> str:
+    """Unrolled-CTE oracle for the first `n_merges` BPE merges: each word's
+    symbol state is a string with every symbol wrapped in U+27E8/U+27E9
+    brackets, so merging a pair is an unambiguous left-to-right
+    non-overlapping replace() — exactly the trainer's leftmost application
+    order. MATERIALIZED hints keep the 20-deep CTE chain linear (DuckDB
+    would otherwise re-inline each round into its two consumers)."""
+    parts = ["""
+    with words as materialized (
+        select word, count(*)::bigint as n from (
+            select unnest(string_split(text, ' ')) as word from documents)
+        where word != '' group by word),
+    r0 as materialized (
+        select '⟨' || array_to_string(regexp_split_to_array(word, ''),
+                                       '⟩⟨')
+               || '⟩⟨</w>⟩' as w, n
+        from words)"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    s{k} as materialized (
+        select string_split(trim(w, '⟨⟩'), '⟩⟨') as a, n
+        from r{k} where len(w) > 0),
+    p{k} as materialized (
+        select '⟨' || a[i] || '⟩⟨' || a[i+1] || '⟩' as pair,
+               sum(n)::bigint as c
+        from s{k}, unnest(generate_series(1, len(a) - 1)) as t(i)
+        group by 1),
+    b{k} as materialized (
+        select pair, c from p{k} order by c desc, pair asc limit 1),
+    m{k} as materialized (
+        select {k}::bigint as rank,
+               string_split(trim(pair, '⟨⟩'), '⟩⟨')[1] as left_,
+               string_split(trim(pair, '⟨⟩'), '⟩⟨')[2] as right_,
+               c as freq from b{k}),
+    r{k + 1} as materialized (
+        select replace(w, b.pair, replace(b.pair, '⟩⟨', '')) as w, n
+        from r{k}, b{k} b)""")
+    union = " union all ".join(
+        f'select rank, left_ as "left", right_ as "right", freq from m{k}'
+        for k in range(n_merges))
+    return "".join(parts) + "\n" + union + " order by rank"
+
+
 ORACLES: dict[str, str] = {
+    # first 20 BPE merges, unrolled round-by-round (see _bpe_merge_sql)
+    "doc_bpe_merges": _bpe_merge_sql(20),
     "q1_pricing_summary": """
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                            as sum_qty,

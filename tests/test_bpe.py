@@ -90,3 +90,13 @@ def test_bpe_encode_counts(ray_session):
     got = out["n_bpe_tokens"].to_numpy()
     assert (got <= chars).all() and (got >= words).all()
     assert got.sum() < chars.sum()  # merges actually reduced symbol count
+
+
+def test_bpe_merges_match_sql_oracle(duck, sf_dir):
+    """The unrolled-CTE oracle reproduces bpe_learn's 20 merges exactly."""
+    from nexus_forge_ray.pipelines.corpus import doc_bpe_merges
+    from nexus_forge_ray.pipelines.oracles import ORACLES
+    from tests.helpers import assert_frames_match
+    got = doc_bpe_merges(sf_dir)
+    want = duck.sql(ORACLES["doc_bpe_merges"]).df()
+    assert_frames_match(got, want)
