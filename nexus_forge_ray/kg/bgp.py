@@ -113,12 +113,52 @@ def bgp_select(triples: ray.data.Dataset,
     for pat in patterns:
         pat_vars = [t[1:] for t in pat if _is_var(t)]
         pred = pat[1]
+        neg = (not _is_var(pred)) and pred.startswith("!")
+        if neg:
+            pred = pred[1:]
         mod = pred[-1] if (not _is_var(pred) and pred
-                           and pred[-1] in "+*") else ""
+                           and pred[-1] in "+*?") else ""
         base = pred[:-1] if mod else pred
         alts = base.split("|") if (not _is_var(base) and "|" in base) \
             else [base]
-        if mod:
+        if neg:
+            # negated property set !p / !(p1|p2): any predicate OUTSIDE the
+            # set — one vectorized ~isin scan (SPARQL 9.1 NPS, forward
+            # direction only)
+            nxt = match_pattern(
+                triples.map_batches(
+                    lambda df, ps=frozenset(alts), p="!" + base:
+                    df.loc[~df["pred"].isin(ps),
+                           ["subj", "obj"]].assign(pred=p)[
+                        ["subj", "pred", "obj"]],
+                    batch_format="pandas"),
+                (pat[0], "!" + base, pat[2]))
+        elif mod == "?":
+            # zero-or-one path: the direct edges UNION the zero-length
+            # identity over every RDF term (no closure needed)
+            from nexus_forge_ray.ops.agg import distinct_rows
+            direct = triples.map_batches(
+                lambda df, ps=frozenset(alts): df.loc[
+                    df["pred"].isin(ps), ["subj", "obj"]].rename(
+                    columns={"subj": "src", "obj": "dst"}),
+                batch_format="pandas")
+            nodes = distinct_rows(triples.map_batches(
+                lambda df: pd.DataFrame({"n": pd.concat(
+                    [df["subj"], df["obj"]], ignore_index=True)}),
+                batch_format="pandas"), ["n"],
+                num_buckets=num_buckets, keep_cols=[])
+            zero = nodes.map_batches(
+                lambda df: pd.DataFrame({"src": df["n"], "dst": df["n"]}),
+                batch_format="pandas")
+            closed = distinct_rows(direct.union(zero), ["src", "dst"],
+                                   num_buckets=num_buckets, keep_cols=[])
+            nxt = match_pattern(
+                closed.map_batches(
+                    lambda df, p=base: pd.DataFrame(
+                        {"subj": df["src"], "pred": p, "obj": df["dst"]}),
+                    batch_format="pandas"),
+                (pat[0], base, pat[2]))
+        elif mod:
             # one-or-more / zero-or-more path: close the predicate slice
             # (iterated doubling, kg.closure); `*` additionally unions the
             # zero-length identity over every RDF term in the graph (W3C
@@ -461,12 +501,18 @@ def parse_sparql(query: str) -> ParsedQuery:
         the modifier. `<iri>+`, `(p1|p2)*`, `p1|p2` all normalize here."""
         if p.startswith(("?", '"')):
             return term(p)
+        neg = ""
+        if p.startswith("!"):
+            neg, p = "!", p[1:]
         mod = ""
-        if p and p[-1] in "+*":
+        if p and p[-1] in "+*?":
             p, mod = p[:-1], p[-1]
         if p.startswith("(") and p.endswith(")"):
             p = p[1:-1]
-        return "|".join(term(x) for x in p.split("|")) + mod
+        if neg and mod:
+            raise ValueError("a negated property set cannot carry a "
+                             f"+/*/? modifier: !{p}{mod}")
+        return neg + "|".join(term(x) for x in p.split("|")) + mod
 
     def expand_path(cur: list[str]) -> list[tuple[str, str, str]]:
         """Expand property-path sugar in the predicate position: `^p`

@@ -456,6 +456,24 @@ def kg_bgp_subquery(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_negpath(sf_dir: str):
+    """Negated property set `!(v:lang)` (SPARQL 9.1): every edge whose
+    predicate is OUTSIDE the set — one vectorized ~isin scan."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?x WHERE { ?d !(v:lang) ?x }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
+def kg_bgp_zeroone(sf_dir: str):
+    """Zero-or-one path `v:mentions?`: direct edges plus the zero-length
+    identity over every graph term."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?x WHERE { ?d v:mentions? ?x }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_bgp_union_scoped(sf_dir: str):
     """Branch-scoped clauses inside UNION (SPARQL group scoping): the
     FILTER in branch 1 restricts branch 1 only — documents whose language
@@ -827,6 +845,8 @@ QUERIES = {
     "kg_bgp_star": kg_bgp_star,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
+    "kg_bgp_negpath": kg_bgp_negpath,
+    "kg_bgp_zeroone": kg_bgp_zeroone,
     "kg_bgp_union_scoped": kg_bgp_union_scoped,
     "kg_validate_logical": kg_validate_logical,
     "kg_validate_pairs": kg_validate_pairs,

@@ -864,6 +864,21 @@ ORACLES: dict[str, str] = {
         from t lt join mc on mc.d = lt.subj
         where lt.pred = 'http://example.org/vocab/lang' and mc.n >= 3
     """,
+    "kg_bgp_negpath": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d, obj as x from t
+        where pred != 'http://example.org/vocab/lang'
+    """,
+    # zero-or-one: direct mentions edges + identity over every graph term
+    "kg_bgp_zeroone": f"""
+        with {_KG_TRIPLES_CTE},
+        terms as (select subj as n from t union select obj from t)
+        select distinct d, x from (
+            select subj as d, obj as x from t
+            where pred = 'http://example.org/vocab/mentions'
+            union all
+            select n, n from terms)
+    """,
     # branch-scoped FILTER: the lang comparison applies to branch 1 only
     "kg_bgp_union_scoped": f"""
         with {_KG_TRIPLES_CTE}

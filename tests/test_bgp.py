@@ -805,3 +805,37 @@ def test_subquery_in_union_rejected():
       UNION { ?d <c> ?x } }"""
     with pytest.raises(ValueError, match="subquery inside a UNION"):
         parse_sparql(q)
+
+
+def test_negated_property_set(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame({
+        "subj": ["d1", "d1", "d2", "d3"],
+        "pred": ["mentions", "lang", "lang", "cites"],
+        "obj":  ["e1", "en", "fr", "d1"]})
+    q = "SELECT ?d ?x WHERE { ?d !(<lang>|<cites>) ?x }"
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [("d1", "e1")]
+    q2 = "SELECT ?d ?x WHERE { ?d !<lang> ?x }"
+    out2 = sparql_select(ray.data.from_pandas(t), q2).to_pandas()
+    assert sorted(map(tuple, out2.to_numpy())) == [("d1", "e1"), ("d3", "d1")]
+
+
+def test_negated_path_with_modifier_rejected():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    with pytest.raises(ValueError, match="negated property set"):
+        parse_sparql("SELECT ?a ?b WHERE { ?a !(<x>)+ ?b }")
+
+
+def test_zero_or_one_path(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame({
+        "subj": ["a", "b"],
+        "pred": ["next", "next"],
+        "obj":  ["b", "c"]})
+    q = "SELECT ?x ?y WHERE { ?x <next>? ?y }"
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    got = sorted(map(tuple, out.to_numpy()))
+    # direct edges + zero-length identity on every term (a, b, c)
+    assert got == [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+                   ("c", "c")]
