@@ -466,7 +466,29 @@ def parse_sparql(query: str) -> ParsedQuery:
             cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
                           r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
             bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
-            if bm:
+            im = re.match(r"(?is)^\?(\w+)\s+(not\s+)?in\s*\((.*)\)$", expr)
+            sm = re.match(r'(?is)^(!\s*)?(strstarts|strends|contains)'
+                          r'\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
+            if im:
+                toks = re.findall(r'<[^>]*>|"[^"]*"|[^,\s]+', im.group(3))
+                vals = []
+                for tk in toks:
+                    v: object = term(tk)
+                    try:
+                        v = float(tk)
+                    except ValueError:
+                        pass
+                    vals.append(v)
+                # IN compares both raw and numeric forms downstream
+                filters.append((im.group(1),
+                                "notisin" if im.group(2) else "isin",
+                                vals, False))
+            elif sm:
+                fn = sm.group(2).lower()
+                filters.append((sm.group(3),
+                                ("not" + fn) if sm.group(1) else fn,
+                                sm.group(4), False))
+            elif bm:
                 # (not-)bound over an OPTIONAL variable: null-ness mask
                 filters.append((bm.group(2),
                                 "notbound" if bm.group(1) else "bound",
@@ -756,6 +778,28 @@ def _apply_filters(ds: ray.data.Dataset,
                 nn = batch[var].notna() if var in batch.columns \
                     else pd.Series(False, index=batch.index)
                 mask &= nn if op == "bound" else ~nn
+                continue
+            if op in ("isin", "notisin"):
+                # FILTER(?v IN (...)): match on the lexical form OR the
+                # numeric form (numbers arrive as floats from the parser)
+                sval = batch[var].astype(str)
+                strs = {str(v) for v in val}
+                hit = sval.isin(strs)
+                nums = [v for v in val if isinstance(v, float)]
+                if nums:
+                    hit |= pd.to_numeric(batch[var],
+                                         errors="coerce").isin(nums)
+                mask &= hit if op == "isin" else ~hit
+                continue
+            if op in ("strstarts", "strends", "contains", "notstrstarts",
+                      "notstrends", "notcontains"):
+                s = batch[var].astype(str)
+                base_fn = op[3:] if op.startswith("not") else op
+                hit = (s.str.startswith(val) if base_fn == "strstarts"
+                       else s.str.endswith(val) if base_fn == "strends"
+                       else s.str.contains(val, regex=False))
+                hit = hit.fillna(False)
+                mask &= ~hit if op.startswith("not") else hit
                 continue
             lhs = batch[var]
             rhs = batch[val] if is_var else val

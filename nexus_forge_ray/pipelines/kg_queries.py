@@ -474,6 +474,19 @@ def kg_bgp_zeroone(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_filter_in(sf_dir: str):
+    """FILTER(?v IN (...)) + STRSTARTS: docs in an enumerated language set
+    mentioning an entity whose IRI starts with the /entity/ prefix."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?l ?e WHERE {
+      ?d v:lang ?l . ?d v:mentions ?e .
+      FILTER(?l IN ("en", "de"))
+      FILTER(STRSTARTS(?e, "http://example.org/entity/s"))
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_bgp_union_scoped(sf_dir: str):
     """Branch-scoped clauses inside UNION (SPARQL group scoping): the
     FILTER in branch 1 restricts branch 1 only — documents whose language
@@ -846,6 +859,7 @@ QUERIES = {
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
     "kg_bgp_negpath": kg_bgp_negpath,
+    "kg_bgp_filter_in": kg_bgp_filter_in,
     "kg_bgp_zeroone": kg_bgp_zeroone,
     "kg_bgp_union_scoped": kg_bgp_union_scoped,
     "kg_validate_logical": kg_validate_logical,

@@ -864,6 +864,15 @@ ORACLES: dict[str, str] = {
         from t lt join mc on mc.d = lt.subj
         where lt.pred = 'http://example.org/vocab/lang' and mc.n >= 3
     """,
+    "kg_bgp_filter_in": f"""
+        with {_KG_TRIPLES_CTE}
+        select lt.subj as d, lt.obj as l, mt.obj as e
+        from t lt join t mt on lt.subj = mt.subj
+        where lt.pred = 'http://example.org/vocab/lang'
+          and mt.pred = 'http://example.org/vocab/mentions'
+          and lt.obj in ('en', 'de')
+          and starts_with(mt.obj, 'http://example.org/entity/s')
+    """,
     "kg_bgp_negpath": f"""
         with {_KG_TRIPLES_CTE}
         select subj as d, obj as x from t

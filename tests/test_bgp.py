@@ -839,3 +839,31 @@ def test_zero_or_one_path(ray_session):
     # direct edges + zero-length identity on every term (a, b, c)
     assert got == [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
                    ("c", "c")]
+
+
+def test_filter_in_and_string_functions(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d4"],
+        "pred": ["lang"] * 4,
+        "obj":  ["en", "fr", "de", "en-GB"]})
+    ds = ray.data.from_pandas(t)
+    q = 'SELECT ?d WHERE { ?d <lang> ?l . FILTER(?l IN ("en", "de")) }'
+    assert sorted(sparql_select(ds, q).to_pandas()["d"]) == ["d1", "d3"]
+    q = 'SELECT ?d WHERE { ?d <lang> ?l . FILTER(?l NOT IN ("en", "de")) }'
+    assert sorted(sparql_select(ds, q).to_pandas()["d"]) == ["d2", "d4"]
+    q = 'SELECT ?d WHERE { ?d <lang> ?l . FILTER(STRSTARTS(?l, "en")) }'
+    assert sorted(sparql_select(ds, q).to_pandas()["d"]) == ["d1", "d4"]
+    q = 'SELECT ?d WHERE { ?d <lang> ?l . FILTER(STRENDS(?l, "B")) }'
+    assert sorted(sparql_select(ds, q).to_pandas()["d"]) == ["d4"]
+    q = 'SELECT ?d WHERE { ?d <lang> ?l . FILTER(!CONTAINS(?l, "e")) }'
+    assert sorted(sparql_select(ds, q).to_pandas()["d"]) == ["d2"]
+
+
+def test_filter_in_numeric(ray_session):
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame({"subj": ["a", "b", "c"], "pred": ["n"] * 3,
+                      "obj": ["1", "2", "3"]})
+    q = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v IN (1, 3)) }"
+    out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
+    assert sorted(out["s"]) == ["a", "c"]
