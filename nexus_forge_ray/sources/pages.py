@@ -73,10 +73,17 @@ def synth_pages_batch(batch: pd.DataFrame, replica: int = 0) -> pd.DataFrame:
 
 def synth_pages(sf_dir: str, replicate: int = 1,
                 drop_text: bool = True,
-                shard: tuple[int, int] | None = None) -> ray.data.Dataset:
+                shard: tuple[int, int] | None = None,
+                expand_blocks: int | None = None) -> ray.data.Dataset:
     """documents.parquet -> page Dataset. With drop_text=True the pipeline
     must recover text from html (proving the extract stage).
-    shard=(n, i) keeps documents with doc_id % n == i (resumable sharding)."""
+    shard=(n, i) keeps documents with doc_id % n == i (resumable sharding).
+
+    When replicating, the seed table is repartitioned first: the downstream
+    fused chain's task count equals the input block count, and a small seed
+    parquet reads as ~16 blocks — half a 32-cpu node would sit idle. (Real
+    crawl inputs have thousands of blocks; this only matters for the
+    synthetic amplification path.)"""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     if shard is not None:
@@ -84,13 +91,38 @@ def synth_pages(sf_dir: str, replicate: int = 1,
         docs = docs.map_batches(
             lambda df: df[df["doc_id"] % n_shards == idx],
             batch_format="pandas")
+    if expand_blocks is None:
+        import os
+        # 64 measured best on a 32-cpu node: 2 waves of full-width tasks,
+        # few enough that per-task stage construction (PageFeatures builds
+        # its mapping plan + KB index per task in task mode) still amortizes
+        # (A/B at 500k pages: 16 blocks 10.7-12.8 s, 32 10.1-10.5 s,
+        # 64 9.2-9.7 s, 128 14.8-19.6 s)
+        expand_blocks = int(os.environ.get("GRAFT_EXPAND_BLOCKS", "64"))
+    if replicate > 1 and expand_blocks > 0:
+        docs = docs.repartition(expand_blocks)
 
-    def expand(batch: pd.DataFrame) -> pd.DataFrame:
-        frames = [synth_pages_batch(batch, r) for r in range(replicate)]
-        out = pd.concat(frames, ignore_index=True)
-        if drop_text:
-            out = out.drop(columns=["text"])
-        return out
+    def expand(batch: pd.DataFrame):
+        # stream the replication in ~32k-row chunks: one giant concat per
+        # task stalls workers on frame assembly + GC (measured at 10M
+        # pages), while per-replica yields of a few dozen rows make every
+        # fused downstream stage pay its per-batch overhead hundreds of
+        # times — mid-sized yields keep the expansion streaming AND the
+        # vectorized kernels amortized
+        target_rows = 32768
+        acc: list[pd.DataFrame] = []
+        acc_rows = 0
+        for r in range(replicate):
+            out = synth_pages_batch(batch, r)
+            if drop_text:
+                out = out.drop(columns=["text"])
+            acc.append(out)
+            acc_rows += len(out)
+            if acc_rows >= target_rows:
+                yield pd.concat(acc, ignore_index=True)
+                acc, acc_rows = [], 0
+        if acc:
+            yield pd.concat(acc, ignore_index=True)
 
     return docs.map_batches(expand, batch_format="pandas")
 
