@@ -355,6 +355,49 @@ def partitioned_semi_join(left: ray.data.Dataset,
                                    num_buckets=num_buckets, lcols=lcols)
 
 
+def smart_semi_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
+                    on: str, *, broadcast_threshold: int = 5_000_000,
+                    num_buckets: int = 32,
+                    lcols: list[str] | None = None) -> ray.data.Dataset:
+    """Adaptive membership filter with a HARD driver-memory bound.
+
+    `right_keys.count()` <= threshold: the deduped key column (bounded at
+    threshold x 8-64 B) collects once and broadcasts via one `ray.put` —
+    zero extra all-to-all, which matters because on this runtime every
+    sort exchange carries a multi-second scheduling floor regardless of
+    data volume. Above the threshold the key set never touches the driver:
+    `partitioned_semi_join`, one bucketed exchange for both sides. At
+    web scale the count crosses the cap and the plan switches by itself.
+    """
+    return _smart_membership(left, right_keys, on, keep=True,
+                             broadcast_threshold=broadcast_threshold,
+                             num_buckets=num_buckets, lcols=lcols)
+
+
+def smart_anti_join(left: ray.data.Dataset, right_keys: ray.data.Dataset,
+                    on: str, *, broadcast_threshold: int = 5_000_000,
+                    num_buckets: int = 32,
+                    lcols: list[str] | None = None) -> ray.data.Dataset:
+    """Adaptive anti-join twin of `smart_semi_join` (same bounded plan)."""
+    return _smart_membership(left, right_keys, on, keep=False,
+                             broadcast_threshold=broadcast_threshold,
+                             num_buckets=num_buckets, lcols=lcols)
+
+
+def _smart_membership(left, right_keys, on, *, keep, broadcast_threshold,
+                      num_buckets, lcols):
+    # materialize once: count() would otherwise execute the (lazy) key
+    # pipeline and the branch taken would re-execute it
+    right_keys = right_keys.materialize()
+    n = right_keys.count()
+    if n > broadcast_threshold:
+        f = partitioned_semi_join if keep else partitioned_anti_join
+        return f(left, right_keys, on, num_buckets=num_buckets, lcols=lcols)
+    keys = right_keys.to_pandas()[on].drop_duplicates()
+    f = semi_join if keep else anti_join
+    return f(left, keys.tolist(), on)
+
+
 def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      num_buckets: int = 32, how: str = "inner",
                      lcols: list[str] | None = None,

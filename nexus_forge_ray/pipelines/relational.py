@@ -101,10 +101,13 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """customer(filter, broadcast) ⋈ orders(filter) ⋈ lineitem (bucketed) →
     groupby revenue → global top-10. Only order keys + revenue cross the wire.
     """
-    # BUILDING is ~20% of customers — O(corpus) at scale, so the key set
-    # never touches the driver: filter distributed, then a bucketed
-    # semi-join (one shuffle keyed on o_custkey for both sides).
-    from nexus_forge_ray.ops.joins import partitioned_semi_join
+    # BUILDING is ~20% of customers — O(corpus) at scale. smart_semi_join
+    # keeps the plan bounded: under its hard key cap the deduped key column
+    # broadcasts once (no extra all-to-all — each sort exchange costs a
+    # multi-second floor here regardless of volume); above the cap it
+    # switches to the bucketed semi-join and the keys never reach the
+    # driver.
+    from nexus_forge_ray.ops.joins import smart_semi_join
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     building = cust.map_batches(
         lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
@@ -113,7 +116,7 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = partitioned_semi_join(
+    orders = smart_semi_join(
         orders, building, on="o_custkey", num_buckets=16,
         lcols=["o_orderkey", "o_custkey", "o_orderdate"])
 

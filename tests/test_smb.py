@@ -53,3 +53,24 @@ def test_smb_rejects_mismatched_layouts(ray_session, tmp_path):
     rd = _mk(tmp_path, "r3", r, "k", 8)
     with pytest.raises(ValueError, match="SMB layouts disagree"):
         bucketed_join_read(ld, rd, "k")
+
+
+def test_smart_semi_join_paths_agree(ray_session):
+    """Broadcast (under cap) and partitioned (over cap) plans are equal."""
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.ops.joins import smart_semi_join, smart_anti_join
+    left = pd.DataFrame({"k": list(range(100)), "v": list(range(100))})
+    keys = pd.DataFrame({"k": [3, 5, 5, 97]})
+    lds, kds = ray.data.from_pandas(left), ray.data.from_pandas(keys)
+    a = smart_semi_join(lds, kds, "k", broadcast_threshold=1000,
+                        lcols=["k", "v"]).to_pandas()
+    b = smart_semi_join(lds, kds, "k", broadcast_threshold=0,
+                        lcols=["k", "v"]).to_pandas()
+    assert sorted(a["k"]) == sorted(b["k"]) == [3, 5, 97]
+    c = smart_anti_join(lds, kds, "k", broadcast_threshold=1000,
+                        lcols=["k", "v"]).to_pandas()
+    d = smart_anti_join(lds, kds, "k", broadcast_threshold=0,
+                        lcols=["k", "v"]).to_pandas()
+    assert sorted(c["k"]) == sorted(d["k"]) == sorted(
+        set(range(100)) - {3, 5, 97})
