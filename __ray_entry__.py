@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_bind", "kg_bgp_having", "kg_bgp_count_distinct",
         "kg_bgp_groupconcat", "kg_bgp_exists", "kg_bgp_notexists",
         "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
-        "kg_bgp_subquery",
+        "kg_bgp_subquery", "kg_update",
         "kg_pagerank", "kg_degree_dist", "kg_cooccur", "kg_inlinks",
         "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
     ]

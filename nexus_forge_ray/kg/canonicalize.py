@@ -3,14 +3,15 @@
 Not present in the reference (it resolves each mention independently); this is
 the scalable replacement demanded by the north rule: MinHash-LSH blocking
 (ops.dedup.minhash_candidate_pairs) produces candidate edges; distributed
-min-label propagation computes connected components; every member maps to the
+graph contraction computes connected components; every member maps to the
 component's minimum id (the canonical representative).
 
 Scale properties:
-- each iteration = one bucketed hash join (labels onto edge endpoints) + one
-  groupby(min); iterations ~ component diameter (near-dup clusters are tiny).
-- convergence detected via the monotone total-label sum (labels only ever
-  decrease), one tiny aggregate per round — no driver-side label table.
+- each contraction level = one bucketed groupby (closed-neighborhood min)
+  + two bucketed joins (endpoint relabel) + one distinct; components at
+  least halve per level, so levels ≤ log2(n) on ANY topology (long chains
+  included — min-label propagation would need diameter rounds there).
+- level tables shrink geometrically: total exchange volume is O(E).
 - head-entity skew: the join/groupby keys are node ids, pre-bucketed by hash;
   a giant component stays distributed because we only ship (node, label) pairs.
 
@@ -24,9 +25,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Min, Sum
-
-from nexus_forge_ray.utils import stable_hash_u64
 
 
 def union_find_local(edges: pd.DataFrame, id_a: str = "id_a",
@@ -64,62 +62,160 @@ def _components_bounded(edges: ray.data.Dataset, *,
     return union_find_local(pd.concat(batches, ignore_index=True))
 
 
-def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iters: int = 25,
-                         num_buckets: int = 32) -> ray.data.Dataset:
-    """Distributed min-label propagation. Returns (node, component).
+def _attach_components(exact: ray.data.Dataset, comp_ds: ray.data.Dataset,
+                       id_col: str) -> ray.data.Dataset:
+    """LEFT-join member rows (node=rep, id_b=member) onto rep components;
+    unmatched reps are their own component. Ships the component column as
+    object dtype through the join: ids are full-range int64 hashes and a
+    left join's NaN fill would coerce int64 to float64, corrupting every
+    value above 2^53 (matched rows included)."""
+    from nexus_forge_ray.ops.joins import partitioned_join
+    comp_obj = comp_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].to_numpy(),
+             "component": df["component"].to_numpy(dtype=object)}),
+        batch_format="pandas")
+    joined = partitioned_join(exact, comp_obj, on="node", how="left",
+                              lcols=["node", "id_b"],
+                              rcols=["node", "component"])
 
-    edges: undirected candidate pairs. Every node's label converges to the
-    minimum node id reachable from it.
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["component"].to_numpy(dtype=object)
+        miss = pd.isna(c)
+        c[miss] = df["node"].to_numpy()[miss]
+        return pd.DataFrame({id_col: df["id_b"].to_numpy().astype("int64"),
+                             "component": c.astype("int64")})
+
+    members = joined.map_batches(resolve, batch_format="pandas")
+    rep_rows = comp_ds.map_batches(
+        lambda df: df.rename(columns={"node": id_col}),
+        batch_format="pandas")
+    return members.union(rep_rows)
+
+
+def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 64,
+                         num_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed connected components by graph contraction.
+    Returns (node, component) for every node appearing in an edge.
+
+    Per level: (1) label every node with the min of its CLOSED neighborhood
+    — one bucketed groupby over the edge rows plus self rows, no join;
+    (2) build the quotient graph by relabeling both edge endpoints (two
+    bucketed joins) and dropping self-loops/duplicates; recurse on the
+    quotient. No two adjacent nodes can both be closed-neighborhood minima,
+    so every level at least halves each component's node count — ≤ log2(n)
+    levels on ANY topology (a 10^6-node path contracts in ~20 levels, where
+    plain min-label propagation needs 10^6 rounds). Finally unwind with one
+    LEFT join per level (isolated quotient nodes keep themselves,
+    fillna(p)). Raises rather than returning silently-unconverged labels if
+    max_iters levels are exceeded (impossible below 2^64 nodes).
+
+    Scale: each level's tables shrink geometrically, so total exchange
+    volume is O(E) and no stage holds more than one level's edges.
     """
-    # symmetrize: (src, dst) both directions; labels start as self
+    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    # symmetrize once: (src, dst) both directions
     def sym(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch[id_a].to_numpy()
         b = batch[id_b].to_numpy()
         return pd.DataFrame({"src": np.concatenate([a, b]),
                              "dst": np.concatenate([b, a])})
 
-    # materialize: the candidate-edge set is small (blocking output ≪ corpus)
-    # and is re-read every propagation round — without this, each round would
-    # re-execute the whole upstream blocking pipeline (lazy recompute).
-    sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+    # materialize: the candidate-edge set is small (blocking output ≪
+    # corpus) and is re-read by the label groupby and both relabel joins —
+    # without this each consumer re-executes the upstream blocking pipeline.
+    cur = edges.map_batches(sym, batch_format="pandas").materialize()
+    if cur.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series(dtype="int64"),
+             "component": pd.Series(dtype="int64")}))
 
-    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": batch["src"], "label": batch["src"]})
-
-    from nexus_forge_ray.ops.agg import hash_groupby_agg
-    labels = hash_groupby_agg(
-        sym_edges.map_batches(init_labels, batch_format="pandas"),
-        "node", {"label": ("label", "min")}, num_buckets=num_buckets)
-
-    prev_sum = None
+    levels: list[ray.data.Dataset] = []
     for _ in range(max_iters):
-        # ship each node's current label to its neighbors (bucketed join),
-        # then take the min over {own label} ∪ {neighbor labels}
-        lab = labels.map_batches(
-            lambda df: df.rename(columns={"node": "src"}), batch_format="pandas")
-        from nexus_forge_ray.ops.joins import partitioned_join
-        msgs = partitioned_join(sym_edges, lab, on="src",
-                                num_buckets=num_buckets,
-                                lcols=["src", "dst"], rcols=["src", "label"])
-        prop = msgs.map_batches(
-            lambda df: df[["dst", "label"]].rename(columns={"dst": "node"}),
+        # closed-neighborhood min: min(self, neighbors) per node. The self
+        # row rides along as (src, src) so isolated-after-dedup nodes and
+        # local minima keep their own id.
+        def with_self(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": np.concatenate([batch["src"].to_numpy(),
+                                        batch["src"].to_numpy()]),
+                "label": np.concatenate([batch["dst"].to_numpy(),
+                                         batch["src"].to_numpy()])})
+
+        labels = hash_groupby_agg(
+            cur.map_batches(with_self, batch_format="pandas"),
+            "node", {"label": ("label", "min")},
+            num_buckets=num_buckets).repartition(num_buckets).materialize()
+        levels.append(labels)
+
+        # quotient edges: relabel both endpoints, drop self-loops, dedupe.
+        lab_src = labels.map_batches(
+            lambda df: df.rename(columns={"node": "src", "label": "lsrc"}),
             batch_format="pandas")
-        combined = prop.union(labels)
-        labels = hash_groupby_agg(combined, "node",
-                                  {"label": ("label", "min")},
-                                  num_buckets=num_buckets)
-        # bound the block count: the sort shuffle emits one block per input
-        # block and `combined` stacks prop (join output) + labels, so without
-        # this the per-iteration block count (and scheduling cost) compounds
-        labels = labels.repartition(num_buckets).materialize()
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if prev_sum is not None and cur == prev_sum:
+        e1 = partitioned_join(cur, lab_src, on="src",
+                              num_buckets=num_buckets,
+                              lcols=["src", "dst"], rcols=["src", "lsrc"])
+        lab_dst = labels.map_batches(
+            lambda df: df.rename(columns={"node": "dst", "label": "ldst"}),
+            batch_format="pandas")
+        e2 = partitioned_join(e1, lab_dst, on="dst",
+                              num_buckets=num_buckets,
+                              lcols=["src", "dst", "lsrc"],
+                              rcols=["dst", "ldst"])
+        nxt = e2.map_batches(
+            lambda df: df.loc[df["lsrc"] != df["ldst"],
+                              ["lsrc", "ldst"]].rename(
+                columns={"lsrc": "src", "ldst": "dst"}),
+            batch_format="pandas")
+        cur = distinct_rows(nxt, ["src", "dst"], num_buckets=num_buckets,
+                            keep_cols=[]).repartition(
+            num_buckets).materialize()
+        if cur.count() == 0:
             break
-        prev_sum = cur
-    return labels.map_batches(
+    else:
+        raise RuntimeError(
+            f"connected_components did not contract in {max_iters} levels "
+            "(components at least halve per level — this indicates a "
+            "relabeling bug, not a data property)")
+
+    # unwind: the last level's labels ARE final components (no edges remain
+    # between them). Going up, a level-k node n resolves to comp(label_k(n));
+    # labels absent from the finer comp table (isolated quotient nodes) are
+    # their own component — LEFT join + fillna(p).
+    comp = levels[-1].map_batches(
         lambda df: df.rename(columns={"label": "component"}),
         batch_format="pandas")
+    for lab in reversed(levels[:-1]):
+        child = lab.map_batches(
+            lambda df: df.rename(columns={"label": "p"}),
+            batch_format="pandas")
+        # component -> object dtype BEFORE the left join: ids are full-range
+        # int64 hashes, and a left join's NaN fill coerces int64 to float64,
+        # silently corrupting every value above 2^53 (matched rows included)
+        parent = comp.map_batches(
+            lambda df: pd.DataFrame(
+                {"p": df["node"].to_numpy(),
+                 "component": df["component"].to_numpy(dtype=object)}),
+            batch_format="pandas")
+        joined = partitioned_join(child, parent, on="p", how="left",
+                                  num_buckets=num_buckets,
+                                  lcols=["node", "p"],
+                                  rcols=["p", "component"])
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["component"].to_numpy(dtype=object)
+            miss = pd.isna(c)
+            c[miss] = df["p"].to_numpy()[miss]
+            return pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "component": c.astype("int64")})
+
+        comp = joined.map_batches(
+            resolve,
+            batch_format="pandas").repartition(num_buckets).materialize()
+    return comp
 
 
 def _tiered_candidate_edges(sig: ray.data.Dataset, *, id_col: str,
@@ -225,24 +321,12 @@ def _tiered_components(sig: ray.data.Dataset, *, id_col: str, num_perm: int,
         return members.union(rep_rows) if rep_rows is not None else members
 
     # overflow fallback: distributed rep components + bucketed member join
-    from nexus_forge_ray.ops.joins import partitioned_join
     comp_ds = connected_components(lsh_edges, num_buckets=64)
-    joined = partitioned_join(
+    return _attach_components(
         exact_edges.map_batches(
             lambda df: df.rename(columns={"id_a": "node"}),
             batch_format="pandas"),
-        comp_ds, on="node", how="left",
-        lcols=["node", "id_b"], rcols=["node", "component"])
-    members = joined.map_batches(
-        lambda df: pd.DataFrame({
-            id_col: df["id_b"].to_numpy().astype("int64"),
-            "component": df["component"].fillna(df["node"]).to_numpy()
-            .astype("int64")}),
-        batch_format="pandas")
-    rep_rows = comp_ds.map_batches(
-        lambda df: df.rename(columns={"node": id_col}),
-        batch_format="pandas")
-    return members.union(rep_rows)
+        comp_ds, id_col)
 
 
 def components_from_compact(sig_rows: ray.data.Dataset, *,
@@ -358,24 +442,11 @@ def components_from_compact(sig_rows: ray.data.Dataset, *,
             return members.union(rep_rows)
         return members
 
-    from nexus_forge_ray.ops.joins import partitioned_join
     comp_ds = connected_components(lsh_edges, num_buckets=64)
     exact = tier1.map_batches(
         lambda df: df.loc[df["kind"] == 0, ["id_a", "id_b"]]
         .rename(columns={"id_a": "node"}), batch_format="pandas")
-    joined = partitioned_join(exact, comp_ds, on="node", how="left",
-                              lcols=["node", "id_b"],
-                              rcols=["node", "component"])
-    members = joined.map_batches(
-        lambda df: pd.DataFrame({
-            id_col: df["id_b"].to_numpy().astype("int64"),
-            "component": df["component"].fillna(df["node"]).to_numpy()
-            .astype("int64")}),
-        batch_format="pandas")
-    rep_rows = comp_ds.map_batches(
-        lambda df: df.rename(columns={"node": id_col}),
-        batch_format="pandas")
-    return members.union(rep_rows)
+    return _attach_components(exact, comp_ds, id_col)
 
 
 def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",

@@ -1,0 +1,158 @@
+"""SPARQL 1.1 Update over the triple table (W3C SPARQL 1.1 Update).
+
+The reference submits update text to a remote SPARQL endpoint and never
+executes it locally (kgforge/specializations/stores/sparql_store.py builds
+query text only); here an update is a functional Dataset -> Dataset
+transform: the input triple table is never mutated, the returned Dataset is
+the updated graph (immutable blocks fit Ray Data; callers persist via
+write_parquet / the parquet store's register()).
+
+Supported forms (prefixes allowed, as in kg.bgp):
+- ``INSERT DATA { constant triples }``
+- ``DELETE DATA { constant triples }``
+- ``DELETE WHERE { patterns }``            (the pattern group is the template)
+- ``DELETE { tmpl } INSERT { tmpl } WHERE { group }``  (either part optional)
+
+Scale notes:
+- WHERE bindings run through the full kg.bgp SELECT surface (FILTER,
+  OPTIONAL, VALUES, paths, ...), entirely distributed.
+- Deletions are one bucketed anti-join on the composite (subj,pred,obj) key
+  — the deleted set never reaches the driver. DATA forms ship only the
+  constant triples written in the update text (bounded by the text itself).
+- The result is set-semantic (RDF graphs are sets): inserts union with the
+  survivors and a bucketed distinct collapses duplicates.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+_SEP = "\x1d"  # composite-key separator; cannot occur in parsed terms
+
+
+def _composite(df: pd.DataFrame) -> pd.Series:
+    return (df["subj"].astype(str) + _SEP + df["pred"].astype(str)
+            + _SEP + df["obj"].astype(str))
+
+
+def _constant_rows(block: str, prefixes: dict[str, str]) -> pd.DataFrame:
+    from nexus_forge_ray.kg.bgp import _is_var, _template_patterns
+    pats = _template_patterns(block, prefixes)
+    if not pats:
+        raise ValueError("empty data block")
+    if any(_is_var(t) for pat in pats for t in pat):
+        raise ValueError("INSERT/DELETE DATA must not contain variables")
+    return pd.DataFrame(pats, columns=["subj", "pred", "obj"])
+
+
+def _expand(bindings: ray.data.Dataset,
+            template: list[tuple[str, str, str]]) -> ray.data.Dataset:
+    """One (subj,pred,obj) row per template pattern per binding; rows with
+    an unbound variable (OPTIONAL) drop, per spec."""
+    from nexus_forge_ray.kg.bgp import _is_var
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for s, p, o in template:
+            cols = {}
+            for name, t in (("subj", s), ("pred", p), ("obj", o)):
+                cols[name] = df[t[1:]] if _is_var(t) \
+                    else pd.Series([t] * len(df), index=df.index)
+            tri = pd.DataFrame(cols)
+            parts.append(tri[tri.notna().all(axis=1)])
+        if not parts:
+            return pd.DataFrame({"subj": [], "pred": [], "obj": []})
+        return pd.concat(parts, ignore_index=True).astype(str)
+
+    return bindings.map_batches(emit, batch_format="pandas")
+
+
+def _minus(triples: ray.data.Dataset, deletes: ray.data.Dataset,
+           num_buckets: int) -> ray.data.Dataset:
+    """triples ∖ deletes via one bucketed anti-join on the composite key."""
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["subj", "pred", "obj"]].copy()
+        df["__k"] = _composite(df)
+        return df
+
+    survivors = partitioned_anti_join(
+        triples.map_batches(keyed, batch_format="pandas"),
+        deletes.map_batches(keyed, batch_format="pandas"),
+        on="__k", num_buckets=num_buckets,
+        lcols=["subj", "pred", "obj", "__k"])
+    return survivors.map_batches(
+        lambda df: df[["subj", "pred", "obj"]], batch_format="pandas")
+
+
+def sparql_update(triples: ray.data.Dataset, update: str, *,
+                  num_buckets: int = 32, **kw) -> ray.data.Dataset:
+    """Execute one SPARQL 1.1 Update operation; returns the updated graph
+    as a (subj, pred, obj) Dataset with set semantics."""
+    from nexus_forge_ray.kg.bgp import (_is_var, _template_patterns,
+                                        sparql_select)
+    from nexus_forge_ray.ops.agg import distinct_rows
+
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", update))
+    header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
+    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", update).strip()
+
+    m = re.match(r"(?is)^\s*(insert|delete)\s+data\s*\{(.*)\}\s*$", body)
+    if m:
+        rows = _constant_rows(m.group(2), prefixes)
+        data = ray.data.from_pandas(rows)
+        if m.group(1).lower() == "insert":
+            return distinct_rows(triples.union(data),
+                                 ["subj", "pred", "obj"],
+                                 num_buckets=num_buckets, keep_cols=[])
+        return distinct_rows(_minus(triples, data, num_buckets),
+                             ["subj", "pred", "obj"],
+                             num_buckets=num_buckets, keep_cols=[])
+
+    m = re.match(r"(?is)^\s*delete\s+where\s*\{(.*)\}\s*$", body)
+    if m:
+        del_tmpl, ins_tmpl, where = m.group(1), None, m.group(1)
+    else:
+        m = re.match(
+            r"(?is)^\s*(?:delete\s*\{(.*?)\}\s*)?(?:insert\s*\{(.*?)\}\s*)?"
+            r"where\s*\{(.*)\}\s*$", body)
+        if not m or (m.group(1) is None and m.group(2) is None):
+            raise ValueError(
+                "unsupported update form (expected INSERT/DELETE DATA, "
+                "DELETE WHERE, or DELETE/INSERT ... WHERE)")
+        del_tmpl, ins_tmpl, where = m.group(1), m.group(2), m.group(3)
+
+    templates: dict[str, list[tuple[str, str, str]]] = {}
+    tvars: list[str] = []
+    for kind, block in (("delete", del_tmpl), ("insert", ins_tmpl)):
+        if block is None:
+            continue
+        pats = _template_patterns(block, prefixes)
+        if not pats:
+            raise ValueError(f"empty {kind.upper()} template")
+        templates[kind] = pats
+        tvars += [t for pat in pats for t in pat if _is_var(t)]
+    tvars = list(dict.fromkeys(tvars))
+    if not tvars:
+        raise ValueError("update templates bind no variables; "
+                         "use INSERT/DELETE DATA for constant triples")
+
+    # bindings feed both templates: one distributed SELECT, materialized so
+    # delete and insert expansion don't re-run the WHERE plan
+    bindings = sparql_select(
+        triples, f"{header}\nSELECT {' '.join(tvars)} WHERE {{{where}}}",
+        **kw).materialize()
+
+    out = triples
+    if "delete" in templates:
+        out = _minus(out, _expand(bindings, templates["delete"]),
+                     num_buckets)
+    if "insert" in templates:
+        out = out.union(_expand(bindings, templates["insert"]))
+    return distinct_rows(out, ["subj", "pred", "obj"],
+                         num_buckets=num_buckets, keep_cols=[])

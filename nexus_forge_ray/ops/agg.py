@@ -28,7 +28,16 @@ _FINAL_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = np.zeros(len(df), dtype=np.uint64)
     for k in keys:
-        h ^= stable_hash_u64(df[k])
+        col = df[k]
+        # canonicalize dtype before hashing: an object column of ints (e.g.
+        # the None-padded output of a bucketed join) must land in the same
+        # bucket as the int64 form of the same values, or one logical key
+        # splits across two final groups (observed: duplicate groupby rows)
+        if col.dtype == object:
+            col = col.infer_objects()
+        if pd.api.types.is_integer_dtype(col) and col.dtype != np.int64:
+            col = col.astype("int64")
+        h ^= stable_hash_u64(col)
     return (h % np.uint64(num_buckets)).astype("int32")
 
 

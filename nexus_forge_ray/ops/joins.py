@@ -438,8 +438,32 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     both = lt.union(rt)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # infer_objects: the None-padding above widens the other side's int
+        # columns to object within the concatenated group; without restoring
+        # dtypes the merge output carries object ints downstream (where e.g.
+        # hash bucketing would bucket them differently than int64). BUT a
+        # non-inner merge introduces NaN into the nullable side's non-key
+        # columns, and NaN in an int64 column coerces it to float64 —
+        # corrupting int values above 2^53 (matched rows included). So
+        # restore dtypes only where NaN cannot appear: join keys always
+        # (both sides must agree for the merge), non-key columns only on
+        # the side whose rows are all preserved. Nullable-side ints stay
+        # object (exact) and downstream hash/join helpers canonicalize.
         lg = group[group["__side"] == "l"][lcols]
         rg = group[group["__side"] == "r"][rcols]
+
+        def fix_keys(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                **{k: df[k].infer_objects() for k in join_keys})
+
+        if how == "inner":
+            lg, rg = lg.infer_objects(), rg.infer_objects()
+        elif how == "left":
+            lg, rg = lg.infer_objects(), fix_keys(rg)
+        elif how == "right":
+            lg, rg = fix_keys(lg), rg.infer_objects()
+        else:  # outer: both sides can gain NaN in non-key columns
+            lg, rg = fix_keys(lg), fix_keys(rg)
         return lg.merge(rg, on=join_keys, how=how)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

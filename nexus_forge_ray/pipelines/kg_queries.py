@@ -456,6 +456,20 @@ def kg_bgp_subquery(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_update(sf_dir: str):
+    """SPARQL 1.1 Update executed as a functional graph transform: rename
+    the lang predicate via DELETE/INSERT WHERE. The reference only SUBMITS
+    update text to a remote endpoint (sparql_store.py); here the update
+    runs distributed over the triple Dataset — deletions are one bucketed
+    anti-join, inserts a union + bucketed distinct (kg/update.py)."""
+    from nexus_forge_ray.kg.update import sparql_update
+    q = """PREFIX v: <http://example.org/vocab/>
+    DELETE { ?d v:lang ?l }
+    INSERT { ?d v:language ?l }
+    WHERE { ?d v:lang ?l }"""
+    return sparql_update(kg_triples(sf_dir), q)
+
+
 def kg_bgp_negpath(sf_dir: str):
     """Negated property set `!(v:lang)` (SPARQL 9.1): every edge whose
     predicate is OUTSIDE the set — one vectorized ~isin scan."""
@@ -858,6 +872,7 @@ QUERIES = {
     "kg_bgp_star": kg_bgp_star,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
+    "kg_update": kg_update,
     "kg_bgp_negpath": kg_bgp_negpath,
     "kg_bgp_filter_in": kg_bgp_filter_in,
     "kg_bgp_zeroone": kg_bgp_zeroone,

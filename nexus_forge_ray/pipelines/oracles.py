@@ -421,6 +421,18 @@ ORACLES: dict[str, str] = {
         with {_KG_TRIPLES_CTE}
         select subj, pred, obj from t
     """,
+    # SPARQL 1.1 Update rename (DELETE {{?d v:lang ?l}} INSERT {{?d
+    # v:language ?l}} WHERE ...) == set algebra: survivors ∪ rewritten,
+    # deduped (RDF graphs are sets)
+    "kg_update": f"""
+        with {_KG_TRIPLES_CTE}
+        select distinct subj,
+               case when pred = 'http://example.org/vocab/lang'
+                    then 'http://example.org/vocab/language'
+                    else pred end as pred,
+               obj
+        from t
+    """,
     "kg_bgp": f"""
         with {_KG_TRIPLES_CTE}
         select a.subj as d, a.obj as e

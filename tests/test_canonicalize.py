@@ -30,6 +30,28 @@ def test_distributed_matches_local(edges):
         assert got_map[node] == comp, (node, got_map, want)
 
 
+def test_distributed_components_long_chains_fullrange_ids():
+    """Regression: (1) graph contraction must converge on long-diameter
+    graphs (plain min-label propagation capped at N rounds silently
+    under-merged chains); (2) full-range int64 ids must survive the unwind's
+    left joins exactly (NaN fill used to coerce int64 -> float64, zeroing
+    low bits of every id above 2^53 — matched rows included)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 1500
+    ids = rng.integers(-2**62, 2**62, size=n).astype(np.int64)
+    edges = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    keep = rng.random(n - 1) >= 0.02       # ~30 chains, diameter ~50
+    edges = edges[keep].reset_index(drop=True)
+    got = connected_components(ray.data.from_pandas(edges),
+                               num_buckets=8).to_pandas()
+    got_map = dict(zip(got["node"], got["component"]))
+    want = union_find_local(edges)
+    assert len(got) == len(want)
+    mism = [k for k in want if got_map.get(k) != want[k]]
+    assert not mism, f"{len(mism)} mismatched nodes, e.g. {mism[:3]}"
+
+
 def test_canonical_map_finds_exact_dups(sf_dir):
     docs = pd.DataFrame({
         "doc_id": [1, 2, 3, 4],

@@ -17,7 +17,8 @@ ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_bgp_exists", "kg_bgp_construct", "kg_bgp_describe",
                 "kg_bgp_groupconcat", "kg_bgp_bind", "kg_inlinks",
                 "kg_bgp_having", "kg_bgp_count_distinct", "kg_bgp_star",
-                "kg_bgp_alt", "kg_bgp_union_scoped", "kg_validate_logical"]
+                "kg_bgp_alt", "kg_bgp_union_scoped", "kg_validate_logical",
+                "kg_update"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

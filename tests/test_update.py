@@ -1,0 +1,95 @@
+"""SPARQL 1.1 Update: functional graph updates over the triple table."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from nexus_forge_ray.kg.update import sparql_update
+
+
+@pytest.fixture()
+def graph():
+    return ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b", "c", "c"],
+        "pred": ["http://v/old", "http://v/keep", "http://v/old",
+                 "http://v/x", "http://v/x"],
+        "obj": ["1", "2", "3", "4", "4"],   # duplicate row: set semantics
+    }))
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[["subj", "pred", "obj"]].values.tolist()))
+
+
+def test_insert_data_dedupes(graph):
+    out = sparql_update(
+        graph, 'PREFIX v: <http://v/> INSERT DATA '
+               '{ <d> v:new "9" . <a> v:keep "2" }')
+    rows = _rows(out)
+    assert ("d", "http://v/new", "9") in rows
+    # existing duplicate collapsed + re-inserted row not duplicated
+    assert rows.count(("a", "http://v/keep", "2")) == 1
+    assert rows.count(("c", "http://v/x", "4")) == 1
+    assert len(rows) == 5
+
+
+def test_delete_data(graph):
+    out = sparql_update(
+        graph, 'PREFIX v: <http://v/> DELETE DATA { <c> v:x "4" }')
+    rows = _rows(out)
+    assert all(s != "c" for s, _, _ in rows)
+    assert len(rows) == 3
+
+
+def test_delete_where(graph):
+    out = sparql_update(
+        graph, 'PREFIX v: <http://v/> DELETE WHERE { ?s v:old ?o }')
+    assert sorted({p for _, p, _ in _rows(out)}) == \
+        ["http://v/keep", "http://v/x"]
+
+
+def test_delete_insert_where_rename(graph):
+    out = sparql_update(
+        graph, 'PREFIX v: <http://v/> DELETE { ?s v:old ?o } '
+               'INSERT { ?s v:new ?o } WHERE { ?s v:old ?o }')
+    rows = _rows(out)
+    assert ("a", "http://v/new", "1") in rows and \
+           ("b", "http://v/new", "3") in rows
+    assert all(p != "http://v/old" for _, p, _ in rows)
+
+
+def test_insert_where_with_filter(graph):
+    out = sparql_update(
+        graph, 'PREFIX v: <http://v/> INSERT { ?s v:flag "hi" } '
+               'WHERE { ?s v:old ?o . FILTER(?o > "1") }')
+    rows = _rows(out)
+    assert ("b", "http://v/flag", "hi") in rows      # obj "3" > "1"
+    assert ("a", "http://v/flag", "hi") not in rows  # obj "1" fails filter
+
+
+def test_constant_templates_rejected(graph):
+    with pytest.raises(ValueError):
+        sparql_update(graph, 'INSERT DATA { ?s <http://v/p> "x" }')
+    with pytest.raises(ValueError):
+        sparql_update(graph, 'PREFIX v: <http://v/> '
+                             'INSERT { <k> v:p "x" } WHERE { ?s v:old ?o }')
+
+
+def test_update_matches_duckdb_oracle(graph):
+    """DELETE/INSERT rename vs the set-algebra SQL it is equivalent to."""
+    import duckdb
+    out = pd.DataFrame(_rows(sparql_update(
+        graph, 'PREFIX v: <http://v/> DELETE { ?s v:old ?o } '
+               'INSERT { ?s v:new ?o } WHERE { ?s v:old ?o }')),
+        columns=["subj", "pred", "obj"])
+    base = graph.to_pandas()
+    want = duckdb.sql("""
+        SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM base WHERE pred <> 'http://v/old'
+            UNION ALL
+            SELECT subj, 'http://v/new' AS pred, obj FROM base
+            WHERE pred = 'http://v/old')
+        ORDER BY subj, pred, obj
+    """).df()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
