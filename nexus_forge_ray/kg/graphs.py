@@ -1,0 +1,198 @@
+"""Named graphs (RDF datasets) over a quad table — SPARQL GRAPH patterns.
+
+Reference semantics: nexus-forge keeps each schema file in its own named
+graph inside an rdflib Dataset
+(/root/reference/kgforge/specializations/models/rdf/service.py:157-175) and
+forwards arbitrary SPARQL — GRAPH patterns included — to the store endpoint
+(/root/reference/kgforge/specializations/stores/sparql_store.py:157-179).
+Ray-Data-first substitution: the RDF dataset is ONE quad Dataset
+(graph, subj, pred, obj); a GRAPH block's graph term is simply a fourth
+pattern position — a constant graph is a vectorized ``==`` filter pushed to
+the scan, a graph VARIABLE binds like any other variable and joins through
+the bucketed exchanges. The default graph is the UNION of the named graphs
+(the common endpoint configuration): default-graph patterns match over
+distinct (subj, pred, obj) — the same triple asserted in two graphs is one
+triple in the union.
+
+Scale: one pass over the quad table per pattern (constant positions filter
+at the scan), bucketed hash joins on shared variables only; the quad table
+itself is never shuffled. The web-KG construction convention here is one
+named graph per SOURCE (crawl feed / host), so per-source slices are
+constant-graph scans with zero exchange.
+
+Grammar (subset): PREFIX header; ``SELECT [DISTINCT] ?v... WHERE { body }``
+``[LIMIT n]``; body = bare triple patterns (default graph) and/or
+``GRAPH (?var | <iri> | pfx:name) { triple patterns }`` blocks. FILTER /
+OPTIONAL / UNION / property paths inside the quad surface raise — use
+`kg.bgp.sparql_select` on a triple projection for those.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import ray.data
+
+_QCOLS = ("graph", "subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def match_quad(ds: ray.data.Dataset,
+               pattern: tuple[str | None, str, str, str]) -> ray.data.Dataset:
+    """Bindings of one quad pattern (graph, subj, pred, obj) — rows =
+    matches, columns = variables. graph=None matches a 3-column triple view
+    (default-graph block). Constant positions are vectorized == filters at
+    the scan; a variable repeated within the pattern is an equality filter.
+    """
+    cols = _QCOLS if pattern[0] is not None else _QCOLS[1:]
+    terms = pattern if pattern[0] is not None else pattern[1:]
+    var_cols: dict[str, list[str]] = {}
+    for col, term in zip(cols, terms):
+        if _is_var(term):
+            var_cols.setdefault(term[1:], []).append(col)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.Series(True, index=batch.index)
+        for col, term in zip(cols, terms):
+            if not _is_var(term):
+                m &= batch[col] == term
+        for cs in var_cols.values():
+            for extra in cs[1:]:
+                m &= batch[cs[0]] == batch[extra]
+        out = batch[m]
+        return pd.DataFrame({v: out[cs[0]].to_numpy()
+                             for v, cs in var_cols.items()})
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def quad_select(quads: ray.data.Dataset,
+                blocks: list[tuple[str | None, list[tuple[str, str, str]]]],
+                select: list[str], *, num_buckets: int = 16,
+                distinct: bool = False,
+                limit: int | None = None) -> ray.data.Dataset:
+    """Conjunctive quad query. ``blocks`` is a list of
+    (graph_term | None, [triple patterns]); graph_term None = default graph
+    (union of named graphs, set-semantic). Patterns join left-to-right on
+    shared variables, most-constant-first within the caller's block order.
+    """
+    from nexus_forge_ray.ops.agg import distinct_rows
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    quads = quads.materialize()  # scanned once per pattern
+    jobs: list[tuple[ray.data.Dataset, tuple]] = []
+    default_view: ray.data.Dataset | None = None
+    for gterm, pats in blocks:
+        if gterm is None:
+            if default_view is None:
+                default_view = distinct_rows(
+                    quads.map_batches(
+                        lambda df: df[["subj", "pred", "obj"]],
+                        batch_format="pandas"),
+                    ["subj", "pred", "obj"], num_buckets=num_buckets,
+                    keep_cols=[]).materialize()
+            jobs += [(default_view, (None,) + tuple(p)) for p in pats]
+        else:
+            jobs += [(quads, (gterm,) + tuple(p)) for p in pats]
+    if not jobs:
+        raise ValueError("empty quad pattern list")
+
+    def pat_vars(job) -> list[str]:
+        return list(dict.fromkeys(
+            t[1:] for t in job[1] if _is_var(t)))
+
+    def consts(job) -> int:
+        return sum(0 if (t is None or _is_var(t)) else 1 for t in job[1])
+
+    # greedy connectivity-preserving order, most constants first
+    ordered = [max(jobs, key=consts)]
+    jobs.remove(ordered[0])
+    bound = set(pat_vars(ordered[0]))
+    while jobs:
+        linked = [j for j in jobs if bound & set(pat_vars(j))]
+        nxt = max(linked, key=consts) if linked else jobs[0]
+        ordered.append(nxt)
+        jobs.remove(nxt)
+        bound |= set(pat_vars(nxt))
+
+    cur: ray.data.Dataset | None = None
+    have: list[str] = []
+    for job in ordered:
+        nxt = match_quad(job[0], job[1])
+        pv = pat_vars(job)
+        if cur is None:
+            cur, have = nxt, pv
+            continue
+        shared = [v for v in have if v in pv]
+        if not shared:
+            raise ValueError(f"quad pattern {job[1]} shares no variable "
+                             f"with {have}; cross joins are not supported")
+        cur = partitioned_join(cur, nxt, on=shared[0],
+                               extra_keys=shared[1:],
+                               num_buckets=num_buckets,
+                               lcols=have, rcols=pv)
+        have = list(dict.fromkeys(have + pv))
+    sel = [v.lstrip("?") for v in select]
+    out = cur.map_batches(lambda df: df.reindex(columns=sel),
+                          batch_format="pandas")
+    if distinct:
+        out = distinct_rows(out, sel, num_buckets=num_buckets, keep_cols=[])
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def sparql_select_quads(quads: ray.data.Dataset, query: str,
+                        **kw) -> ray.data.Dataset:
+    """Parse + execute the GRAPH-subset SELECT grammar over a quad Dataset.
+
+    Variables project in SELECT order; ``SELECT *`` is rejected (name your
+    columns — driver-oracle comparisons are by name).
+    """
+    from nexus_forge_ray.kg.bgp import _template_patterns
+
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
+    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", query).strip()
+    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?(.+?)\s+where\s*\{(.*)\}"
+                 r"\s*(?:limit\s+(\d+))?\s*$", body)
+    if not m:
+        raise ValueError("unsupported quad query form")
+    distinct = bool(m.group(1))
+    select = m.group(2).split()
+    if not all(_is_var(v) for v in select):
+        raise ValueError(f"SELECT must list ?vars, got {select!r}")
+    where = m.group(3)
+    limit = int(m.group(4)) if m.group(4) else None
+
+    def gterm(tok: str) -> str:
+        if tok.startswith("?"):
+            return tok
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        raise ValueError(f"bad GRAPH term: {tok!r}")
+
+    blocks: list[tuple[str | None, list[tuple[str, str, str]]]] = []
+
+    def grab(mm: re.Match) -> str:
+        blocks.append((gterm(mm.group(1)),
+                       _template_patterns(mm.group(2), prefixes)))
+        return " "
+
+    rest = re.sub(r"(?is)\bgraph\s+(\S+)\s*\{([^{}]*)\}", grab, where)
+    for kwd in ("filter", "optional", "union", "graph", "{", "}"):
+        if re.search(r"(?i)" + re.escape(kwd), rest):
+            raise ValueError(
+                f"{kwd!r} is not supported in the quad subset (use "
+                "kg.bgp.sparql_select on a triple projection)")
+    if rest.strip():
+        blocks.append((None, _template_patterns(rest, prefixes)))
+    return quad_select(quads, blocks, select, distinct=distinct,
+                       limit=limit, **kw)

@@ -12,6 +12,7 @@ PRED_SOURCE = "http://example.org/vocab/source"
 PRED_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 DOC_TYPE_IRI = "http://example.org/vocab/Document"
 DOC_BASE = "http://example.org/doc/"
+GRAPH_BASE = "http://example.org/graph/"
 
 KB_TERMS = ["spark", "table", "join", "sort", "merge", "filter",
             "window", "customer", "vector", "stream", "query", "hash"]

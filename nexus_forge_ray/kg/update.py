@@ -90,6 +90,34 @@ def _minus(triples: ray.data.Dataset, deletes: ray.data.Dataset,
         lambda df: df[["subj", "pred", "obj"]], batch_format="pandas")
 
 
+def upsert_subjects(base: ray.data.Dataset, delta: ray.data.Dataset, *,
+                    subj_col: str = "subj",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Re-crawl maintenance: replace EVERY triple of every subject the new
+    crawl re-extracted — ``base ∖ {s ∈ subjects(delta)} ∪ delta``.
+
+    This is the incremental-update primitive a web-scale KG needs per crawl
+    snapshot: a page's old facts must disappear wholesale (stale mentions
+    are not corrected row-by-row, the page is re-asserted). The reference
+    expresses this as per-resource ``forge.update`` round-trips (one HTTP
+    call per changed resource, demo_store.py:120-143 replaces the stored
+    record); here it is ONE bucketed anti-join on the subject key (the
+    delta's subject set never reaches the driver — re-crawls are O(corpus))
+    plus a block-level union. Output keeps bag semantics: both inputs'
+    triple sets are subject-disjoint after the anti-join, so no distinct
+    exchange is needed (callers with duplicated delta rows dedupe first).
+    """
+    from nexus_forge_ray.ops.joins import partitioned_anti_join
+
+    cols = [subj_col, "pred", "obj"]
+    survivors = partitioned_anti_join(
+        base, delta.map_batches(lambda df: df[[subj_col]],
+                                batch_format="pandas"),
+        on=subj_col, num_buckets=num_buckets, lcols=cols)
+    return survivors.union(
+        delta.map_batches(lambda df: df[cols], batch_format="pandas"))
+
+
 def sparql_update(triples: ray.data.Dataset, update: str, *,
                   num_buckets: int = 32, **kw) -> ray.data.Dataset:
     """Execute one SPARQL 1.1 Update operation; returns the updated graph

@@ -33,9 +33,11 @@ def kg_mentions(sf_dir: str):
     return ds
 
 
-def kg_triples(sf_dir: str):
-    """(subj, pred, obj) mention + lang triples — triple-explode shape."""
-    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
+def _triples_from(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, text, lang) Dataset -> (subj, pred, obj) mention + lang
+    triples — the extract→resolve→explode chain shared by kg_triples and
+    the re-crawl delta."""
+    mentions = detect_mentions(docs, KB.KB_TERMS)
     resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
                                strategy="EXACT_MATCH")
 
@@ -52,9 +54,100 @@ def kg_triples(sf_dir: str):
             "subj": KB.DOC_BASE + batch["doc_id"].astype(str),
             "pred": KB.PRED_LANG, "obj": batch["lang"].astype(str)})
 
-    l = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
-        lang_triples, batch_format="pandas")
+    l = docs.map_batches(lang_triples, batch_format="pandas")
     return m.union(l)
+
+
+def kg_triples(sf_dir: str):
+    """(subj, pred, obj) mention + lang triples — triple-explode shape."""
+    return _triples_from(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def kg_upsert_recrawl(sf_dir: str):
+    """Incremental KG maintenance: every 5th doc is re-crawled (its new
+    text gained a 'spark' mention, its lang normalized to 'en'); the
+    re-crawled subjects' OLD triples drop wholesale and the fresh
+    extraction replaces them — one bucketed anti-join on subj + union
+    (kg/update.upsert_subjects)."""
+    from nexus_forge_ray.kg.update import upsert_subjects
+    base = kg_triples(sf_dir)
+    recrawled = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        lambda df: df.loc[df["doc_id"] % 5 == 0].assign(
+            text=lambda d: d["text"] + " spark", lang="en"),
+        batch_format="pandas")
+    return upsert_subjects(base, _triples_from(recrawled))
+
+
+def kg_quads(sf_dir: str):
+    """(graph, subj, pred, obj) quad table — the RDF-dataset view of the
+    corpus with one NAMED GRAPH per source feed (the reference keeps one
+    named graph per schema file, rdf/service.py:157-175; at web scale the
+    natural unit is the crawl source). The source column rides through
+    mention detection batch-locally (docs never span batches) and through
+    the resolver (ResolverActor preserves input columns) — no extra
+    shuffle vs kg_triples."""
+    from nexus_forge_ray.kg.mentions import detect_mentions_batch
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    lbl = frozenset(KB.KB_TERMS)
+
+    def mention_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hits = detect_mentions_batch(df, lbl, "doc_id", "text")
+        return hits.merge(df[["doc_id", "source"]], on="doc_id")
+
+    mentions = docs.map_batches(mention_rows, batch_format="pandas")
+    resolved = resolve_dataset(mentions, KB.DEFAULT_KB, mention_col="mention",
+                               strategy="EXACT_MATCH")
+
+    def to_quads(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch.dropna(subset=["entity_id"])
+        return pd.DataFrame({
+            "graph": KB.GRAPH_BASE + hit["source"].astype(str),
+            "subj": KB.DOC_BASE + hit["doc_id"].astype(str),
+            "pred": KB.PRED_MENTIONS, "obj": hit["entity_id"]})
+
+    m = resolved.map_batches(to_quads, batch_format="pandas")
+
+    def lang_quads(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "graph": KB.GRAPH_BASE + batch["source"].astype(str),
+            "subj": KB.DOC_BASE + batch["doc_id"].astype(str),
+            "pred": KB.PRED_LANG, "obj": batch["lang"].astype(str)})
+
+    l = docs.map_batches(lang_quads, batch_format="pandas")
+    return m.union(l)
+
+
+def kg_graph_named(sf_dir: str):
+    """GRAPH with a constant IRI: one source feed's mention edges — a
+    vectorized == filter at the scan, zero exchange."""
+    from nexus_forge_ray.kg.graphs import sparql_select_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX g: <http://example.org/graph/>
+    SELECT ?d ?e WHERE { GRAPH g:src3 { ?d v:mentions ?e } }"""
+    return sparql_select_quads(kg_quads(sf_dir), q)
+
+
+def kg_graph_var(sf_dir: str):
+    """GRAPH ?g with a within-graph join: which graph asserts each English
+    doc's mentions — the graph variable binds and joins like any other."""
+    from nexus_forge_ray.kg.graphs import sparql_select_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT DISTINCT ?g ?d ?e WHERE {
+        GRAPH ?g { ?d v:mentions ?e . ?d v:lang "en" } }"""
+    return sparql_select_quads(kg_quads(sf_dir), q)
+
+
+def kg_graph_mixed(sf_dir: str):
+    """Default-graph pattern (union of named graphs, set-semantic) joined
+    with a GRAPH ?g block: every doc mentioning 'spark' anywhere, paired
+    with the graph that carries its lang tag."""
+    from nexus_forge_ray.kg.graphs import sparql_select_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX e: <http://example.org/entity/>
+    SELECT ?g ?d ?l WHERE {
+        ?d v:mentions e:spark .
+        GRAPH ?g { ?d v:lang ?l } }"""
+    return sparql_select_quads(kg_quads(sf_dir), q)
 
 
 def kg_resolve_exact(sf_dir: str):
@@ -840,6 +933,11 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_inlinks": kg_inlinks,
     "kg_triples": kg_triples,
+    "kg_quads": kg_quads,
+    "kg_upsert_recrawl": kg_upsert_recrawl,
+    "kg_graph_named": kg_graph_named,
+    "kg_graph_var": kg_graph_var,
+    "kg_graph_mixed": kg_graph_mixed,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,

@@ -100,6 +100,26 @@ _KG_TRIPLES_CTE = """
               from documents)
 """
 
+# the quad (named-graph) view: one graph per source feed; mention + lang
+# quads — shared by the kg_quads / kg_graph_* oracles
+_KG_QUADS_CTE = """
+        toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                 from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash')),
+        q as (select 'http://example.org/graph/' || d.source as graph,
+                     'http://example.org/doc/' || m.doc_id as subj,
+                     'http://example.org/vocab/mentions' as pred,
+                     'http://example.org/entity/' || m.tok as obj
+              from m join documents d using (doc_id)
+              union all
+              select 'http://example.org/graph/' || source,
+                     'http://example.org/doc/' || doc_id,
+                     'http://example.org/vocab/lang', lang
+              from documents)
+"""
+
 # true 3-gram shingle sets per doc (docs of <= 3 tokens shingle to the whole
 # text, mirroring MinHasher._shingles) — shared by the near-dup oracles
 _SHINGLE_PAIRS = """
@@ -420,6 +440,58 @@ ORACLES: dict[str, str] = {
     "kg_triples": f"""
         with {_KG_TRIPLES_CTE}
         select subj, pred, obj from t
+    """,
+    # re-crawl upsert: base triples of re-crawled subjects drop wholesale,
+    # the fresh extraction (text gained ' spark', lang normalized 'en')
+    # replaces them — subject-disjoint union, bag semantics
+    "kg_upsert_recrawl": f"""
+        with {_KG_TRIPLES_CTE},
+        newdocs as (select doc_id, text || ' spark' as text, 'en' as lang
+                    from documents where doc_id % 5 = 0),
+        ntoks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                  from newdocs),
+        nm as (select distinct doc_id, tok from ntoks
+               where tok in ('spark','table','join','sort','merge','filter',
+                             'window','customer','vector','stream','query','hash')),
+        d as (select 'http://example.org/doc/' || doc_id as subj,
+                     'http://example.org/vocab/mentions' as pred,
+                     'http://example.org/entity/' || tok as obj
+              from nm
+              union all
+              select 'http://example.org/doc/' || doc_id,
+                     'http://example.org/vocab/lang', lang
+              from newdocs)
+        select subj, pred, obj from t
+        where subj not in (select distinct subj from d)
+        union all
+        select subj, pred, obj from d
+    """,
+    "kg_quads": f"""
+        with {_KG_QUADS_CTE}
+        select graph, subj, pred, obj from q
+    """,
+    "kg_graph_named": f"""
+        with {_KG_QUADS_CTE}
+        select subj as d, obj as e from q
+        where graph = 'http://example.org/graph/src3'
+          and pred = 'http://example.org/vocab/mentions'
+    """,
+    "kg_graph_var": f"""
+        with {_KG_QUADS_CTE}
+        select distinct a.graph as g, a.subj as d, a.obj as e
+        from q a join q b on a.graph = b.graph and a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj = 'en'
+    """,
+    # default-graph pattern = distinct over the union of named graphs
+    "kg_graph_mixed": f"""
+        with {_KG_QUADS_CTE},
+        dq as (select distinct subj, pred, obj from q)
+        select q2.graph as g, dq.subj as d, q2.obj as l
+        from dq join q q2 on dq.subj = q2.subj
+        where dq.pred = 'http://example.org/vocab/mentions'
+          and dq.obj = 'http://example.org/entity/spark'
+          and q2.pred = 'http://example.org/vocab/lang'
     """,
     # SPARQL 1.1 Update rename (DELETE {{?d v:lang ?l}} INSERT {{?d
     # v:language ?l}} WHERE ...) == set algebra: survivors ∪ rewritten,

@@ -1,0 +1,105 @@
+"""Named-graph (quad) SPARQL subset: matcher, join planner, parser."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+from nexus_forge_ray.kg.graphs import (match_quad, quad_select,
+                                       sparql_select_quads)
+
+from .helpers import to_pandas
+
+V = "http://example.org/vocab/"
+G = "http://example.org/graph/"
+
+
+@pytest.fixture
+def quads(ray_session):
+    rows = pd.DataFrame([
+        # g1: d1 mentions e1, lang en; d2 mentions e2
+        (G + "g1", "d1", V + "mentions", "e1"),
+        (G + "g1", "d1", V + "lang", "en"),
+        (G + "g1", "d2", V + "mentions", "e2"),
+        # g2: d3 mentions e1, lang fr; ALSO re-asserts d1->e1 (cross-graph dup)
+        (G + "g2", "d3", V + "mentions", "e1"),
+        (G + "g2", "d3", V + "lang", "fr"),
+        (G + "g2", "d1", V + "mentions", "e1"),
+    ], columns=["graph", "subj", "pred", "obj"])
+    return ray.data.from_pandas(rows).repartition(2)
+
+
+def test_constant_graph_scan(quads):
+    got = to_pandas(match_quad(quads, (G + "g2", "?d", V + "mentions", "?e")))
+    assert sorted(map(tuple, got[["d", "e"]].values)) == [
+        ("d1", "e1"), ("d3", "e1")]
+
+
+def test_graph_variable_binds(quads):
+    q = f"""SELECT ?g ?d WHERE {{ GRAPH ?g {{ ?d <{V}lang> ?l }} }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [(G + "g1", "d1"),
+                                              (G + "g2", "d3")]
+
+
+def test_within_graph_join(quads):
+    # the lang pattern must join in the SAME graph: d1's mention re-asserted
+    # in g2 must NOT pair with d1's lang tag from g1
+    q = f"""PREFIX v: <{V}>
+    SELECT ?g ?d ?e WHERE {{ GRAPH ?g {{ ?d v:mentions ?e .
+                                         ?d v:lang "en" }} }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [(G + "g1", "d1", "e1")]
+
+
+def test_default_graph_is_union_set_semantic(quads):
+    # d1->e1 asserted in g1 AND g2 is ONE triple in the union default graph
+    q = f"""PREFIX v: <{V}>
+    SELECT ?d ?e WHERE {{ ?d v:mentions ?e }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [
+        ("d1", "e1"), ("d2", "e2"), ("d3", "e1")]
+
+
+def test_mixed_default_and_graph_block(quads):
+    q = f"""PREFIX v: <{V}>
+    SELECT ?g ?d WHERE {{ ?d v:mentions "e1" .
+                          GRAPH ?g {{ ?d v:lang ?l }} }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [(G + "g1", "d1"),
+                                              (G + "g2", "d3")]
+
+
+def test_prefixed_graph_name_and_limit(quads):
+    q = f"""PREFIX v: <{V}>
+    PREFIX g: <{G}>
+    SELECT ?d ?e WHERE {{ GRAPH g:g1 {{ ?d v:mentions ?e }} }} LIMIT 1"""
+    assert len(to_pandas(sparql_select_quads(quads, q))) == 1
+
+
+def test_distinct(quads):
+    q = f"""PREFIX v: <{V}>
+    SELECT DISTINCT ?e WHERE {{ GRAPH ?g {{ ?d v:mentions ?e }} }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(got["e"]) == ["e1", "e2"]
+
+
+def test_repeated_variable_in_pattern(quads, ray_session):
+    rows = pd.DataFrame([(G + "g1", "x", V + "self", "x"),
+                         (G + "g1", "x", V + "self", "y")],
+                        columns=["graph", "subj", "pred", "obj"])
+    ds = ray.data.from_pandas(rows)
+    got = to_pandas(match_quad(ds, ("?g", "?n", V + "self", "?n")))
+    assert got["n"].tolist() == ["x"]
+
+
+def test_unsupported_clauses_raise(quads):
+    with pytest.raises(ValueError, match="filter"):
+        sparql_select_quads(
+            quads, "SELECT ?d WHERE { ?d ?p ?o . FILTER(?o > 3) }")
+    with pytest.raises(ValueError, match="cross join"):
+        quad_select(quads, [(None, [("?a", V + "lang", "?b")]),
+                            (None, [("?c", V + "mentions", "?d")])],
+                    ["?a", "?c"])
+    with pytest.raises(ValueError, match="bad GRAPH term"):
+        sparql_select_quads(
+            quads, "SELECT ?d WHERE { GRAPH unknown:g { ?d ?p ?o } }")

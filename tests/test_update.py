@@ -93,3 +93,19 @@ def test_update_matches_duckdb_oracle(graph):
         ORDER BY subj, pred, obj
     """).df()
     pd.testing.assert_frame_equal(out.reset_index(drop=True), want)
+
+
+def test_upsert_subjects_replaces_wholesale(graph):
+    from nexus_forge_ray.kg.update import upsert_subjects
+    delta = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "e"],
+        "pred": ["http://v/fresh", "http://v/fresh"],
+        "obj": ["10", "11"],
+    }))
+    rows = _rows(upsert_subjects(graph, delta))
+    # ALL of a's old triples are gone (old facts drop wholesale)
+    assert not any(r[0] == "a" and r[1] != "http://v/fresh" for r in rows)
+    assert ("a", "http://v/fresh", "10") in rows
+    assert ("e", "http://v/fresh", "11") in rows     # brand-new subject
+    assert ("b", "http://v/old", "3") in rows        # untouched subject
+    assert rows.count(("c", "http://v/x", "4")) == 2  # bag semantics kept
