@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_subquery", "kg_update",
         "kg_pagerank", "kg_degree_dist", "kg_cooccur", "kg_inlinks",
         "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
+        # round-3 additions: named graphs + incremental maintenance
+        "kg_quads", "kg_graph_named", "kg_graph_var", "kg_graph_mixed",
+        "kg_upsert_recrawl",
     ]
     q: dict[str, Callable[[str], Any]] = {
         name: kg_queries.QUERIES[name] for name in KG_WINDOW}

@@ -288,11 +288,24 @@ class KnowledgeGraphForge:
         this engine's stores hold records, not endpoint state). Dispatches
         on the query form: SELECT -> binding Dataset, CONSTRUCT -> triple
         Dataset (set semantics), ASK -> bool. Patterns compile to
-        vectorized filters + bucketed joins (`kg.bgp`)."""
+        vectorized filters + bucketed joins (`kg.bgp`). A Dataset with a
+        `graph` column is an RDF dataset (quads): SELECT queries — GRAPH
+        blocks included — route to the quad engine (`kg.graphs`); updates
+        (INSERT/DELETE) route to `kg.update.sparql_update`."""
         import re as _re
 
         from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
                                             sparql_describe, sparql_select)
+        # the keyword alone is not enough (a ?delete VARIABLE must not
+        # dispatch): update forms are always INSERT/DELETE followed by
+        # DATA / WHERE / a template brace
+        if _re.search(r"(?is)\b(insert|delete)\s*(data\b|where\b|\{)",
+                      _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", query)):
+            from nexus_forge_ray.kg.update import sparql_update
+            return sparql_update(triples, query, **kw)
+        if "graph" in triples.schema().names:
+            from nexus_forge_ray.kg.graphs import sparql_select_quads
+            return sparql_select_quads(triples, query, **kw)
         # strip IRIs and PREFIX declarations first: an IRI like
         # <http://ex/ask#> or a prefix NAMED 'ask' must not decide the
         # dispatch (declarations can share a line, so no ^ anchor)

@@ -93,12 +93,22 @@ def synth_pages(sf_dir: str, replicate: int = 1,
             batch_format="pandas")
     if expand_blocks is None:
         import os
-        # 64 measured best on a 32-cpu node: 2 waves of full-width tasks,
-        # few enough that per-task stage construction (PageFeatures builds
-        # its mapping plan + KB index per task in task mode) still amortizes
-        # (A/B at 500k pages: 16 blocks 10.7-12.8 s, 32 10.1-10.5 s,
-        # 64 9.2-9.7 s, 128 14.8-19.6 s)
-        expand_blocks = int(os.environ.get("GRAFT_EXPAND_BLOCKS", "64"))
+        env = os.environ.get("GRAFT_EXPAND_BLOCKS")
+        if env is not None:
+            expand_blocks = int(env)
+        else:
+            # max(32, 2x cpus): ~2 waves of full-width tasks on a wide
+            # node, floor of 32 so narrow sessions still split work while
+            # amortizing per-task stage construction (PageFeatures builds
+            # its mapping plan + KB index per task). The 32-cpu point is
+            # cleanly A/B'd (500k pages: 16 blocks 10.7-12.8 s,
+            # 32 10.1-10.5 s, 64 9.2-9.7 s, 128 14.8-19.6 s); at 2-8 cpus
+            # 32 vs 64 blocks are indistinguishable within this host's
+            # noise (1M pages / 8 cpus: 26.5-28.4 s vs 27.5-27.8 s across
+            # quiet windows), so the formula just encodes the wave rule.
+            ncpu = int(ray.cluster_resources().get("CPU", 32)) \
+                if ray.is_initialized() else 32
+            expand_blocks = max(32, 2 * ncpu)
     if replicate > 1 and expand_blocks > 0:
         docs = docs.repartition(expand_blocks)
 

@@ -201,3 +201,19 @@ def test_sparql_dispatch_inline_prefix_named_ask(ray_session):
          'SELECT ?d WHERE { ?d ask:m "x" }')
     out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t))
     assert out.to_pandas()["d"].tolist() == ["d1"]
+
+
+def test_sparql_dispatch_quads_and_update(ray_session):
+    t = pd.DataFrame({"subj": ["a", "b"], "pred": ["http://v/p"] * 2,
+                      "obj": ["1", "2"]})
+    # a triple Dataset + update text -> functional update
+    out = KnowledgeGraphForge().sparql(
+        'DELETE DATA { <a> <http://v/p> "1" }', ray.data.from_pandas(t))
+    assert sorted(out.to_pandas()["subj"]) == ["b"]
+    # a Dataset WITH a graph column -> quad engine (GRAPH blocks work)
+    q = pd.DataFrame({"graph": ["g1", "g2"], "subj": ["a", "b"],
+                      "pred": ["http://v/p"] * 2, "obj": ["1", "2"]})
+    got = KnowledgeGraphForge().sparql(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://v/p> ?o } }",
+        ray.data.from_pandas(q)).to_pandas()
+    assert sorted(map(tuple, got.values)) == [("g1", "a"), ("g2", "b")]
