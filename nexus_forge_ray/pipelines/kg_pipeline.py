@@ -171,6 +171,14 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
                               ["page_nid", "sig_hash"]
                               + [f"b{i}" for i in range(8)]],
             batch_format="pandas")
+        # bound the block count entering the tier exchanges: feats carries
+        # one-plus blocks per fused task (a 100-task run feeds 100+ tiny
+        # sig blocks) and the exchange cost grows with block count, not
+        # rows (measured: 128 seed blocks tripled the components wall).
+        # One cheap all-to-all of ~80 B/page rows restores a fixed width;
+        # skipped at small widths where it would only add an exchange.
+        if feats.num_blocks() > 96:
+            sig_rows = sig_rows.repartition(64)
         comp = components_from_compact(sig_rows, id_col="page_nid",
                                        num_bands=8)
         dup_keys = comp.map_batches(_dup_key_rows, batch_format="pandas")

@@ -109,6 +109,15 @@ def synth_pages(sf_dir: str, replicate: int = 1,
             ncpu = int(ray.cluster_resources().get("CPU", 32)) \
                 if ray.is_initialized() else 32
             expand_blocks = max(32, 2 * ncpu)
+            if replicate > 1:
+                # cap per-task page volume at ~50k: beyond that the fused
+                # per-page task turns superlinear from worker-heap pressure
+                # (measured at 5M pages / 8 cpus: 156k pages/task 358 s
+                # fused wall, 39k pages/task 125 s; 1M-2M runs at <=62k
+                # pages/task scale linearly)
+                n_seed = docs.count()   # seed tables are metadata-small
+                need = -(-n_seed * replicate // 50_000)
+                expand_blocks = min(max(expand_blocks, need), 512)
     if replicate > 1 and expand_blocks > 0:
         docs = docs.repartition(expand_blocks)
 
