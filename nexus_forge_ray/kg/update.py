@@ -90,6 +90,80 @@ def _minus(triples: ray.data.Dataset, deletes: ray.data.Dataset,
         lambda df: df[["subj", "pred", "obj"]], batch_format="pandas")
 
 
+def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
+                        num_buckets: int = 32, **kw) -> ray.data.Dataset:
+    """Graph-management subset of SPARQL 1.1 Update over a QUAD Dataset
+    (graph, subj, pred, obj) — the per-crawl-feed maintenance surface:
+
+    - ``CLEAR GRAPH <g>`` / ``DROP GRAPH <g>`` — remove every quad of g
+      (one vectorized scan filter; in a quad table the two are the same).
+    - ``ADD <g1> TO <g2>`` — union g1's triples into g2 (set semantics).
+    - ``COPY <g1> TO <g2>`` — replace g2 with g1's triples.
+    - ``MOVE <g1> TO <g2>`` — COPY then drop g1.
+    - ``WITH <g> DELETE {...} INSERT {...} WHERE {...}`` — the triple-level
+      update (sparql_update) scoped to graph g's slice; other graphs pass
+      through untouched.
+
+    Everything is a functional Dataset -> Dataset transform; graph terms
+    may be <iri> or pfx:name (PREFIX headers as in kg.bgp).
+    """
+    from nexus_forge_ray.ops.agg import distinct_rows
+
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", update))
+    header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
+    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", update).strip()
+
+    def gterm(tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if ":" in tok:
+            p, local = tok.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        raise ValueError(f"bad graph term: {tok!r}")
+
+    def only(g: str, keep: bool) -> ray.data.Dataset:
+        return quads.map_batches(
+            lambda df, g=g, keep=keep:
+            df[(df["graph"] == g) if keep else (df["graph"] != g)],
+            batch_format="pandas")
+
+    m = re.match(r"(?is)^\s*(clear|drop)\s+graph\s+(\S+)\s*$", body)
+    if m:
+        return only(gterm(m.group(2)), keep=False)
+
+    m = re.match(r"(?is)^\s*(add|copy|move)\s+(\S+)\s+to\s+(\S+)\s*$", body)
+    if m:
+        op, g1, g2 = m.group(1).lower(), gterm(m.group(2)), gterm(m.group(3))
+        src_as_dst = only(g1, keep=True).map_batches(
+            lambda df, g=g2: df.assign(graph=g), batch_format="pandas")
+        if op == "add":
+            out = quads.union(src_as_dst)
+        else:  # copy/move: g2 is REPLACED by g1's triples
+            out = only(g2, keep=False).union(src_as_dst)
+            if op == "move":
+                out = out.map_batches(
+                    lambda df, g=g1: df[df["graph"] != g],
+                    batch_format="pandas")
+        return distinct_rows(out, ["graph", "subj", "pred", "obj"],
+                             num_buckets=num_buckets, keep_cols=[])
+
+    m = re.match(r"(?is)^\s*with\s+(\S+)\s+(.*)$", body)
+    if m:
+        g = gterm(m.group(1))
+        scope = only(g, keep=True).map_batches(
+            lambda df: df[["subj", "pred", "obj"]], batch_format="pandas")
+        updated = sparql_update(scope, f"{header}\n{m.group(2)}",
+                                num_buckets=num_buckets, **kw)
+        return only(g, keep=False).union(updated.map_batches(
+            lambda df, g=g: df.assign(graph=g)[
+                ["graph", "subj", "pred", "obj"]],
+            batch_format="pandas"))
+
+    raise ValueError("unsupported quad update form (expected CLEAR/DROP "
+                     "GRAPH, ADD/COPY/MOVE ... TO ..., or WITH <g> ...)")
+
+
 def upsert_subjects(base: ray.data.Dataset, delta: ray.data.Dataset, *,
                     subj_col: str = "subj",
                     num_buckets: int = 32) -> ray.data.Dataset:

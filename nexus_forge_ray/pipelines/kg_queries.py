@@ -150,6 +150,28 @@ def kg_graph_mixed(sf_dir: str):
     return sparql_select_quads(kg_quads(sf_dir), q)
 
 
+def kg_graph_drop(sf_dir: str):
+    """DROP GRAPH: retire one crawl feed wholesale — a vectorized scan
+    filter over the quad table, zero exchange."""
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    return sparql_update_quads(
+        kg_quads(sf_dir),
+        "PREFIX g: <http://example.org/graph/> DROP GRAPH g:src3")
+
+
+def kg_graph_with_update(sf_dir: str):
+    """WITH <g> DELETE/INSERT WHERE: rename the lang predicate inside ONE
+    source feed's graph; every other graph passes through untouched."""
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    PREFIX g: <http://example.org/graph/>
+    WITH g:src0
+    DELETE { ?d v:lang ?l }
+    INSERT { ?d v:language ?l }
+    WHERE { ?d v:lang ?l }"""
+    return sparql_update_quads(kg_quads(sf_dir), q)
+
+
 def kg_resolve_exact(sf_dir: str):
     """Distinct corpus tokens resolved EXACT against the KB (label/acronym)."""
     mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
@@ -938,6 +960,8 @@ QUERIES = {
     "kg_graph_named": kg_graph_named,
     "kg_graph_var": kg_graph_var,
     "kg_graph_mixed": kg_graph_mixed,
+    "kg_graph_drop": kg_graph_drop,
+    "kg_graph_with_update": kg_graph_with_update,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,

@@ -493,6 +493,24 @@ ORACLES: dict[str, str] = {
           and dq.obj = 'http://example.org/entity/spark'
           and q2.pred = 'http://example.org/vocab/lang'
     """,
+    # DROP GRAPH = every quad outside the dropped graph
+    "kg_graph_drop": f"""
+        with {_KG_QUADS_CTE}
+        select graph, subj, pred, obj from q
+        where graph != 'http://example.org/graph/src3'
+    """,
+    # WITH <g> DELETE/INSERT WHERE rename, scoped to one graph: CASE on
+    # pred only where graph matches; other graphs pass through verbatim
+    "kg_graph_with_update": f"""
+        with {_KG_QUADS_CTE}
+        select graph, subj,
+               case when graph = 'http://example.org/graph/src0'
+                     and pred = 'http://example.org/vocab/lang'
+                    then 'http://example.org/vocab/language'
+                    else pred end as pred,
+               obj
+        from q
+    """,
     # SPARQL 1.1 Update rename (DELETE {{?d v:lang ?l}} INSERT {{?d
     # v:language ?l}} WHERE ...) == set algebra: survivors ∪ rewritten,
     # deduped (RDF graphs are sets)

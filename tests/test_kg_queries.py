@@ -19,7 +19,8 @@ ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_bgp_having", "kg_bgp_count_distinct", "kg_bgp_star",
                 "kg_bgp_alt", "kg_bgp_union_scoped", "kg_validate_logical",
                 "kg_update", "kg_quads", "kg_graph_named", "kg_graph_var",
-                "kg_graph_mixed", "kg_upsert_recrawl"]
+                "kg_graph_mixed", "kg_upsert_recrawl", "kg_graph_drop",
+                "kg_graph_with_update"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

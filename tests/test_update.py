@@ -109,3 +109,59 @@ def test_upsert_subjects_replaces_wholesale(graph):
     assert ("e", "http://v/fresh", "11") in rows     # brand-new subject
     assert ("b", "http://v/old", "3") in rows        # untouched subject
     assert rows.count(("c", "http://v/x", "4")) == 2  # bag semantics kept
+
+
+@pytest.fixture()
+def qgraph():
+    return ray.data.from_pandas(pd.DataFrame({
+        "graph": ["g1", "g1", "g2", "g2"],
+        "subj": ["a", "a", "a", "b"],
+        "pred": ["http://v/lang", "http://v/m", "http://v/lang",
+                 "http://v/m"],
+        "obj": ["en", "x", "fr", "y"],
+    }))
+
+
+def _qrows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[["graph", "subj", "pred", "obj"]]
+                      .values.tolist()))
+
+
+def test_quads_drop_graph(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    rows = _qrows(sparql_update_quads(qgraph, "DROP GRAPH <g1>"))
+    assert rows == [("g2", "a", "http://v/lang", "fr"),
+                    ("g2", "b", "http://v/m", "y")]
+
+
+def test_quads_add_and_move(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    added = _qrows(sparql_update_quads(qgraph, "ADD <g1> TO <g2>"))
+    # g2 keeps its own triples AND gains g1's; g1 unchanged
+    assert ("g2", "a", "http://v/m", "x") in added
+    assert ("g2", "a", "http://v/lang", "fr") in added
+    assert ("g1", "a", "http://v/m", "x") in added
+    moved = _qrows(sparql_update_quads(qgraph, "MOVE <g1> TO <g2>"))
+    # g2 REPLACED by g1's content; g1 gone
+    assert not any(r[0] == "g1" for r in moved)
+    assert sorted(r for r in moved) == [
+        ("g2", "a", "http://v/lang", "en"), ("g2", "a", "http://v/m", "x")]
+
+
+def test_quads_with_scoped_update(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    q = """PREFIX v: <http://v/>
+    WITH <g1> DELETE { ?d v:lang ?l } INSERT { ?d v:language ?l }
+    WHERE { ?d v:lang ?l }"""
+    rows = _qrows(sparql_update_quads(qgraph, q))
+    assert ("g1", "a", "http://v/language", "en") in rows
+    assert ("g1", "a", "http://v/lang", "en") not in rows
+    # the other graph's lang triple is untouched
+    assert ("g2", "a", "http://v/lang", "fr") in rows
+
+
+def test_quads_bad_form_raises(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    with pytest.raises(ValueError, match="unsupported quad update"):
+        sparql_update_quads(qgraph, "RENAME <g1> TO <g2>")
