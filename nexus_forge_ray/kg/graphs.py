@@ -20,10 +20,13 @@ itself is never shuffled. The web-KG construction convention here is one
 named graph per SOURCE (crawl feed / host), so per-source slices are
 constant-graph scans with zero exchange.
 
-Grammar (subset): PREFIX header; ``SELECT [DISTINCT] ?v... WHERE { body }``
-``[LIMIT n]``; body = bare triple patterns (default graph) and/or
-``GRAPH (?var | <iri> | pfx:name) { triple patterns }`` blocks. FILTER /
-OPTIONAL / UNION / property paths inside the quad surface raise — use
+Grammar (subset): PREFIX header; ``SELECT [DISTINCT] ?v...
+[FROM <g>]* [FROM NAMED <g>]* WHERE { body } [LIMIT n]``; body = bare
+triple patterns (default graph) and/or
+``GRAPH (?var | <iri> | pfx:name) { triple patterns }`` blocks. FROM
+restricts the default graph to the listed graphs' union, FROM NAMED
+restricts what GRAPH patterns may match. FILTER / OPTIONAL / UNION /
+property paths inside the quad surface raise — use
 `kg.bgp.sparql_select` on a triple projection for those.
 """
 
@@ -74,30 +77,43 @@ def quad_select(quads: ray.data.Dataset,
                 blocks: list[tuple[str | None, list[tuple[str, str, str]]]],
                 select: list[str], *, num_buckets: int = 16,
                 distinct: bool = False,
-                limit: int | None = None) -> ray.data.Dataset:
+                limit: int | None = None,
+                from_graphs: list[str] | None = None,
+                named_graphs: list[str] | None = None) -> ray.data.Dataset:
     """Conjunctive quad query. ``blocks`` is a list of
     (graph_term | None, [triple patterns]); graph_term None = default graph
     (union of named graphs, set-semantic). Patterns join left-to-right on
     shared variables, most-constant-first within the caller's block order.
+    ``from_graphs`` restricts the default graph to those graphs' union;
+    ``named_graphs`` restricts what GRAPH patterns may match (SPARQL 13.2
+    dataset clauses) — both are vectorized isin scans.
     """
     from nexus_forge_ray.ops.agg import distinct_rows
     from nexus_forge_ray.ops.joins import partitioned_join
 
     quads = quads.materialize()  # scanned once per pattern
+
+    def restrict(gs: list[str]) -> ray.data.Dataset:
+        return quads.map_batches(
+            lambda df, gs=frozenset(gs): df[df["graph"].isin(gs)],
+            batch_format="pandas")
+
+    named_view = restrict(named_graphs) if named_graphs else quads
     jobs: list[tuple[ray.data.Dataset, tuple]] = []
     default_view: ray.data.Dataset | None = None
     for gterm, pats in blocks:
         if gterm is None:
             if default_view is None:
+                src = restrict(from_graphs) if from_graphs else quads
                 default_view = distinct_rows(
-                    quads.map_batches(
+                    src.map_batches(
                         lambda df: df[["subj", "pred", "obj"]],
                         batch_format="pandas"),
                     ["subj", "pred", "obj"], num_buckets=num_buckets,
                     keep_cols=[]).materialize()
             jobs += [(default_view, (None,) + tuple(p)) for p in pats]
         else:
-            jobs += [(quads, (gterm,) + tuple(p)) for p in pats]
+            jobs += [(named_view, (gterm,) + tuple(p)) for p in pats]
     if not jobs:
         raise ValueError("empty quad pattern list")
 
@@ -157,6 +173,18 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
 
     prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
     body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", query).strip()
+    # FROM / FROM NAMED dataset clauses (SPARQL 13.2): FROM graphs form
+    # the default graph (union of the listed graphs only); FROM NAMED
+    # restricts which graphs GRAPH patterns may match. Both are one
+    # vectorized isin filter over the quad table — no exchange.
+    from_graphs: list[str] = []
+    named_graphs: list[str] = []
+
+    def grab_from(mm: re.Match) -> str:
+        (named_graphs if mm.group(1) else from_graphs).append(mm.group(2))
+        return " "
+
+    body = re.sub(r"(?i)\bfrom\s+(named\s+)?<([^>]*)>", grab_from, body)
     m = re.match(r"(?is)^\s*select\s+(distinct\s+)?(.+?)\s+where\s*\{(.*)\}"
                  r"\s*(?:limit\s+(\d+))?\s*$", body)
     if not m:
@@ -195,4 +223,5 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
     if rest.strip():
         blocks.append((None, _template_patterns(rest, prefixes)))
     return quad_select(quads, blocks, select, distinct=distinct,
-                       limit=limit, **kw)
+                       limit=limit, from_graphs=from_graphs or None,
+                       named_graphs=named_graphs or None, **kw)

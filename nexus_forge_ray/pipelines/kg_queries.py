@@ -150,6 +150,20 @@ def kg_graph_mixed(sf_dir: str):
     return sparql_select_quads(kg_quads(sf_dir), q)
 
 
+def kg_graph_from(sf_dir: str):
+    """FROM / FROM NAMED dataset clauses: the default graph is the union
+    of two listed feeds only, and GRAPH patterns may only match the one
+    FROM NAMED graph — both vectorized isin scans, no exchange."""
+    from nexus_forge_ray.kg.graphs import sparql_select_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?g ?d ?e
+    FROM <http://example.org/graph/src1>
+    FROM <http://example.org/graph/src4>
+    FROM NAMED <http://example.org/graph/src4>
+    WHERE { ?d v:mentions ?e . GRAPH ?g { ?d v:lang "fr" } }"""
+    return sparql_select_quads(kg_quads(sf_dir), q)
+
+
 def kg_graph_drop(sf_dir: str):
     """DROP GRAPH: retire one crawl feed wholesale — a vectorized scan
     filter over the quad table, zero exchange."""
@@ -961,6 +975,7 @@ QUERIES = {
     "kg_graph_var": kg_graph_var,
     "kg_graph_mixed": kg_graph_mixed,
     "kg_graph_drop": kg_graph_drop,
+    "kg_graph_from": kg_graph_from,
     "kg_graph_with_update": kg_graph_with_update,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,

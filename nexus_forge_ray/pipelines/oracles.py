@@ -493,6 +493,19 @@ ORACLES: dict[str, str] = {
           and dq.obj = 'http://example.org/entity/spark'
           and q2.pred = 'http://example.org/vocab/lang'
     """,
+    # FROM (default graph = union of the two listed feeds, set-semantic)
+    # + FROM NAMED (GRAPH ?g may only match src4)
+    "kg_graph_from": f"""
+        with {_KG_QUADS_CTE},
+        dq as (select distinct subj, obj from q
+               where graph in ('http://example.org/graph/src1',
+                               'http://example.org/graph/src4')
+                 and pred = 'http://example.org/vocab/mentions')
+        select g2.graph as g, dq.subj as d, dq.obj as e
+        from dq join q g2 on dq.subj = g2.subj
+        where g2.graph = 'http://example.org/graph/src4'
+          and g2.pred = 'http://example.org/vocab/lang' and g2.obj = 'fr'
+    """,
     # DROP GRAPH = every quad outside the dropped graph
     "kg_graph_drop": f"""
         with {_KG_QUADS_CTE}

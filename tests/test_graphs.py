@@ -103,3 +103,18 @@ def test_unsupported_clauses_raise(quads):
     with pytest.raises(ValueError, match="bad GRAPH term"):
         sparql_select_quads(
             quads, "SELECT ?d WHERE { GRAPH unknown:g { ?d ?p ?o } }")
+
+
+def test_from_restricts_default_graph(quads):
+    q = f"""PREFIX v: <{V}>
+    SELECT ?d ?e FROM <{G}g1> WHERE {{ ?d v:mentions ?e }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    # g2's d3->e1 (and the g2 re-assertion of d1->e1) are outside FROM
+    assert sorted(map(tuple, got.values)) == [("d1", "e1"), ("d2", "e2")]
+
+
+def test_from_named_restricts_graph_patterns(quads):
+    q = f"""PREFIX v: <{V}>
+    SELECT ?g ?d FROM NAMED <{G}g2> WHERE {{ GRAPH ?g {{ ?d v:lang ?l }} }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [(G + "g2", "d3")]

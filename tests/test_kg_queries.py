@@ -7,7 +7,8 @@ from nexus_forge_ray.pipelines.oracles import ORACLES
 
 from .helpers import assert_frames_match, to_pandas
 
-ORACLE_CASES = ["kg_mentions", "kg_triples", "kg_resolve_exact",
+ORACLE_CASES = [
+                "kg_graph_from", "kg_mentions", "kg_triples", "kg_resolve_exact",
                 "kg_validate_customers", "kg_actions_summary", "kg_resolve_fuzzy",
                 "kg_entity_popularity", "kg_triples_typed",
                 "kg_bgp_filter", "kg_degree_dist", "kg_bgp_optional",
