@@ -291,21 +291,45 @@ class KnowledgeGraphForge:
         vectorized filters + bucketed joins (`kg.bgp`). A Dataset with a
         `graph` column is an RDF dataset (quads): SELECT queries — GRAPH
         blocks included — route to the quad engine (`kg.graphs`); updates
-        (INSERT/DELETE) route to `kg.update.sparql_update`."""
+        route to `kg.update.sparql_update` (triple tables) or
+        `kg.update.sparql_update_quads` (quad tables: CLEAR/DROP GRAPH,
+        ADD/COPY/MOVE ... TO ..., WITH <g> DELETE/INSERT ... WHERE)."""
         import re as _re
 
         from nexus_forge_ray.kg.bgp import (sparql_ask, sparql_construct,
-                                            sparql_describe, sparql_select)
+                                            sparql_describe, sparql_select,
+                                            split_prefixes)
+        is_quads = "graph" in triples.schema().names
         # the keyword alone is not enough (a ?delete VARIABLE must not
         # dispatch): update forms are always INSERT/DELETE followed by
-        # DATA / WHERE / a template brace
-        if _re.search(r"(?is)\b(insert|delete)\s*(data\b|where\b|\{)",
-                      _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", query)):
+        # DATA / WHERE / a template brace; the graph-management forms
+        # (CLEAR/DROP/ADD/COPY/MOVE/WITH) are leading keywords after the
+        # PREFIX header
+        stripped = _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", query)
+        is_update = bool(_re.search(
+            r"(?is)\b(insert|delete)\s*(data\b|where\b|\{)", stripped))
+        if is_quads:
+            _, body, _ = split_prefixes(query)
+            if is_update or _re.match(
+                    r"(?is)^\s*(clear|drop|add|copy|move|with)\b", body):
+                from nexus_forge_ray.kg.update import sparql_update_quads
+                return sparql_update_quads(triples, query, **kw)
+            # keyword scan over the body with IRIs/literals stripped; the
+            # lookbehind keeps ?graph / ?from VARIABLES (and pfx:graph
+            # local names) from tripping the dispatch
+            if _re.search(r"(?is)(?<![?\w:])(graph|from)\b",
+                          _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", body)):
+                from nexus_forge_ray.kg.graphs import sparql_select_quads
+                return sparql_select_quads(triples, query, **kw)
+            # GRAPH-free, FROM-free query over an RDF dataset: it only
+            # touches the default graph (set-semantic union of the named
+            # graphs) — project that view once and run the FULL triple
+            # engine (FILTER / OPTIONAL / paths / aggregates / CONSTRUCT)
+            from nexus_forge_ray.kg.graphs import default_graph_view
+            triples = default_graph_view(triples)
+        if is_update:
             from nexus_forge_ray.kg.update import sparql_update
             return sparql_update(triples, query, **kw)
-        if "graph" in triples.schema().names:
-            from nexus_forge_ray.kg.graphs import sparql_select_quads
-            return sparql_select_quads(triples, query, **kw)
         # strip IRIs and PREFIX declarations first: an IRI like
         # <http://ex/ask#> or a prefix NAMED 'ask' must not decide the
         # dispatch (declarations can share a line, so no ^ anchor)

@@ -1157,6 +1157,31 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     return out.limit(q.limit) if q.limit is not None else out
 
 
+def split_prefixes(text: str) -> tuple[dict[str, str], str, str]:
+    """(prefixes, body-without-PREFIX-decls, rebuilt PREFIX header) of a
+    query/update string — the one shared scrape for every SPARQL surface
+    (bgp / quads / updates), so the resolvers cannot drift."""
+    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", text))
+    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", text).strip()
+    header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
+    return prefixes, body, header
+
+
+def graph_term(tok: str, prefixes: dict[str, str], *,
+               allow_var: bool = False) -> str:
+    """Resolve a GRAPH-position term: <iri> / pfx:name (/ ?var when
+    allowed). Shared by the quad SELECT and quad-update surfaces."""
+    if allow_var and tok.startswith("?"):
+        return tok
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if ":" in tok:
+        p, local = tok.split(":", 1)
+        if p in prefixes:
+            return prefixes[p] + local
+    raise ValueError(f"bad graph term: {tok!r}")
+
+
 def _template_patterns(block: str, prefixes: dict[str, str]) \
         -> list[tuple[str, str, str]]:
     """Dot-separated triple patterns of a CONSTRUCT/ASK group (same term

@@ -73,6 +73,27 @@ def match_quad(ds: ray.data.Dataset,
     return ds.map_batches(project, batch_format="pandas")
 
 
+def default_graph_view(quads: ray.data.Dataset, *,
+                       from_graphs: list[str] | None = None,
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """The RDF dataset's default graph as a (subj, pred, obj) triple
+    Dataset: the set-semantic union of the named graphs (optionally
+    restricted to ``from_graphs``). GRAPH-free queries over a quad table
+    run the FULL triple engine (kg.bgp — FILTER/OPTIONAL/paths/aggregates)
+    over this view; the quad engine is only needed when GRAPH patterns
+    bind graph names."""
+    from nexus_forge_ray.ops.agg import distinct_rows
+    src = quads
+    if from_graphs is not None:
+        src = src.map_batches(
+            lambda df, gs=frozenset(from_graphs): df[df["graph"].isin(gs)],
+            batch_format="pandas")
+    return distinct_rows(
+        src.map_batches(lambda df: df[["subj", "pred", "obj"]],
+                        batch_format="pandas"),
+        ["subj", "pred", "obj"], num_buckets=num_buckets, keep_cols=[])
+
+
 def quad_select(quads: ray.data.Dataset,
                 blocks: list[tuple[str | None, list[tuple[str, str, str]]]],
                 select: list[str], *, num_buckets: int = 16,
@@ -86,10 +107,17 @@ def quad_select(quads: ray.data.Dataset,
     shared variables, most-constant-first within the caller's block order.
     ``from_graphs`` restricts the default graph to those graphs' union;
     ``named_graphs`` restricts what GRAPH patterns may match (SPARQL 13.2
-    dataset clauses) — both are vectorized isin scans.
+    dataset clauses) — both are vectorized isin scans. Dataset clauses
+    REPLACE the whole dataset (13.2): when either list is given, the other
+    defaults to the EMPTY set (``[]``) — pass None for "no clause" (the
+    implicit all-graphs dataset).
     """
     from nexus_forge_ray.ops.agg import distinct_rows
     from nexus_forge_ray.ops.joins import partitioned_join
+
+    if from_graphs is not None or named_graphs is not None:
+        from_graphs = from_graphs or []
+        named_graphs = named_graphs or []
 
     quads = quads.materialize()  # scanned once per pattern
 
@@ -98,13 +126,14 @@ def quad_select(quads: ray.data.Dataset,
             lambda df, gs=frozenset(gs): df[df["graph"].isin(gs)],
             batch_format="pandas")
 
-    named_view = restrict(named_graphs) if named_graphs else quads
+    named_view = restrict(named_graphs) if named_graphs is not None else quads
     jobs: list[tuple[ray.data.Dataset, tuple]] = []
     default_view: ray.data.Dataset | None = None
     for gterm, pats in blocks:
         if gterm is None:
             if default_view is None:
-                src = restrict(from_graphs) if from_graphs else quads
+                src = restrict(from_graphs) if from_graphs is not None \
+                    else quads
                 default_view = distinct_rows(
                     src.map_batches(
                         lambda df: df[["subj", "pred", "obj"]],
@@ -169,43 +198,39 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
     Variables project in SELECT order; ``SELECT *`` is rejected (name your
     columns — driver-oracle comparisons are by name).
     """
-    from nexus_forge_ray.kg.bgp import _template_patterns
+    from nexus_forge_ray.kg.bgp import (_template_patterns, graph_term,
+                                        split_prefixes)
 
-    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
-    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", query).strip()
-    # FROM / FROM NAMED dataset clauses (SPARQL 13.2): FROM graphs form
-    # the default graph (union of the listed graphs only); FROM NAMED
-    # restricts which graphs GRAPH patterns may match. Both are one
-    # vectorized isin filter over the quad table — no exchange.
-    from_graphs: list[str] = []
-    named_graphs: list[str] = []
-
-    def grab_from(mm: re.Match) -> str:
-        (named_graphs if mm.group(1) else from_graphs).append(mm.group(2))
-        return " "
-
-    body = re.sub(r"(?i)\bfrom\s+(named\s+)?<([^>]*)>", grab_from, body)
-    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?(.+?)\s+where\s*\{(.*)\}"
-                 r"\s*(?:limit\s+(\d+))?\s*$", body)
+    prefixes, body, _ = split_prefixes(query)
+    # FROM / FROM NAMED dataset clauses (SPARQL 13.2) live ONLY between the
+    # SELECT list and WHERE — scoping the scan there keeps 'from' tokens
+    # inside patterns/literals (a ?from variable, a "... from <x>" literal)
+    # untouched. FROM graphs form the default graph (union of the listed
+    # graphs only); FROM NAMED restricts which graphs GRAPH patterns may
+    # match; per 13.2 EITHER clause replaces the whole dataset, so the
+    # unlisted side becomes the empty set. Both are one vectorized isin
+    # filter over the quad table — no exchange.
+    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?((?:\?\w+\s+)+)"
+                 r"((?:from\s+(?:named\s+)?(?:<[^>]*>|\w*:\S+)\s*)*)"
+                 r"where\s*\{(.*)\}\s*(?:limit\s+(\d+))?\s*$", body)
     if not m:
         raise ValueError("unsupported quad query form")
     distinct = bool(m.group(1))
     select = m.group(2).split()
     if not all(_is_var(v) for v in select):
         raise ValueError(f"SELECT must list ?vars, got {select!r}")
-    where = m.group(3)
-    limit = int(m.group(4)) if m.group(4) else None
+    from_graphs: list[str] = []
+    named_graphs: list[str] = []
+    for named, g in re.findall(r"(?i)\bfrom\s+(named\s+)?(<[^>]*>|\S+)",
+                               m.group(3)):
+        (named_graphs if named else from_graphs).append(
+            graph_term(g, prefixes))
+    has_dataset_clause = bool(from_graphs or named_graphs)
+    where = m.group(4)
+    limit = int(m.group(5)) if m.group(5) else None
 
     def gterm(tok: str) -> str:
-        if tok.startswith("?"):
-            return tok
-        if tok.startswith("<") and tok.endswith(">"):
-            return tok[1:-1]
-        if ":" in tok:
-            p, local = tok.split(":", 1)
-            if p in prefixes:
-                return prefixes[p] + local
-        raise ValueError(f"bad GRAPH term: {tok!r}")
+        return graph_term(tok, prefixes, allow_var=True)
 
     blocks: list[tuple[str | None, list[tuple[str, str, str]]]] = []
 
@@ -222,6 +247,7 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
                 "kg.bgp.sparql_select on a triple projection)")
     if rest.strip():
         blocks.append((None, _template_patterns(rest, prefixes)))
-    return quad_select(quads, blocks, select, distinct=distinct,
-                       limit=limit, from_graphs=from_graphs or None,
-                       named_graphs=named_graphs or None, **kw)
+    return quad_select(
+        quads, blocks, select, distinct=distinct, limit=limit,
+        from_graphs=from_graphs if has_dataset_clause else None,
+        named_graphs=named_graphs if has_dataset_clause else None, **kw)

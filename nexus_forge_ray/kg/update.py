@@ -32,6 +32,7 @@ import pandas as pd
 import ray.data
 
 _SEP = "\x1d"  # composite-key separator; cannot occur in parsed terms
+_QUAD_COLS = ("graph", "subj", "pred", "obj")
 
 
 def _composite(df: pd.DataFrame) -> pd.Series:
@@ -97,9 +98,15 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
 
     - ``CLEAR GRAPH <g>`` / ``DROP GRAPH <g>`` — remove every quad of g
       (one vectorized scan filter; in a quad table the two are the same).
+    - ``CLEAR ALL`` / ``DROP ALL`` / ``CLEAR NAMED`` / ``DROP NAMED`` —
+      empty dataset (every graph here is a named graph).
     - ``ADD <g1> TO <g2>`` — union g1's triples into g2 (set semantics).
     - ``COPY <g1> TO <g2>`` — replace g2 with g1's triples.
     - ``MOVE <g1> TO <g2>`` — COPY then drop g1.
+    - ``INSERT DATA { GRAPH <g> { triples } ... }`` /
+      ``DELETE DATA { GRAPH <g> { triples } ... }`` — constant quads per
+      named GRAPH block (inserted set-semantically / removed via one
+      bucketed anti-join on the composite quad key).
     - ``WITH <g> DELETE {...} INSERT {...} WHERE {...}`` — the triple-level
       update (sparql_update) scoped to graph g's slice; other graphs pass
       through untouched.
@@ -107,20 +114,13 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
     Everything is a functional Dataset -> Dataset transform; graph terms
     may be <iri> or pfx:name (PREFIX headers as in kg.bgp).
     """
+    from nexus_forge_ray.kg.bgp import graph_term, split_prefixes
     from nexus_forge_ray.ops.agg import distinct_rows
 
-    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", update))
-    header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
-    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", update).strip()
+    prefixes, body, header = split_prefixes(update)
 
     def gterm(tok: str) -> str:
-        if tok.startswith("<") and tok.endswith(">"):
-            return tok[1:-1]
-        if ":" in tok:
-            p, local = tok.split(":", 1)
-            if p in prefixes:
-                return prefixes[p] + local
-        raise ValueError(f"bad graph term: {tok!r}")
+        return graph_term(tok, prefixes)
 
     def only(g: str, keep: bool) -> ray.data.Dataset:
         return quads.map_batches(
@@ -132,21 +132,70 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
     if m:
         return only(gterm(m.group(2)), keep=False)
 
+    if re.match(r"(?is)^\s*(clear|drop)\s+(all|named)\s*$", body):
+        return quads.map_batches(lambda df: df.iloc[0:0],
+                                 batch_format="pandas")
+
+    m = re.match(r"(?is)^\s*(insert|delete)\s+data\s*\{(.*)\}\s*$", body)
+    if m:
+        op, block = m.group(1).lower(), m.group(2)
+        parts: list[pd.DataFrame] = []
+
+        def grab(mm: re.Match) -> str:
+            g = gterm(mm.group(1))
+            rows = _constant_rows(mm.group(2), prefixes)
+            parts.append(rows.assign(graph=g)[list(_QUAD_COLS)])
+            return " "
+
+        rest = re.sub(r"(?is)\bgraph\s+(\S+)\s*\{([^{}]*)\}", grab, block)
+        if rest.strip():
+            raise ValueError("quad INSERT/DELETE DATA requires GRAPH "
+                             "blocks (this dataset has no separate "
+                             "default-graph store)")
+        if not parts:
+            raise ValueError("empty data block")
+        data = ray.data.from_pandas(pd.concat(parts, ignore_index=True))
+        if op == "insert":
+            return distinct_rows(quads.union(data), list(_QUAD_COLS),
+                                 num_buckets=num_buckets, keep_cols=[])
+        from nexus_forge_ray.ops.joins import partitioned_anti_join
+
+        def keyed(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[list(_QUAD_COLS)].copy()
+            df["__k"] = df["graph"].astype(str) + _SEP + _composite(df)
+            return df
+
+        survivors = partitioned_anti_join(
+            quads.map_batches(keyed, batch_format="pandas"),
+            data.map_batches(keyed, batch_format="pandas"),
+            on="__k", num_buckets=num_buckets,
+            lcols=list(_QUAD_COLS) + ["__k"])
+        return survivors.map_batches(
+            lambda df: df[list(_QUAD_COLS)], batch_format="pandas")
+
     m = re.match(r"(?is)^\s*(add|copy|move)\s+(\S+)\s+to\s+(\S+)\s*$", body)
     if m:
         op, g1, g2 = m.group(1).lower(), gterm(m.group(2)), gterm(m.group(3))
+        if g1 == g2:
+            return quads  # same source and destination: no-op (3.2.5-7)
         src_as_dst = only(g1, keep=True).map_batches(
             lambda df, g=g2: df.assign(graph=g), batch_format="pandas")
         if op == "add":
-            out = quads.union(src_as_dst)
+            dst = quads.map_batches(
+                lambda df, g=g2: df[df["graph"] == g], batch_format="pandas")
+            merged = dst.union(src_as_dst)
         else:  # copy/move: g2 is REPLACED by g1's triples
-            out = only(g2, keep=False).union(src_as_dst)
-            if op == "move":
-                out = out.map_batches(
-                    lambda df, g=g1: df[df["graph"] != g],
-                    batch_format="pandas")
-        return distinct_rows(out, ["graph", "subj", "pred", "obj"],
-                             num_buckets=num_buckets, keep_cols=[])
+            merged = src_as_dst
+        # dedupe ONLY the destination slice — untouched graphs pass through
+        # verbatim (bag pass-through, matching DROP/WITH), and the distinct
+        # exchange is sized to g2 ∪ src instead of the whole table
+        rest = only(g2, keep=False)
+        if op == "move":
+            rest = rest.map_batches(
+                lambda df, g=g1: df[df["graph"] != g], batch_format="pandas")
+        return rest.union(distinct_rows(
+            merged, ["graph", "subj", "pred", "obj"],
+            num_buckets=num_buckets, keep_cols=[]))
 
     m = re.match(r"(?is)^\s*with\s+(\S+)\s+(.*)$", body)
     if m:
@@ -197,12 +246,10 @@ def sparql_update(triples: ray.data.Dataset, update: str, *,
     """Execute one SPARQL 1.1 Update operation; returns the updated graph
     as a (subj, pred, obj) Dataset with set semantics."""
     from nexus_forge_ray.kg.bgp import (_is_var, _template_patterns,
-                                        sparql_select)
+                                        sparql_select, split_prefixes)
     from nexus_forge_ray.ops.agg import distinct_rows
 
-    prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", update))
-    header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
-    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", update).strip()
+    prefixes, body, header = split_prefixes(update)
 
     m = re.match(r"(?is)^\s*(insert|delete)\s+data\s*\{(.*)\}\s*$", body)
     if m:

@@ -115,7 +115,17 @@ def synth_pages(sf_dir: str, replicate: int = 1,
                 # (measured at 5M pages / 8 cpus: 156k pages/task 358 s
                 # fused wall, 39k pages/task 125 s; 1M-2M runs at <=62k
                 # pages/task scale linearly)
-                n_seed = docs.count()   # seed tables are metadata-small
+                # count a doc_id-only projection: the shard filter blocks
+                # metadata-count pushdown on `docs`, and counting it
+                # directly would read the full text column once just to
+                # size the repartition
+                seed_ids = ray.data.read_parquet(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id"])
+                if shard is not None:
+                    seed_ids = seed_ids.map_batches(
+                        lambda df, n=shard[0], i=shard[1]:
+                        df[df["doc_id"] % n == i], batch_format="pandas")
+                n_seed = seed_ids.count()
                 need = -(-n_seed * replicate // 50_000)
                 expand_blocks = min(max(expand_blocks, need), 512)
     if replicate > 1 and expand_blocks > 0:

@@ -100,7 +100,7 @@ def test_unsupported_clauses_raise(quads):
         quad_select(quads, [(None, [("?a", V + "lang", "?b")]),
                             (None, [("?c", V + "mentions", "?d")])],
                     ["?a", "?c"])
-    with pytest.raises(ValueError, match="bad GRAPH term"):
+    with pytest.raises(ValueError, match="bad graph term"):
         sparql_select_quads(
             quads, "SELECT ?d WHERE { GRAPH unknown:g { ?d ?p ?o } }")
 
@@ -118,3 +118,30 @@ def test_from_named_restricts_graph_patterns(quads):
     SELECT ?g ?d FROM NAMED <{G}g2> WHERE {{ GRAPH ?g {{ ?d v:lang ?l }} }}"""
     got = to_pandas(sparql_select_quads(quads, q))
     assert sorted(map(tuple, got.values)) == [(G + "g2", "d3")]
+
+
+def test_dataset_clause_replaces_whole_dataset(quads):
+    # SPARQL 13.2: ANY dataset clause replaces the implicit dataset — FROM
+    # alone leaves the named-graph set EMPTY (GRAPH matches nothing), FROM
+    # NAMED alone leaves the default graph EMPTY (bare patterns match
+    # nothing)
+    q = f"""PREFIX v: <{V}>
+    SELECT ?g ?d FROM <{G}g1> WHERE {{ GRAPH ?g {{ ?d v:lang ?l }} }}"""
+    assert len(to_pandas(sparql_select_quads(quads, q))) == 0
+    q = f"""PREFIX v: <{V}>
+    SELECT ?d ?e FROM NAMED <{G}g1> WHERE {{ ?d v:mentions ?e }}"""
+    assert len(to_pandas(sparql_select_quads(quads, q))) == 0
+
+
+def test_from_clause_scoped_to_dataset_position(quads):
+    # 'from' tokens inside the WHERE block (a ?from variable) must not be
+    # eaten by the dataset-clause scan
+    q = f"""SELECT ?from WHERE {{ ?from <{V}lang> "fr" }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert got["from"].tolist() == ["d3"]
+    # prefixed graph names work in dataset clauses
+    q = f"""PREFIX v: <{V}>
+    PREFIX g: <{G}>
+    SELECT ?d ?e FROM g:g1 WHERE {{ ?d v:mentions ?e }}"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(map(tuple, got.values)) == [("d1", "e1"), ("d2", "e2")]
