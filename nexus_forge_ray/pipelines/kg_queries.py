@@ -186,6 +186,42 @@ def kg_graph_with_update(sf_dir: str):
     return sparql_update_quads(kg_quads(sf_dir), q)
 
 
+def kg_graph_data_update(sf_dir: str):
+    """Quad-level INSERT DATA / DELETE DATA with GRAPH blocks, dispatched
+    through forge.sparql: add two constant quads to the src0 feed, then
+    delete one of them again — returns the src0 slice (the surviving
+    insert plus the feed's original quads). Deletes are one bucketed
+    anti-join on the composite quad key; untouched feeds pass through."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    quads = kg_quads(sf_dir)
+    ins = """PREFIX v: <http://example.org/vocab/>
+    PREFIX g: <http://example.org/graph/>
+    PREFIX e: <http://example.org/entity/>
+    PREFIX d: <http://example.org/doc/>
+    INSERT DATA { GRAPH g:src0 { d:crawlnote v:mentions e:spark .
+                                 d:crawlnote v:lang "en" } }"""
+    dele = """PREFIX v: <http://example.org/vocab/>
+    PREFIX g: <http://example.org/graph/>
+    PREFIX d: <http://example.org/doc/>
+    DELETE DATA { GRAPH g:src0 { d:crawlnote v:lang "en" } }"""
+    out = forge.sparql(dele, forge.sparql(ins, quads))
+    return out.map_batches(
+        lambda df: df[df["graph"] == "http://example.org/graph/src0"],
+        batch_format="pandas")
+
+
+def kg_default_graph_agg(sf_dir: str):
+    """GRAPH-free aggregate over the quad table: forge.sparql projects the
+    set-semantic default graph (distinct union of the feeds) ONCE and runs
+    the full triple engine — per-entity doc counts here. One distinct
+    exchange + one grouped agg; the graph column never shuffles."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d v:mentions ?e } GROUP BY ?e"""
+    return KnowledgeGraphForge().sparql(q, kg_quads(sf_dir))
+
+
 def kg_resolve_exact(sf_dir: str):
     """Distinct corpus tokens resolved EXACT against the KB (label/acronym)."""
     mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]), KB.KB_TERMS)
@@ -977,6 +1013,8 @@ QUERIES = {
     "kg_graph_drop": kg_graph_drop,
     "kg_graph_from": kg_graph_from,
     "kg_graph_with_update": kg_graph_with_update,
+    "kg_graph_data_update": kg_graph_data_update,
+    "kg_default_graph_agg": kg_default_graph_agg,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,
     "kg_validate_customers": kg_validate_customers,

@@ -524,6 +524,27 @@ ORACLES: dict[str, str] = {
                obj
         from q
     """,
+    # INSERT DATA { GRAPH g:src0 {2 quads} } then DELETE DATA of one of
+    # them, src0 slice: the feed's original quads + the surviving insert
+    "kg_graph_data_update": f"""
+        with {_KG_QUADS_CTE}
+        select graph, subj, pred, obj from q
+        where graph = 'http://example.org/graph/src0'
+        union all
+        select 'http://example.org/graph/src0',
+               'http://example.org/doc/crawlnote',
+               'http://example.org/vocab/mentions',
+               'http://example.org/entity/spark'
+    """,
+    # GRAPH-free aggregate over the quad table = grouped count over the
+    # DISTINCT union of the named graphs (the default graph)
+    "kg_default_graph_agg": f"""
+        with {_KG_QUADS_CTE},
+        dq as (select distinct subj, pred, obj from q)
+        select obj as e, count(*) as n from dq
+        where pred = 'http://example.org/vocab/mentions'
+        group by obj
+    """,
     # SPARQL 1.1 Update rename (DELETE {{?d v:lang ?l}} INSERT {{?d
     # v:language ?l}} WHERE ...) == set algebra: survivors ∪ rewritten,
     # deduped (RDF graphs are sets)

@@ -165,3 +165,89 @@ def test_quads_bad_form_raises(qgraph):
     from nexus_forge_ray.kg.update import sparql_update_quads
     with pytest.raises(ValueError, match="unsupported quad update"):
         sparql_update_quads(qgraph, "RENAME <g1> TO <g2>")
+
+
+def test_quads_same_graph_add_copy_move_are_noops(qgraph):
+    # SPARQL 1.1 Update 3.2.5-3.2.7: same source and destination is a no-op
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    before = _qrows(qgraph)
+    for op in ("ADD", "COPY", "MOVE"):
+        assert _qrows(sparql_update_quads(qgraph, f"{op} <g1> TO <g1>")) \
+            == before
+
+
+def test_quads_add_keeps_untouched_graph_bags(ray_session):
+    # dedup is scoped to the destination slice: graph g3's duplicate rows
+    # (bag semantics) must pass through ADD verbatim, like DROP/WITH
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    qs = ray.data.from_pandas(pd.DataFrame({
+        "graph": ["g1", "g2", "g3", "g3"],
+        "subj": ["a", "a", "z", "z"],
+        "pred": ["http://v/m"] * 4,
+        "obj": ["x", "y", "dup", "dup"],
+    }))
+    rows = _qrows(sparql_update_quads(qs, "ADD <g1> TO <g2>"))
+    assert rows.count(("g3", "z", "http://v/m", "dup")) == 2
+    assert ("g2", "a", "http://v/m", "x") in rows
+
+
+def test_forge_sparql_dispatches_quad_updates(qgraph):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    rows = _qrows(forge.sparql("DROP GRAPH <g1>", qgraph))
+    assert rows and all(r[0] == "g2" for r in rows)
+    q = """PREFIX v: <http://v/>
+    WITH <g1> DELETE { ?d v:lang ?l } INSERT { ?d v:language ?l }
+    WHERE { ?d v:lang ?l }"""
+    rows = _qrows(forge.sparql(q, qgraph))
+    assert ("g1", "a", "http://v/language", "en") in rows
+    assert ("g2", "a", "http://v/lang", "fr") in rows
+
+
+def test_quads_clear_all(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    assert sparql_update_quads(qgraph, "CLEAR ALL").count() == 0
+    assert sparql_update_quads(qgraph, "DROP NAMED").count() == 0
+
+
+def test_quads_insert_delete_data_graph_blocks(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    out = sparql_update_quads(
+        qgraph, 'PREFIX v: <http://v/> INSERT DATA { '
+                'GRAPH <g3> { <n> v:m "z" } '
+                'GRAPH <g1> { <a> v:m "x" } }')  # re-assert existing: set
+    rows = _qrows(out)
+    assert ("g3", "n", "http://v/m", "z") in rows
+    assert rows.count(("g1", "a", "http://v/m", "x")) == 1
+    assert len(rows) == 5
+    out = sparql_update_quads(
+        qgraph, 'PREFIX v: <http://v/> DELETE DATA { '
+                'GRAPH <g2> { <a> v:lang "fr" } }')
+    rows = _qrows(out)
+    assert ("g2", "a", "http://v/lang", "fr") not in rows
+    assert len(rows) == 3
+    # the same triple in the OTHER graph must survive a targeted delete
+    assert ("g1", "a", "http://v/lang", "en") in rows
+
+
+def test_quads_data_without_graph_block_raises(qgraph):
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    with pytest.raises(ValueError, match="GRAPH"):
+        sparql_update_quads(
+            qgraph, 'PREFIX v: <http://v/> INSERT DATA { <n> v:m "z" }')
+
+
+def test_forge_full_triple_engine_over_default_graph(qgraph):
+    # a GRAPH-free query on a quad dataset gets the FULL bgp surface
+    # (FILTER here) over the set-semantic default-graph union
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    q = """PREFIX v: <http://v/>
+    SELECT ?d ?l WHERE { ?d v:lang ?l . FILTER(?l = "fr") }"""
+    df = forge.sparql(q, qgraph).to_pandas()
+    assert sorted(map(tuple, df[["d", "l"]].values)) == [("a", "fr")]
+    # ... and aggregates
+    q = """PREFIX v: <http://v/>
+    SELECT (COUNT(*) AS ?n) WHERE { ?d v:lang ?l }"""
+    df = forge.sparql(q, qgraph).to_pandas()
+    assert df["n"].tolist() == [2]
