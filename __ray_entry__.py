@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,
+        "dsir_weights": corpus.dsir_weights,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
     })

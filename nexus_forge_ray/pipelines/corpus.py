@@ -1043,6 +1043,97 @@ def doc_sample_per_lang(sf_dir: str):
     return out[["lang", "doc_id"]]
 
 
+_DSIR_K = 256  # hashed-feature buckets: the learned stats are 2 x K floats
+
+
+def _dsir_bucket_rows(df: pd.DataFrame, k: int = _DSIR_K) -> pd.DataFrame:
+    """(doc_id, bucket, tf) rows: per-doc hashed-bigram counts, vectorized
+    (one numpy shift + md5 bucket hash, doc boundaries respected). Docs
+    are single rows, so per-doc counts complete within the batch."""
+    from nexus_forge_ray.utils import md5_u64
+    toks = df["text"].fillna("").str.split()
+    counts = toks.map(len).to_numpy()
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "bucket": pd.Series(dtype="int64"),
+                          "tf": pd.Series(dtype="int64")})
+    if len(flat) < 2:
+        return empty
+    ids = df["doc_id"].to_numpy().repeat(counts)
+    starts = np.ones(len(flat), dtype=bool)
+    ends = np.cumsum(counts) - 1
+    ends = ends[(ends >= 0) & (ends < len(flat))]
+    starts[ends] = False
+    keep = starts[:-1]
+    if not keep.any():
+        return empty
+    bg = pd.Series(flat[:-1][keep]) + " " + pd.Series(flat[1:][keep])
+    out = pd.DataFrame({
+        "doc_id": ids[:-1][keep],
+        "bucket": (md5_u64(bg) % np.uint64(k)).astype("int64")})
+    return out.groupby(["doc_id", "bucket"], as_index=False).size() \
+        .rename(columns={"size": "tf"})
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed-bigram features, per-doc weight = sum over the doc's bigrams of
+    ln(p_target(bucket) / p_raw(bucket)) with add-1 smoothing.
+
+    Scale shape: the TARGET stats come from the small curated slice
+    (lang='en' docs at doc_id%10==0) and the RAW stats from a 1/7
+    deterministic hash sample of the pool — the learning pass never sums
+    over the full corpus. Both count vectors reduce through ONE bucketed
+    groupby of K=256 pre-aggregated rows per block; only the 2 x 256
+    floats reach the driver and broadcast back into the scoring closure.
+    The scoring pass is shuffle-free: docs are single rows, so each
+    batch's per-doc sums are complete map-side."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def learn_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = df[(df["lang"] == "en") & (df["doc_id"] % 10 == 0)]
+        raw = df[df["doc_id"] % 7 == 3]
+        t = _dsir_bucket_rows(tgt).groupby("bucket", as_index=False) \
+            .agg(n_tgt=("tf", "sum")).assign(n_raw=0)
+        r = _dsir_bucket_rows(raw).groupby("bucket", as_index=False) \
+            .agg(n_raw=("tf", "sum")).assign(n_tgt=0)
+        return pd.concat([t, r], ignore_index=True)[
+            ["bucket", "n_tgt", "n_raw"]]
+
+    stats = hash_groupby_agg(
+        ds.map_batches(learn_rows, batch_format="pandas"), "bucket",
+        {"n_tgt": ("n_tgt", "sum"), "n_raw": ("n_raw", "sum")},
+        num_buckets=4).to_pandas()
+    n_tgt = np.zeros(_DSIR_K)
+    n_raw = np.zeros(_DSIR_K)
+    b = stats["bucket"].to_numpy(dtype=np.int64)
+    n_tgt[b] = stats["n_tgt"].to_numpy(dtype=np.float64)
+    n_raw[b] = stats["n_raw"].to_numpy(dtype=np.float64)
+    lam = np.log((n_tgt + 1.0) / (n_tgt.sum() + _DSIR_K)) \
+        - np.log((n_raw + 1.0) / (n_raw.sum() + _DSIR_K))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rows = _dsir_bucket_rows(df)
+        if not len(rows):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "dsir_weight": pd.Series(dtype="float64")})
+        rows["w"] = rows["tf"].to_numpy(dtype=np.float64) \
+            * lam[rows["bucket"].to_numpy()]
+        agg = rows.groupby("doc_id", as_index=False).agg(w=("w", "sum"))
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"],
+            "dsir_weight": pc.round(
+                pa.array(agg["w"], type=pa.float64()), ndigits=4,
+                round_mode="half_towards_infinity").to_pandas()})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def doc_bigrams(sf_dir: str):
     """Corpus bigram counts, top 20 (the n-gram-LM / tokenizer-merge-table
     building block): bigrams are generated map-side from each doc's token

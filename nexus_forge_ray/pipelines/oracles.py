@@ -1877,6 +1877,34 @@ ORACLES: dict[str, str] = {
             partition by lang
             order by md5_number_lower(cast(doc_id as varchar)), doc_id) <= 10
     """,
+    # DSIR importance weights: hashed-bigram (md5_number_lower % 256)
+    # target/raw log-ratio with add-1 smoothing; target = curated slice
+    # (lang='en', doc_id%10==0), raw = 1/7 hash sample of the pool
+    "dsir_weights": """
+        with t as (select doc_id, lang, string_split(text, ' ') as toks
+                   from documents),
+        i as (select doc_id, lang, toks,
+                     unnest(generate_series(1, len(toks) - 1)) as i from t),
+        b as (select doc_id, lang,
+                     (md5_number_lower(toks[i] || ' ' || toks[i+1])
+                      % 256)::bigint as bucket from i),
+        ct as (select bucket, count(*)::double as n from b
+               where lang = 'en' and doc_id % 10 = 0 group by 1),
+        cr as (select bucket, count(*)::double as n from b
+               where doc_id % 7 = 3 group by 1),
+        lam as (select k.bucket,
+                       ln((coalesce(ct.n, 0) + 1)
+                          / ((select coalesce(sum(n), 0) from ct) + 256))
+                     - ln((coalesce(cr.n, 0) + 1)
+                          / ((select coalesce(sum(n), 0) from cr) + 256))
+                       as lam
+                from (select unnest(generate_series(0, 255)) as bucket) k
+                left join ct on k.bucket = ct.bucket
+                left join cr on k.bucket = cr.bucket)
+        select b.doc_id, round(sum(lam.lam), 4) as dsir_weight
+        from b join lam using (bucket)
+        group by b.doc_id
+    """,
     "doc_bigrams": """
         with t as (select string_split(text, ' ') as toks from documents),
              i as (select toks,

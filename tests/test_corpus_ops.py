@@ -34,6 +34,7 @@ CASES = {
     "q_events_pivot": relational.q_events_pivot,
     "q_events_gap": relational.q_events_gap,
     "q_revenue_rollup": relational.q_revenue_rollup,
+    "dsir_weights": corpus.dsir_weights,
 }
 
 
@@ -232,3 +233,21 @@ def test_compact_parquet(ray_session, sf_dir, tmp_path):
     a = pd.read_parquet(src).sort_values("doc_id").reset_index(drop=True)
     b = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dsir_weights_separate_target_from_junk(ray_session, tmp_path):
+    # docs matching the curated-target distribution must outweigh docs
+    # matching the raw-pool distribution
+    tgt = "good clean prose flows here " * 4
+    junk = "zz qq xx vv kk jj " * 4
+    df = pd.DataFrame({
+        "doc_id": [10, 20, 3, 17, 5, 6],
+        #          ^target slice  ^raw sample  ^scored probes
+        "text": [tgt, tgt, junk, junk, tgt, junk],
+        "lang": ["en"] * 6,
+    })
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = corpus.dsir_weights(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["dsir_weight"]
+    assert out[5] > out[6]
+    assert out[10] > 0 > out[3]
