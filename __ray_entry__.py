@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,
         "dsir_weights": corpus.dsir_weights,
+        "doc_substring_dedup": corpus.doc_substring_dedup,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
     })

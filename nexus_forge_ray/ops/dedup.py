@@ -705,6 +705,107 @@ def span_dedup(ds: ray.data.Dataset, *, k: int = 8, text_col: str = "text",
         .groupby("__bkt2").map_groups(assemble, batch_format="pandas")
 
 
+def substring_dedup(ds: ray.data.Dataset, *, k: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Exact duplicated-substring removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — suffix-array semantics at
+    k-token anchor resolution): every OVERLAPPING k-token window whose text
+    occurred earlier in the corpus (global (doc_id, pos) order) has its
+    tokens removed; the globally first occurrence keeps its text. Any
+    duplicated run of >= k tokens is therefore cut from all but its first
+    occurrence (the window resolution is the bound: shorter repeats
+    survive). Unlike span_dedup's non-overlapping chunks, a duplicated
+    passage is caught at ANY token offset.
+
+    Scale shape: shuffle 1 ships only (doc_id, pos, h64) anchor rows
+    (~24 B per window, never gram text) bucketed by the 64-bit gram hash
+    for the first-occurrence election; shuffle 2 ships each doc's text
+    ONCE plus its duplicate positions, bucketed by doc id, and the mask
+    reassembly is one explode + anti-merge + groupby join (all
+    vectorized). A 64-bit anchor-hash collision can over-delete one
+    window (~2^-64 per pair) — the digest-equality trade documented at
+    dedup_incremental.
+    """
+    def anchors(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=batch[id_col].dtype
+                              if len(batch) else "int64"),
+            "pos": pd.Series(dtype="int64"),
+            "h": pd.Series(dtype="uint64"),
+            "__bucket": pd.Series(dtype="int32")})
+        toks = batch[text_col].fillna("").str.split(" ")
+        counts = toks.map(len).to_numpy()
+        n = int(counts.sum())
+        if n < k:
+            return empty
+        flat = toks.explode().to_numpy(dtype=object)
+        docidx = np.repeat(np.arange(len(counts)), counts)
+        valid = docidx[: n - k + 1] == docidx[k - 1:]
+        if not valid.any():
+            return empty
+        gram = pd.Series(flat[: n - k + 1][valid])
+        for i in range(1, k):
+            gram = gram + " " + pd.Series(flat[i: n - k + 1 + i][valid])
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        win = np.arange(n - k + 1)[valid]
+        h = stable_hash_u64(gram)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[docidx[win]],
+            "pos": (win - starts[docidx[win]]).astype("int64"),
+            "h": h,
+            "__bucket": (h % np.uint64(num_buckets)).astype("int32")})
+
+    def elect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", id_col, "pos"], kind="mergesort")
+        dup = g[g.duplicated(subset="h")]
+        out = pd.DataFrame({id_col: dup[id_col].to_numpy(),
+                            "pos": dup["pos"].to_numpy(dtype="int64")})
+        out[text_col] = ""
+        out["__bkt2"] = (stable_hash_u64(out[id_col])
+                         % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def carrier(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                            "pos": np.full(len(batch), -1, dtype="int64")})
+        out[text_col] = batch[text_col].fillna("").to_numpy()
+        out["__bkt2"] = (stable_hash_u64(out[id_col])
+                         % np.uint64(num_buckets)).astype("int32")
+        return out
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        carriers = group[group["pos"] < 0]
+        dups = group[group["pos"] >= 0]
+        toks = carriers[text_col].str.split(" ")
+        counts = toks.map(len).to_numpy()
+        flat = toks.explode().to_numpy(dtype=object)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tokdf = pd.DataFrame({
+            id_col: carriers[id_col].to_numpy().repeat(counts),
+            "i": np.arange(len(flat))
+            - starts.repeat(counts).astype("int64"),
+            "tok": flat})
+        if len(dups):
+            cov = pd.DataFrame({
+                id_col: dups[id_col].to_numpy().repeat(k),
+                "i": (dups["pos"].to_numpy(dtype="int64")[:, None]
+                      + np.arange(k)).ravel()}).drop_duplicates()
+            tokdf = tokdf.merge(cov, on=[id_col, "i"], how="left",
+                                indicator=True)
+            tokdf = tokdf[tokdf["_merge"] == "left_only"]
+        txt = tokdf.sort_values([id_col, "i"], kind="mergesort") \
+            .groupby(id_col, sort=False)["tok"].agg(" ".join)
+        all_ids = pd.Index(carriers[id_col].unique(), name=id_col)
+        return txt.reindex(all_ids, fill_value="").rename(text_col) \
+            .reset_index()
+
+    dups = ds.map_batches(anchors, batch_format="pandas") \
+        .groupby("__bucket").map_groups(elect, batch_format="pandas")
+    return ds.map_batches(carrier, batch_format="pandas").union(dups) \
+        .groupby("__bkt2").map_groups(assemble, batch_format="pandas")
+
+
 # ------------------------------------------------------------ incremental
 
 def dedup_incremental(new_ds: ray.data.Dataset, index_dir: str, *,

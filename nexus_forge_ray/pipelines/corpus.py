@@ -639,6 +639,19 @@ def doc_span_dedup(sf_dir: str):
         batch_format="pandas")
 
 
+def doc_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring removal at 8-token window resolution
+    (Lee et al. 2022 semantics): overlapping windows, globally first
+    occurrence keeps its text, every later occurrence's tokens are cut.
+    Compared by md5 so the oracle hash stays small."""
+    from nexus_forge_ray.utils import md5_hex
+    out = dd.substring_dedup(_docs(sf_dir, ["doc_id", "text"]), k=8)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "dedup_md5": md5_hex(df["text"])}),
+        batch_format="pandas")
+
+
 def doc_approx_distinct(sf_dir: str):
     """HLL (p=12) approximate distinct token count over the corpus vs the
     documents' source labels. Rows-only: approximate by design (~1.6% std

@@ -1264,6 +1264,37 @@ ORACLES: dict[str, str] = {
                             filter (where keep), '')) as dedup_md5
         from w group by doc_id
     """,
+    # exact substring dedup, overlapping 8-token windows: rn>1 occurrences
+    # (global (doc_id, pos) order per gram) cover their 8 positions; kept
+    # tokens reassemble in order
+    "doc_substring_dedup": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        p as (select doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 7)) as pos
+              from t where len(toks) >= 8),
+        g as (select doc_id, pos,
+                     array_to_string(toks[pos:pos+7], ' ') as gram from p),
+        d as (select doc_id, pos from (
+                select doc_id, pos,
+                       row_number() over (partition by gram
+                                          order by doc_id, pos) as rn
+                from g)
+              where rn > 1),
+        cov as (select distinct doc_id,
+                       unnest(generate_series(pos, pos + 7)) as i from d),
+        tok as (select doc_id, toks,
+                       unnest(generate_series(1, len(toks))) as i from t),
+        kept as (select tok.doc_id,
+                        string_agg(tok.toks[tok.i], ' ' order by tok.i)
+                            as txt
+                 from tok left join cov on tok.doc_id = cov.doc_id
+                                       and tok.i = cov.i
+                 where cov.doc_id is null
+                 group by tok.doc_id)
+        select t.doc_id, md5(coalesce(kept.txt, '')) as dedup_md5
+        from t left join kept using (doc_id)
+    """,
     "doc_heavy_tokens": """
         select t as token, count(*)::bigint as est_count
         from (select unnest(string_split_regex(trim(text), '\\s+')) as t

@@ -35,6 +35,7 @@ CASES = {
     "q_events_gap": relational.q_events_gap,
     "q_revenue_rollup": relational.q_revenue_rollup,
     "dsir_weights": corpus.dsir_weights,
+    "doc_substring_dedup": corpus.doc_substring_dedup,
 }
 
 
@@ -251,3 +252,35 @@ def test_dsir_weights_separate_target_from_junk(ray_session, tmp_path):
         .set_index("doc_id")["dsir_weight"]
     assert out[5] > out[6]
     assert out[10] > 0 > out[3]
+
+
+def test_substring_dedup_catches_offset_duplicates(ray_session):
+    # the duplicated passage sits at DIFFERENT offsets — span_dedup's
+    # aligned chunks would miss it; overlapping windows must not
+    from nexus_forge_ray.ops.dedup import substring_dedup
+    passage = "one two three four five six seven eight"       # 8 tokens
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"intro {passage}",            # first occurrence (kept)
+                 f"a b c {passage} tail",       # offset 3: passage cut
+                 "totally unrelated text here"],
+    })
+    out = substring_dedup(ray.data.from_pandas(df).repartition(3), k=8) \
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    assert out[1] == f"intro {passage}"
+    assert out[2] == "a b c tail"
+    assert out[3] == "totally unrelated text here"
+
+
+def test_substring_dedup_within_doc_and_long_runs(ray_session):
+    from nexus_forge_ray.ops.dedup import substring_dedup
+    run = " ".join(f"w{i}" for i in range(12))   # 12-token duplicated run
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [f"{run} mid {run}",  # within-doc repeat: 2nd copy cut
+                 f"pre {run} post"],  # cross-doc: whole 12-token run cut
+    })
+    out = substring_dedup(ray.data.from_pandas(df).repartition(2), k=8) \
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    assert out[1] == f"{run} mid"
+    assert out[2] == "pre post"
