@@ -301,13 +301,17 @@ class KnowledgeGraphForge:
                                             split_prefixes)
         is_quads = "graph" in triples.schema().names
         # the keyword alone is not enough (a ?delete VARIABLE must not
-        # dispatch): update forms are always INSERT/DELETE followed by
-        # DATA / WHERE / a template brace; the graph-management forms
+        # dispatch): update forms are always a bare INSERT/DELETE keyword
+        # (lookbehind: not ?delete, not pfx:delete) followed by DATA /
+        # WHERE / a template brace; the graph-management forms
         # (CLEAR/DROP/ADD/COPY/MOVE/WITH) are leading keywords after the
-        # PREFIX header
-        stripped = _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", query)
+        # PREFIX header. IRIs and both literal quote forms are stripped
+        # before any keyword scan.
+        strip_terms = r"<[^>]*>|\"[^\"]*\"|'[^']*'"
+        stripped = _re.sub(strip_terms, " ", query)
         is_update = bool(_re.search(
-            r"(?is)\b(insert|delete)\s*(data\b|where\b|\{)", stripped))
+            r"(?is)(?<![?\w:])(insert|delete)\s*(data\b|where\b|\{)",
+            stripped))
         if is_quads:
             _, body, _ = split_prefixes(query)
             if is_update or _re.match(
@@ -318,7 +322,7 @@ class KnowledgeGraphForge:
             # lookbehind keeps ?graph / ?from VARIABLES (and pfx:graph
             # local names) from tripping the dispatch
             if _re.search(r"(?is)(?<![?\w:])(graph|from)\b",
-                          _re.sub(r"<[^>]*>|\"[^\"]*\"", " ", body)):
+                          _re.sub(strip_terms, " ", body)):
                 from nexus_forge_ray.kg.graphs import sparql_select_quads
                 return sparql_select_quads(triples, query, **kw)
             # GRAPH-free, FROM-free query over an RDF dataset: it only

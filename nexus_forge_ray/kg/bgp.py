@@ -295,6 +295,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     """
     import re
 
+    query = normalize_quotes(query)
     prefixes = dict(re.findall(
         r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", query))
     # pull nested `{ SELECT ... }` groups (subqueries) BEFORE the outer
@@ -1157,12 +1158,24 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     return out.limit(q.limit) if q.limit is not None else out
 
 
+def normalize_quotes(text: str) -> str:
+    """Rewrite single-quoted SPARQL literals to the double-quoted form the
+    parsers use ('fr' -> "fr"), leaving double-quoted spans — apostrophes
+    inside them included — untouched (the alternation consumes them
+    first)."""
+    return re.sub(r'("[^"]*")|\'([^\']*)\'',
+                  lambda m: m.group(1) if m.group(1) is not None
+                  else '"' + m.group(2) + '"', text)
+
+
 def split_prefixes(text: str) -> tuple[dict[str, str], str, str]:
     """(prefixes, body-without-PREFIX-decls, rebuilt PREFIX header) of a
     query/update string — the one shared scrape for every SPARQL surface
-    (bgp / quads / updates), so the resolvers cannot drift."""
+    (bgp / quads / updates), so the resolvers cannot drift. The body comes
+    back with single-quoted literals normalized to double quotes."""
     prefixes = dict(re.findall(r"(?i)\bprefix\s+(\w*):\s*<([^>]*)>", text))
-    body = re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", text).strip()
+    body = normalize_quotes(
+        re.sub(r"(?i)\bprefix\s+\w*:\s*<[^>]*>", " ", text).strip())
     header = "\n".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
     return prefixes, body, header
 

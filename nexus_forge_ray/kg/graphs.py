@@ -74,23 +74,17 @@ def match_quad(ds: ray.data.Dataset,
 
 
 def default_graph_view(quads: ray.data.Dataset, *,
-                       from_graphs: list[str] | None = None,
                        num_buckets: int = 16) -> ray.data.Dataset:
     """The RDF dataset's default graph as a (subj, pred, obj) triple
-    Dataset: the set-semantic union of the named graphs (optionally
-    restricted to ``from_graphs``). GRAPH-free queries over a quad table
-    run the FULL triple engine (kg.bgp — FILTER/OPTIONAL/paths/aggregates)
-    over this view; the quad engine is only needed when GRAPH patterns
-    bind graph names."""
+    Dataset: the set-semantic union of the named graphs. GRAPH-free,
+    FROM-free queries over a quad table run the FULL triple engine
+    (kg.bgp — FILTER/OPTIONAL/paths/aggregates) over this view; the quad
+    engine handles GRAPH patterns and dataset clauses (its own restrict()
+    implements the 13.2 replacement semantics)."""
     from nexus_forge_ray.ops.agg import distinct_rows
-    src = quads
-    if from_graphs is not None:
-        src = src.map_batches(
-            lambda df, gs=frozenset(from_graphs): df[df["graph"].isin(gs)],
-            batch_format="pandas")
     return distinct_rows(
-        src.map_batches(lambda df: df[["subj", "pred", "obj"]],
-                        batch_format="pandas"),
+        quads.map_batches(lambda df: df[["subj", "pred", "obj"]],
+                          batch_format="pandas"),
         ["subj", "pred", "obj"], num_buckets=num_buckets, keep_cols=[])
 
 

@@ -154,10 +154,23 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
                              "default-graph store)")
         if not parts:
             raise ValueError("empty data block")
-        data = ray.data.from_pandas(pd.concat(parts, ignore_index=True))
+        const = pd.concat(parts, ignore_index=True)
+        data = ray.data.from_pandas(const)
         if op == "insert":
-            return distinct_rows(quads.union(data), list(_QUAD_COLS),
-                                 num_buckets=num_buckets, keep_cols=[])
+            # dedupe ONLY the touched graphs' slices: untouched graphs
+            # keep bag pass-through (like ADD/COPY/MOVE/DROP/WITH) and
+            # the distinct exchange is sized to the touched slices, not
+            # the corpus
+            touched = frozenset(const["graph"])
+            rest = quads.map_batches(
+                lambda df, gs=touched: df[~df["graph"].isin(gs)],
+                batch_format="pandas")
+            merged = quads.map_batches(
+                lambda df, gs=touched: df[df["graph"].isin(gs)],
+                batch_format="pandas").union(data)
+            return rest.union(distinct_rows(
+                merged, list(_QUAD_COLS),
+                num_buckets=num_buckets, keep_cols=[]))
         from nexus_forge_ray.ops.joins import partitioned_anti_join
 
         def keyed(df: pd.DataFrame) -> pd.DataFrame:

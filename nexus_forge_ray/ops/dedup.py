@@ -800,6 +800,7 @@ def substring_dedup(ds: ray.data.Dataset, *, k: int = 8,
         return txt.reindex(all_ids, fill_value="").rename(text_col) \
             .reset_index()
 
+    ds = ds.materialize()  # consumed twice: anchor pass + carrier pass
     dups = ds.map_batches(anchors, batch_format="pandas") \
         .groupby("__bucket").map_groups(elect, batch_format="pandas")
     return ds.map_batches(carrier, batch_format="pandas").union(dups) \

@@ -251,3 +251,36 @@ def test_forge_full_triple_engine_over_default_graph(qgraph):
     SELECT (COUNT(*) AS ?n) WHERE { ?d v:lang ?l }"""
     df = forge.sparql(q, qgraph).to_pandas()
     assert df["n"].tolist() == [2]
+
+
+def test_quads_insert_data_keeps_untouched_graph_bags(ray_session):
+    # INSERT DATA dedupes only the TOUCHED graphs' slices: g3's duplicate
+    # rows pass through verbatim, like ADD/COPY/MOVE/DROP/WITH
+    from nexus_forge_ray.kg.update import sparql_update_quads
+    qs = ray.data.from_pandas(pd.DataFrame({
+        "graph": ["g1", "g3", "g3"],
+        "subj": ["a", "z", "z"],
+        "pred": ["http://v/m"] * 3,
+        "obj": ["x", "dup", "dup"],
+    }))
+    rows = _qrows(sparql_update_quads(
+        qs, 'INSERT DATA { GRAPH <g2> { <n> <http://v/m> "v" } }'))
+    assert rows.count(("g3", "z", "http://v/m", "dup")) == 2
+    assert ("g2", "n", "http://v/m", "v") in rows
+
+
+def test_forge_dispatch_ignores_keyword_shaped_variables(graph, qgraph):
+    # ?delete / ?insert variables and quoted literals must not steer the
+    # dispatch into the update or quad engines
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    forge = KnowledgeGraphForge()
+    out = forge.sparql(
+        "SELECT ?delete WHERE { ?delete <http://v/old> ?o }",
+        graph).to_pandas()
+    assert sorted(out["delete"]) == ["a", "b"]
+    # single-quoted literal containing 'from'/'graph' words on a quad
+    # table still routes to the full default-graph triple engine
+    out = forge.sparql(
+        "SELECT ?d WHERE { ?d <http://v/lang> 'fr' . "
+        "FILTER(?d != 'graph from nowhere') }", qgraph).to_pandas()
+    assert out["d"].tolist() == ["a"]
