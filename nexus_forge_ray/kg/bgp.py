@@ -904,6 +904,11 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
                 cols[alias] = batch[var]         # raw strings, no coercion
             else:
                 cols[alias] = pd.to_numeric(batch[var], errors="coerce")
+                if func in ("min", "max"):
+                    # string fallback: SPARQL MIN/MAX over non-numeric
+                    # literals compare by codepoint — carry the raw values
+                    # so groups with zero coercible bindings still resolve
+                    cols[alias + "__s"] = batch[var]
             if func == "avg":
                 cols[alias + "__n"] = cols[alias].notna().astype("float64")
         return keyed(batch, cols)
@@ -918,6 +923,8 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             aggs[alias] = (alias, how)
             if func == "avg":
                 aggs[alias + "__n"] = (alias + "__n", "sum")
+            elif func in ("min", "max"):
+                aggs[alias + "__s"] = (alias + "__s", how)
         out = hash_groupby_agg(
             ds.map_batches(partial, batch_format="pandas"),
             keys, aggs, num_buckets=16)
@@ -949,6 +956,12 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
                 df = df.drop(columns=[alias + "__n"])
             elif func in ("count", "count_distinct"):
                 df[alias] = df[alias].astype("int64")
+            elif func in ("min", "max"):
+                miss = df[alias].isna()
+                if miss.any():   # all-numeric groups keep their dtype
+                    df[alias] = df[alias].astype(object)
+                    df.loc[miss, alias] = df.loc[miss, alias + "__s"]
+                df = df.drop(columns=[alias + "__s"])
             elif func.startswith("group_concat"):
                 sep = func.split("\x00", 1)[1]
                 df[alias] = df[alias].map(

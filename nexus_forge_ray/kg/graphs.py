@@ -20,14 +20,16 @@ itself is never shuffled. The web-KG construction convention here is one
 named graph per SOURCE (crawl feed / host), so per-source slices are
 constant-graph scans with zero exchange.
 
-Grammar (subset): PREFIX header; ``SELECT [DISTINCT] ?v...
-[FROM <g>]* [FROM NAMED <g>]* WHERE { body } [LIMIT n]``; body = bare
-triple patterns (default graph) and/or
-``GRAPH (?var | <iri> | pfx:name) { triple patterns }`` blocks. FROM
-restricts the default graph to the listed graphs' union, FROM NAMED
-restricts what GRAPH patterns may match. FILTER / OPTIONAL / UNION /
-property paths inside the quad surface raise — use
-`kg.bgp.sparql_select` on a triple projection for those.
+Grammar (subset): PREFIX header; ``SELECT [DISTINCT] (?v | (FUNC(?v|*)
+AS ?alias))... [FROM <g>]* [FROM NAMED <g>]* WHERE { body }
+[GROUP BY ?v...] [LIMIT n]``; body = bare triple patterns (default
+graph) and/or ``GRAPH (?var | <iri> | pfx:name) { triple patterns }``
+blocks. FROM restricts the default graph to the listed graphs' union,
+FROM NAMED restricts what GRAPH patterns may match; aggregates
+(COUNT/SUM/MIN/MAX/AVG) reuse the triple engine's partial-agg shuffle.
+FILTER / OPTIONAL / UNION / property paths inside the quad surface
+raise — GRAPH-free queries get the full `kg.bgp.sparql_select` surface
+via forge.sparql's default-graph projection.
 """
 
 from __future__ import annotations
@@ -94,7 +96,10 @@ def quad_select(quads: ray.data.Dataset,
                 distinct: bool = False,
                 limit: int | None = None,
                 from_graphs: list[str] | None = None,
-                named_graphs: list[str] | None = None) -> ray.data.Dataset:
+                named_graphs: list[str] | None = None,
+                group_by: list[str] | None = None,
+                aggregates: list[tuple[str, str, str]] | None = None) \
+        -> ray.data.Dataset:
     """Conjunctive quad query. ``blocks`` is a list of
     (graph_term | None, [triple patterns]); graph_term None = default graph
     (union of named graphs, set-semantic). Patterns join left-to-right on
@@ -175,6 +180,13 @@ def quad_select(quads: ray.data.Dataset,
                                num_buckets=num_buckets,
                                lcols=have, rcols=pv)
         have = list(dict.fromkeys(have + pv))
+    if aggregates:
+        # reuse the triple engine's grouped-aggregation machinery (per-batch
+        # partials, one bucketed shuffle of one row per (batch, group))
+        from nexus_forge_ray.kg.bgp import ParsedQuery, _aggregate_groups
+        cur = _aggregate_groups(cur, ParsedQuery(
+            select=select, patterns=[], limit=None,
+            group_by=group_by or [], aggregates=aggregates))
     sel = [v.lstrip("?") for v in select]
     out = cur.map_batches(lambda df: df.reindex(columns=sel),
                           batch_format="pandas")
@@ -204,15 +216,34 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
     # match; per 13.2 EITHER clause replaces the whole dataset, so the
     # unlisted side becomes the empty set. Both are one vectorized isin
     # filter over the quad table — no exchange.
-    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?((?:\?\w+\s+)+)"
+    m = re.match(r"(?is)^\s*select\s+(distinct\s+)?(.+?)"
                  r"((?:from\s+(?:named\s+)?(?:<[^>]*>|\w*:\S+)\s*)*)"
-                 r"where\s*\{(.*)\}\s*(?:limit\s+(\d+))?\s*$", body)
+                 r"where\s*\{(.*)\}\s*"
+                 r"(?:group\s+by\s+((?:\?\w+\s*)+))?"
+                 r"(?:limit\s+(\d+))?\s*$", body)
     if not m:
         raise ValueError("unsupported quad query form")
     distinct = bool(m.group(1))
-    select = m.group(2).split()
-    if not all(_is_var(v) for v in select):
-        raise ValueError(f"SELECT must list ?vars, got {select!r}")
+    # aggregate projections (COUNT/SUM/MIN/MAX/AVG over a var, COUNT(*))
+    agg_re = re.compile(r"(?is)\(\s*(count|sum|min|max|avg)\s*\("
+                        r"\s*(\*|\?\w+)\s*\)\s+as\s+\?(\w+)\s*\)")
+    aggregates = [(f.lower(), v if v == "*" else v[1:], a)
+                  for f, v, a in agg_re.findall(m.group(2))]
+    plain = re.findall(r"\?\w+", agg_re.sub(" ", m.group(2)))
+    select = plain + ["?" + a for _, _, a in aggregates]
+    if not select or not all(_is_var(v) for v in plain):
+        raise ValueError(f"SELECT must list ?vars / aggregate aliases, "
+                         f"got {m.group(2)!r}")
+    group_by = re.findall(r"\?(\w+)", m.group(5) or "")
+    if aggregates:
+        if sorted(v[1:] for v in plain) != sorted(group_by):
+            raise ValueError("non-aggregated SELECT variables must exactly "
+                             "match the GROUP BY variables")
+        if any(v == "*" and f != "count" for f, v, _ in aggregates):
+            raise ValueError("only COUNT accepts *")
+    elif group_by:
+        raise ValueError("GROUP BY requires at least one aggregate "
+                         "in the SELECT clause")
     from_graphs: list[str] = []
     named_graphs: list[str] = []
     for named, g in re.findall(r"(?i)\bfrom\s+(named\s+)?(<[^>]*>|\S+)",
@@ -221,7 +252,7 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
             graph_term(g, prefixes))
     has_dataset_clause = bool(from_graphs or named_graphs)
     where = m.group(4)
-    limit = int(m.group(5)) if m.group(5) else None
+    limit = int(m.group(6)) if m.group(6) else None
 
     def gterm(tok: str) -> str:
         return graph_term(tok, prefixes, allow_var=True)
@@ -244,4 +275,5 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
     return quad_select(
         quads, blocks, select, distinct=distinct, limit=limit,
         from_graphs=from_graphs if has_dataset_clause else None,
-        named_graphs=named_graphs if has_dataset_clause else None, **kw)
+        named_graphs=named_graphs if has_dataset_clause else None,
+        group_by=group_by, aggregates=aggregates, **kw)

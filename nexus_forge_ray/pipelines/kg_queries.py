@@ -186,6 +186,21 @@ def kg_graph_with_update(sf_dir: str):
     return sparql_update_quads(kg_quads(sf_dir), q)
 
 
+def kg_graph_groupby(sf_dir: str):
+    """Per-feed KG stats: mention-edge count and distinct-entity extremes
+    per named graph — GROUP BY over a GRAPH ?g binding, executed with the
+    triple engine's partial-agg shuffle (one row per (batch, graph) moves,
+    never the bindings)."""
+    from nexus_forge_ray.kg.graphs import sparql_select_quads
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?g (COUNT(*) AS ?n_edges) (MIN(?e) AS ?first_entity)
+    WHERE { GRAPH ?g { ?d v:mentions ?e } } GROUP BY ?g"""
+    out = sparql_select_quads(kg_quads(sf_dir), q)
+    return out.map_batches(
+        lambda df: df.assign(n_edges=df["n_edges"].astype("int64")),
+        batch_format="pandas")
+
+
 def kg_graph_data_update(sf_dir: str):
     """Quad-level INSERT DATA / DELETE DATA with GRAPH blocks, dispatched
     through forge.sparql: add two constant quads to the src0 feed, then
@@ -1014,6 +1029,7 @@ QUERIES = {
     "kg_graph_from": kg_graph_from,
     "kg_graph_with_update": kg_graph_with_update,
     "kg_graph_data_update": kg_graph_data_update,
+    "kg_graph_groupby": kg_graph_groupby,
     "kg_default_graph_agg": kg_default_graph_agg,
     "kg_resolve_exact": kg_resolve_exact,
     "kg_resolve_fuzzy": kg_resolve_fuzzy,

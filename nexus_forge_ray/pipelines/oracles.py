@@ -524,6 +524,14 @@ ORACLES: dict[str, str] = {
                obj
         from q
     """,
+    # GROUP BY over a GRAPH ?g binding: per-feed mention-edge stats
+    "kg_graph_groupby": f"""
+        with {_KG_QUADS_CTE}
+        select graph as g, count(*)::bigint as n_edges,
+               min(obj) as first_entity
+        from q where pred = 'http://example.org/vocab/mentions'
+        group by graph
+    """,
     # INSERT DATA { GRAPH g:src0 {2 quads} } then DELETE DATA of one of
     # them, src0 slice: the feed's original quads + the surviving insert
     "kg_graph_data_update": f"""

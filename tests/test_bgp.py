@@ -867,3 +867,24 @@ def test_filter_in_numeric(ray_session):
     q = "SELECT ?s WHERE { ?s <n> ?v . FILTER(?v IN (1, 3)) }"
     out = sparql_select(ray.data.from_pandas(t), q).to_pandas()
     assert sorted(out["s"]) == ["a", "c"]
+
+
+def test_min_max_over_string_literals(ray_session):
+    # SPARQL MIN/MAX over non-numeric literals compare by codepoint; groups
+    # with numeric literals keep numeric comparison ("10" < "9" numerically)
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b", "b"],
+        "pred": ["http://v/p"] * 4,
+        "obj": ["zebra", "apple", "10", "9"],
+    }))
+    q = """PREFIX v: <http://v/>
+    SELECT ?s (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
+    WHERE { ?s v:p ?o } GROUP BY ?s"""
+    got = sparql_select(t, q).to_pandas().sort_values("s")
+    assert got.set_index("s")["lo"].astype(str).to_dict() == \
+        {"a": "apple", "b": "9.0"}
+    assert got.set_index("s")["hi"].astype(str).to_dict() == \
+        {"a": "zebra", "b": "10.0"}

@@ -145,3 +145,23 @@ def test_from_clause_scoped_to_dataset_position(quads):
     SELECT ?d ?e FROM g:g1 WHERE {{ ?d v:mentions ?e }}"""
     got = to_pandas(sparql_select_quads(quads, q))
     assert sorted(map(tuple, got.values)) == [("d1", "e1"), ("d2", "e2")]
+
+
+def test_group_by_over_graph_variable(quads):
+    q = f"""PREFIX v: <{V}>
+    SELECT ?g (COUNT(*) AS ?n) WHERE {{ GRAPH ?g {{ ?d v:mentions ?e }} }}
+    GROUP BY ?g"""
+    got = to_pandas(sparql_select_quads(quads, q))
+    got = got.sort_values("g").reset_index(drop=True)
+    assert got["g"].tolist() == [G + "g1", G + "g2"]
+    assert got["n"].tolist() == [2, 2]
+
+
+def test_group_by_validation(quads):
+    with pytest.raises(ValueError, match="must exactly match"):
+        sparql_select_quads(
+            quads, "SELECT ?d (COUNT(*) AS ?n) WHERE { GRAPH ?g "
+                   "{ ?d ?p ?o } } GROUP BY ?g")
+    with pytest.raises(ValueError, match="requires at least one aggregate"):
+        sparql_select_quads(
+            quads, "SELECT ?g WHERE { GRAPH ?g { ?d ?p ?o } } GROUP BY ?g")
