@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigrams": corpus.doc_bigrams,
         "dsir_weights": corpus.dsir_weights,
         "doc_substring_dedup": corpus.doc_substring_dedup,
+        "doc_epoch_shuffle": corpus.doc_epoch_shuffle,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
     })

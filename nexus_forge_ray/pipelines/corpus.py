@@ -639,6 +639,37 @@ def doc_span_dedup(sf_dir: str):
         batch_format="pandas")
 
 
+def doc_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle: every doc gets a pseudo-random
+    but REPRODUCIBLE (seed-keyed md5) order key, lands in one of 8 output
+    shards by hash, and takes its within-shard position from one grouped
+    row_number shuffle. No RNG state — the same (seed, corpus) gives the
+    same shard files on any cluster size or rerun (the property a
+    resumable multi-epoch training job needs), and the md5 basis makes
+    the whole shuffle SQL-checkable. Scale: map-side hashing + one
+    bucketed exchange of (doc_id, shard, h) rows; text never moves."""
+    from nexus_forge_ray.ops.agg import grouped_row_number
+    from nexus_forge_ray.utils import md5_u64
+
+    n_shards, seed = 8, "epoch1:"
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(seed + df["doc_id"].astype(str))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "shard": (h % np.uint64(n_shards)).astype("int64"),
+            "h": h})
+
+    out = grouped_row_number(
+        ds.map_batches(hashed, batch_format="pandas"),
+        "shard", ["h", "doc_id"], out="pos", num_buckets=8)
+    return out.map_batches(
+        lambda df: df[["doc_id", "shard", "pos"]].assign(
+            pos=df["pos"].astype("int64")),
+        batch_format="pandas")
+
+
 def doc_substring_dedup(sf_dir: str):
     """Exact duplicated-substring removal at 8-token window resolution
     (Lee et al. 2022 semantics): overlapping windows, globally first

@@ -1272,6 +1272,17 @@ ORACLES: dict[str, str] = {
                             filter (where keep), '')) as dedup_md5
         from w group by doc_id
     """,
+    # deterministic epoch shuffle: seed-keyed md5 order, 8 hash shards,
+    # row_number within shard
+    "doc_epoch_shuffle": """
+        with h as (select doc_id,
+                          md5_number_lower('epoch1:' || doc_id) as h
+                   from documents)
+        select doc_id, (h % 8)::bigint as shard,
+               row_number() over (partition by h % 8
+                                  order by h, doc_id) as pos
+        from h
+    """,
     # exact substring dedup, overlapping 8-token windows: rn>1 occurrences
     # (global (doc_id, pos) order per gram) cover their 8 positions; kept
     # tokens reassemble in order

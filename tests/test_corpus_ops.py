@@ -36,6 +36,7 @@ CASES = {
     "q_revenue_rollup": relational.q_revenue_rollup,
     "dsir_weights": corpus.dsir_weights,
     "doc_substring_dedup": corpus.doc_substring_dedup,
+    "doc_epoch_shuffle": corpus.doc_epoch_shuffle,
 }
 
 
