@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_typed", "kg_entity_popularity", "kg_resolve_exact",
         "kg_resolve_fuzzy", "kg_resolve_ontology", "kg_validate_customers",
         "kg_validate_nested", "kg_validate_logical", "kg_validate_pairs",
-        "kg_validate_closed", "kg_actions_summary",
+        "kg_validate_closed", "kg_validate_strings", "kg_actions_summary",
         "kg_bgp", "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
         "kg_bgp_union_scoped", "kg_bgp_groupby", "kg_bgp_values",
         "kg_bgp_bind", "kg_bgp_having", "kg_bgp_count_distinct",

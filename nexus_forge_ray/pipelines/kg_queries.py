@@ -468,6 +468,44 @@ def kg_validate_closed(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+STRINGS_CUSTOMER_SHAPE = Shape(target_type="Customer", constraints=[
+    # sh:minLength / sh:maxLength — fire on BUILDING (8) / AUTOMOBILE (10)
+    PropertyConstraint(path="c_mktsegment", min_length=9),
+    PropertyConstraint(path="c_mktsegment", max_length=9),
+    # sh:minExclusive — strictly positive balance
+    PropertyConstraint(path="c_acctbal", min_exclusive=0.0),
+    # sh:not — names in the Customer#00000001x block are rejected
+    PropertyConstraint(path="c_name", not_of=PropertyConstraint(
+        pattern=r"Customer#00000001")),
+    # sh:qualifiedValueShape + qualifiedMinCount — at least one 555- phone
+    PropertyConstraint(path="phones",
+                       qualified=PropertyConstraint(pattern=r"555-"),
+                       qualified_min=1),
+])
+
+
+def kg_validate_strings(sf_dir: str):
+    """String/range/negation/qualified SHACL constraints (sh:minLength /
+    sh:maxLength, sh:minExclusive, sh:not, sh:qualifiedValueShape +
+    sh:qualifiedMinCount — SHACL core 4.4-4.5; reference collector family
+    at rdf/collectors.py) over the customer table. `phones` is synthesized
+    deterministically: odd keys get a 555- number (conforms), even keys
+    only a 444- number (qualifiedMinCount=1 violated)."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        phones = [["555-%d" % k, "888-%d" % k] if k % 2 else ["444-%d" % k]
+                  for k in df["c_custkey"]]
+        return df.assign(rtype="Customer",
+                         phones=pd.Series(phones, index=df.index))
+
+    cust = cust.map_batches(enrich, batch_format="pandas")
+    out = validate_dataset(cust, [STRINGS_CUSTOMER_SHAPE], type_col="rtype")
+    return out.select_columns(["c_custkey", "valid", "violation"])
+
+
 def kg_actions_summary(sf_dir: str):
     """Actions report counting (actions.py:46-59): count x (operation,
     succeeded, error) over the validation stage's outcomes."""
@@ -1071,6 +1109,7 @@ QUERIES = {
     "kg_validate_logical": kg_validate_logical,
     "kg_validate_pairs": kg_validate_pairs,
     "kg_validate_closed": kg_validate_closed,
+    "kg_validate_strings": kg_validate_strings,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_host_rank": kg_host_rank,

@@ -968,6 +968,31 @@ ORACLES: dict[str, str] = {
                     else '' end as violation
         from lineitem
     """,
+    # minLength fires on BUILDING (8), maxLength on AUTOMOBILE (10),
+    # minExclusive on non-positive balances, sh:not on the
+    # Customer#00000001x name block, qualifiedMinCount on even keys
+    # (whose only phone is 444-); first-violation-wins in constraint order
+    "kg_validate_strings": """
+        select c_custkey,
+               case when length(c_mktsegment) < 9 then false
+                    when length(c_mktsegment) > 9 then false
+                    when not (c_acctbal > 0) then false
+                    when c_name like 'Customer#00000001%' then false
+                    when c_custkey % 2 = 0 then false
+                    else true end as valid,
+               case when length(c_mktsegment) < 9
+                         then 'MinLengthConstraint: c_mktsegment'
+                    when length(c_mktsegment) > 9
+                         then 'MaxLengthConstraint: c_mktsegment'
+                    when not (c_acctbal > 0)
+                         then 'MinMaxExclusiveConstraint: c_acctbal'
+                    when c_name like 'Customer#00000001%'
+                         then 'NotConstraint: c_name'
+                    when c_custkey % 2 = 0
+                         then 'QualifiedValueShapeConstraint: phones'
+                    else '' end as violation
+        from customer
+    """,
     "kg_validate_closed": """
         select c_custkey,
                case when c_custkey % 3 = 0 then false else true end as valid,

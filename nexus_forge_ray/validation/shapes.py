@@ -28,6 +28,14 @@ kgforge/specializations/models/rdf/service.py:49-63):
                             alternative constraint lists; alternatives are
                             PropertyConstraints sharing the parent's path
                             unless they set their own)
+- not                      (sh:not, NotCollector at rdf/collectors.py: the
+                            value must NOT satisfy the wrapped constraint)
+- minLength / maxLength    (sh:minLength/sh:maxLength over string value nodes)
+- minExclusive/maxExclusive(strict numeric range, SHACL core 4.4.2/4.4.4)
+- qualifiedValueShape      (sh:qualifiedValueShape + qualifiedMin/MaxCount,
+                            SHACL core 4.5.2-3: the COUNT of value nodes
+                            conforming to the qualified shape must fall in
+                            the given range)
 - "no focus node" rule     (rdf/service.py:241-266): a row whose type has no
                             matching shape target fails validation.
 - rdfs inference           (rdf_model.py validate(inference="rdfs"),
@@ -87,6 +95,10 @@ class PropertyConstraint:
     pattern: str | None = None
     min_inclusive: float | None = None
     max_inclusive: float | None = None
+    min_exclusive: float | None = None   # sh:minExclusive (strict range)
+    max_exclusive: float | None = None   # sh:maxExclusive
+    min_length: int | None = None        # sh:minLength (string value nodes)
+    max_length: int | None = None        # sh:maxLength
     class_type: str | None = None  # sh:class — nested node's type must match
     node_shape: "Shape | None" = None  # sh:node — nested shape conformance
     has_value: Any = None          # sh:hasValue — value must be present+equal
@@ -96,6 +108,16 @@ class PropertyConstraint:
     all_of: "list[PropertyConstraint] | None" = None   # sh:and
     any_of: "list[PropertyConstraint] | None" = None   # sh:or
     one_of: "list[PropertyConstraint] | None" = None   # sh:xone
+    not_of: "PropertyConstraint | None" = None         # sh:not
+    # sh:qualifiedValueShape + sh:qualifiedMin/MaxCount (SHACL core 4.5.2-3):
+    # count the value nodes (list members; a scalar is a 1-member list)
+    # conforming to the qualified constraint, and require the count in
+    # [qualified_min, qualified_max]. Unlike plain constraints these are NOT
+    # vacuous on absent values: qualified_min > 0 over a missing property
+    # violates (0 conforming nodes), mirroring sh:minCount.
+    qualified: "PropertyConstraint | None" = None
+    qualified_min: int | None = None
+    qualified_max: int | None = None
     # property-pair constraints (SHACL core 4.3.1-4.3.4): compare this
     # path's value against ANOTHER path's value on the same focus row
     equals: str | None = None        # sh:equals — values must be equal
@@ -159,6 +181,44 @@ class PropertyConstraint:
             if self.max_inclusive is not None:
                 ok_r &= (~present) | (vals <= self.max_inclusive).to_numpy()
             apply(ok_r, f"MinMaxInclusiveConstraint: {self.path}")
+        if self.min_exclusive is not None or self.max_exclusive is not None:
+            vals = pd.to_numeric(col, errors="coerce")
+            ok_r = np.ones(n, dtype=bool)
+            if self.min_exclusive is not None:
+                ok_r &= (~present) | (vals > self.min_exclusive).to_numpy()
+            if self.max_exclusive is not None:
+                ok_r &= (~present) | (vals < self.max_exclusive).to_numpy()
+            apply(ok_r, f"MinMaxExclusiveConstraint: {self.path}")
+        if (self.min_length is not None or self.max_length is not None) \
+                and present.any():
+            lo, hi = self.min_length, self.max_length
+            if pd.api.types.is_string_dtype(col) and not any(
+                    isinstance(v, (list, tuple, np.ndarray))
+                    for v in col.iloc[:8]):
+                lens = col.str.len()
+                len_ok = np.ones(n, dtype=bool)
+                if lo is not None:
+                    len_ok &= (lens >= lo).fillna(True).to_numpy(dtype=bool)
+                if hi is not None:
+                    len_ok &= (lens <= hi).fillna(True).to_numpy(dtype=bool)
+            else:
+                # list-valued / mixed columns: every value node's string
+                # form must satisfy the bounds (SHACL judges per value node)
+                def _len_ok(v, lo=lo, hi=hi) -> bool:
+                    items = v if isinstance(v, (list, tuple, np.ndarray)) \
+                        else [v]
+                    for item in items:
+                        s = item if isinstance(item, str) else str(item)
+                        if lo is not None and len(s) < lo:
+                            return False
+                        if hi is not None and len(s) > hi:
+                            return False
+                    return True
+                len_ok = col.map(_len_ok).to_numpy(dtype=bool)
+            label = ("MinLengthConstraint" if hi is None else
+                     "MaxLengthConstraint" if lo is None else
+                     "MinMaxLengthConstraint")
+            apply(~present | len_ok, f"{label}: {self.path}")
         if self.class_type is not None and present.any():
             apply(~present | col.map(self._class_ok).to_numpy(dtype=bool),
                   f"ClassConstraint: {self.path}")
@@ -272,6 +332,32 @@ class PropertyConstraint:
             # vacuously true on absent values, hence the presence gate)
             sat = self._alt_matrix(df, self.one_of).sum(axis=0) == 1
             apply(~present | sat, f"XoneConstraint: {self.path}")
+        if self.not_of is not None and present.any():
+            # sh:not (NotCollector semantics): the value must NOT conform
+            sat = self._alt_matrix(df, [self.not_of])[0]
+            apply(~present | ~sat, f"NotConstraint: {self.path}")
+        if self.qualified is not None:
+            from dataclasses import replace
+            sub = self.qualified if self.qualified.path \
+                else replace(self.qualified, path=self.path)
+            members = col.map(
+                lambda v: list(v) if isinstance(v, (list, tuple, np.ndarray))
+                else [] if v is None else [v])
+            lens = members.map(len).to_numpy(dtype=np.int64)
+            counts = np.zeros(n, dtype=np.int64)
+            if lens.sum():
+                flat = pd.DataFrame(
+                    {sub.path: [m for row in members for m in row]})
+                okm, _ = sub.check(flat)
+                counts = np.bincount(np.repeat(np.arange(n), lens),
+                                     weights=okm.astype(np.float64),
+                                     minlength=n).astype(np.int64)
+            q_ok = np.ones(n, dtype=bool)
+            if self.qualified_min is not None:
+                q_ok &= counts >= self.qualified_min
+            if self.qualified_max is not None:
+                q_ok &= counts <= self.qualified_max
+            apply(q_ok, f"QualifiedValueShapeConstraint: {self.path}")
         return ok, labels
 
     def _class_ok(self, v) -> bool:

@@ -313,3 +313,61 @@ def test_closed_shape_with_ignored(ray_session):
     out = validate_dataset(ray.data.from_pandas(df), [shape]).to_pandas()
     assert out["valid"].tolist() == [True, False, True]   # '' is absence
     assert out.loc[1, "violation"] == "ClosedConstraint: stray"
+
+
+def test_min_max_length_scalar_and_list():
+    df = pd.DataFrame({"name": ["ab", "abcd", None, "abcdefgh"]})
+    ok, lab = PropertyConstraint(path="name", min_length=3).check(df)
+    assert ok.tolist() == [False, True, True, True]   # absent is vacuous
+    assert lab[0] == "MinLengthConstraint: name"
+    ok, lab = PropertyConstraint(path="name", max_length=4).check(df)
+    assert ok.tolist() == [True, True, True, False]
+    assert lab[3] == "MaxLengthConstraint: name"
+    # list values: EVERY value node must satisfy the bounds
+    df2 = pd.DataFrame({"name": [["abc", "x"], ["abc"], None]})
+    ok, _ = PropertyConstraint(path="name", min_length=2).check(df2)
+    assert ok.tolist() == [False, True, True]
+    ok, lab = PropertyConstraint(path="name",
+                                 min_length=2, max_length=3).check(df2)
+    assert ok.tolist() == [False, True, True]
+    assert lab[0] == "MinMaxLengthConstraint: name"
+
+
+def test_exclusive_range_strict():
+    df = pd.DataFrame({"v": [0.0, 0.1, 9.9, 10.0, None]})
+    ok, lab = PropertyConstraint(path="v", min_exclusive=0,
+                                 max_exclusive=10).check(df)
+    # boundaries violate (strict), absent is vacuous
+    assert ok.tolist() == [False, True, True, False, True]
+    assert lab[0] == "MinMaxExclusiveConstraint: v"
+
+
+def test_not_constraint():
+    df = pd.DataFrame({"name": ["secret-a", "open-b", None]})
+    c = PropertyConstraint(path="name",
+                           not_of=PropertyConstraint(pattern=r"secret-"))
+    ok, lab = c.check(df)
+    # conforming to the negated shape violates; absent value is vacuous
+    assert ok.tolist() == [False, True, True]
+    assert lab[0] == "NotConstraint: name"
+
+
+def test_qualified_value_shape_counts():
+    df = pd.DataFrame({"phones": [
+        ["555-1", "444-2"],   # one conforming
+        ["444-2"],            # zero conforming
+        ["555-1", "555-9"],   # two conforming
+        None,                 # absent: zero conforming -> min violated
+        "555-solo",           # scalar treated as 1-member list
+    ]})
+    qmin = PropertyConstraint(
+        path="phones", qualified=PropertyConstraint(pattern=r"555-"),
+        qualified_min=1)
+    ok, lab = qmin.check(df)
+    assert ok.tolist() == [True, False, True, False, True]
+    assert lab[1] == "QualifiedValueShapeConstraint: phones"
+    qmax = PropertyConstraint(
+        path="phones", qualified=PropertyConstraint(pattern=r"555-"),
+        qualified_max=1)
+    ok, _ = qmax.check(df)
+    assert ok.tolist() == [True, True, False, True, True]
