@@ -139,6 +139,10 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
     m = re.match(r"(?is)^\s*(insert|delete)\s+data\s*\{(.*)\}\s*$", body)
     if m:
         op, block = m.group(1).lower(), m.group(2)
+        if op == "insert":
+            # the insert path scans `quads` twice (untouched rest + touched
+            # slice); pin the blocks so a derived input isn't recomputed
+            quads = quads.materialize()
         parts: list[pd.DataFrame] = []
 
         def grab(mm: re.Match) -> str:
@@ -191,12 +195,13 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
         op, g1, g2 = m.group(1).lower(), gterm(m.group(2)), gterm(m.group(3))
         if g1 == g2:
             return quads  # same source and destination: no-op (3.2.5-7)
+        # src / dst / rest are three scans of the same input: pin the
+        # blocks so a derived `quads` plan isn't re-executed per scan
+        quads = quads.materialize()
         src_as_dst = only(g1, keep=True).map_batches(
             lambda df, g=g2: df.assign(graph=g), batch_format="pandas")
         if op == "add":
-            dst = quads.map_batches(
-                lambda df, g=g2: df[df["graph"] == g], batch_format="pandas")
-            merged = dst.union(src_as_dst)
+            merged = only(g2, keep=True).union(src_as_dst)
         else:  # copy/move: g2 is REPLACED by g1's triples
             merged = src_as_dst
         # dedupe ONLY the destination slice — untouched graphs pass through
@@ -213,6 +218,7 @@ def sparql_update_quads(quads: ray.data.Dataset, update: str, *,
     m = re.match(r"(?is)^\s*with\s+(\S+)\s+(.*)$", body)
     if m:
         g = gterm(m.group(1))
+        quads = quads.materialize()   # scanned twice: scope + pass-through
         scope = only(g, keep=True).map_batches(
             lambda df: df[["subj", "pred", "obj"]], batch_format="pandas")
         updated = sparql_update(scope, f"{header}\n{m.group(2)}",
@@ -246,6 +252,7 @@ def upsert_subjects(base: ray.data.Dataset, delta: ray.data.Dataset, *,
     from nexus_forge_ray.ops.joins import partitioned_anti_join
 
     cols = [subj_col, "pred", "obj"]
+    delta = delta.materialize()   # scanned twice: subject keys + re-assert
     survivors = partitioned_anti_join(
         base, delta.map_batches(lambda df: df[[subj_col]],
                                 batch_format="pandas"),
@@ -304,6 +311,9 @@ def sparql_update(triples: ray.data.Dataset, update: str, *,
         raise ValueError("update templates bind no variables; "
                          "use INSERT/DELETE DATA for constant triples")
 
+    # the WHERE select, the anti-join and the insert union each scan
+    # `triples`: pin the blocks so a derived input isn't recomputed per scan
+    triples = triples.materialize()
     # bindings feed both templates: one distributed SELECT, materialized so
     # delete and insert expansion don't re-run the WHERE plan
     bindings = sparql_select(

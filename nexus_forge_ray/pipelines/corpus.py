@@ -123,16 +123,16 @@ def emb_pca(sf_dir: str):
     return out[["vec_id", "pc1"]]
 
 
-def doc_quality_classifier(sf_dir: str):
-    """Model-based quality scoring: TRAIN a logistic-regression classifier
-    distributed (`ops.classifier.logreg_train` — per-batch partial
-    gradients, broadcast weights, the corpus never shuffles), then score
-    every document in one streaming pass. Features are the SQL-matched
-    quality signals (token count / mean token length / punctuation ratio),
-    label = (lang == 'en'); 2 full-batch GD steps from w=0 make the exact
-    weights reproducible by an unrolled-CTE oracle (sigmoid(0)=0.5 closes
-    step 0 in SQL)."""
-    from nexus_forge_ray.ops.classifier import logreg_score, logreg_train
+def _quality_model(sf_dir: str):
+    """Materialized quality features + 2-step logreg weights — ONE home for
+    the feature scaling shared by doc_quality_classifier (the shipped
+    model) and doc_classifier_pr (its evaluation), so the PR sweep always
+    evaluates the exact model the classifier ships. Features are the
+    SQL-matched quality signals (token count / mean token length /
+    punctuation ratio), label = (lang == 'en'); 2 full-batch GD steps from
+    w=0 make the exact weights reproducible by an unrolled-CTE oracle
+    (sigmoid(0)=0.5 closes step 0 in SQL)."""
+    from nexus_forge_ray.ops.classifier import logreg_train
     feat = tx.quality_scores(_docs(sf_dir, ["doc_id", "text", "lang"])) \
         .map_batches(lambda df: pd.DataFrame({
             "doc_id": df["doc_id"],
@@ -141,7 +141,16 @@ def doc_quality_classifier(sf_dir: str):
             "f3": df["punct_ratio"].astype("float64"),
             "y": (df["lang"] == "en").astype("float64")}),
             batch_format="pandas").materialize()
-    w = logreg_train(feat, ["f1", "f2", "f3"], "y", lr=1.0, iters=2)
+    return feat, logreg_train(feat, ["f1", "f2", "f3"], "y", lr=1.0, iters=2)
+
+
+def doc_quality_classifier(sf_dir: str):
+    """Model-based quality scoring: TRAIN a logistic-regression classifier
+    distributed (`ops.classifier.logreg_train` — per-batch partial
+    gradients, broadcast weights, the corpus never shuffles), then score
+    every document in one streaming pass (model spec in _quality_model)."""
+    from nexus_forge_ray.ops.classifier import logreg_score
+    feat, w = _quality_model(sf_dir)
     out = logreg_score(feat, w, ["f1", "f2", "f3"]).to_pandas()
     return out[["doc_id", "score"]]
 
@@ -219,16 +228,8 @@ def doc_classifier_pr(sf_dir: str):
     threshold vs the (lang='en') gold label — per-batch partial counts,
     one tiny grouped sum (3 x 4 ints ever leave the workers)."""
     from nexus_forge_ray.ops.agg import hash_groupby_agg
-    from nexus_forge_ray.ops.classifier import logreg_score, logreg_train
-    feat = tx.quality_scores(_docs(sf_dir, ["doc_id", "text", "lang"])) \
-        .map_batches(lambda df: pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "f1": df["n_tokens"].astype("float64") / 100.0,
-            "f2": df["mean_token_len"].astype("float64"),
-            "f3": df["punct_ratio"].astype("float64"),
-            "y": (df["lang"] == "en").astype("float64")}),
-            batch_format="pandas").materialize()
-    w = logreg_train(feat, ["f1", "f2", "f3"], "y", lr=1.0, iters=2)
+    from nexus_forge_ray.ops.classifier import logreg_score
+    feat, w = _quality_model(sf_dir)
     scored = logreg_score(feat, w, ["f1", "f2", "f3"])
     thresholds = [0.3, 0.5, 0.7]
 
@@ -270,23 +271,28 @@ def emb_knn_predict(sf_dir: str):
         .reset_index(drop=True)
 
 
-def _bigram_pairs(texts: pd.Series):
+def _bigram_pairs(texts: pd.Series, ids: np.ndarray | None = None):
     """(w1, w2) arrays of adjacent token pairs, doc boundaries respected
-    (one numpy shift; the last token of each doc starts no bigram). Shared
-    by doc_bigrams and doc_collocations so the boundary masking has one
-    home."""
+    (one numpy shift; the last token of each doc starts no bigram). With
+    `ids` (one per text) a third array maps each pair to its owning id.
+    Shared by doc_bigrams, doc_collocations and the DSIR featurizer so the
+    boundary masking has one home."""
     toks = texts.fillna("").str.split()
     counts = toks.map(len).to_numpy()
     flat = toks.explode().dropna().to_numpy(dtype=object)
     if len(flat) < 2:
         empty = np.array([], dtype=object)
-        return empty, empty
+        return (empty, empty) if ids is None \
+            else (empty, empty, np.array([], dtype="int64"))
     starts = np.ones(len(flat), dtype=bool)
     ends = np.cumsum(counts) - 1            # index of each doc's last tok
     ends = ends[(ends >= 0) & (ends < len(flat))]
     starts[ends] = False
     keep = starts[:-1]
-    return flat[:-1][keep], flat[1:][keep]
+    w1, w2 = flat[:-1][keep], flat[1:][keep]
+    if ids is None:
+        return w1, w2
+    return w1, w2, np.asarray(ids).repeat(counts)[:-1][keep]
 
 
 def doc_collocations(sf_dir: str):
@@ -1091,29 +1097,18 @@ _DSIR_K = 256  # hashed-feature buckets: the learned stats are 2 x K floats
 
 
 def _dsir_bucket_rows(df: pd.DataFrame, k: int = _DSIR_K) -> pd.DataFrame:
-    """(doc_id, bucket, tf) rows: per-doc hashed-bigram counts, vectorized
-    (one numpy shift + md5 bucket hash, doc boundaries respected). Docs
-    are single rows, so per-doc counts complete within the batch."""
+    """(doc_id, bucket, tf) rows: per-doc hashed-bigram counts via the
+    shared `_bigram_pairs` boundary masking + md5 bucket hash. Docs are
+    single rows, so per-doc counts complete within the batch."""
     from nexus_forge_ray.utils import md5_u64
-    toks = df["text"].fillna("").str.split()
-    counts = toks.map(len).to_numpy()
-    flat = toks.explode().dropna().to_numpy(dtype=object)
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "bucket": pd.Series(dtype="int64"),
-                          "tf": pd.Series(dtype="int64")})
-    if len(flat) < 2:
-        return empty
-    ids = df["doc_id"].to_numpy().repeat(counts)
-    starts = np.ones(len(flat), dtype=bool)
-    ends = np.cumsum(counts) - 1
-    ends = ends[(ends >= 0) & (ends < len(flat))]
-    starts[ends] = False
-    keep = starts[:-1]
-    if not keep.any():
-        return empty
-    bg = pd.Series(flat[:-1][keep]) + " " + pd.Series(flat[1:][keep])
+    w1, w2, ids = _bigram_pairs(df["text"], df["doc_id"].to_numpy())
+    if len(w1) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "bucket": pd.Series(dtype="int64"),
+                             "tf": pd.Series(dtype="int64")})
+    bg = pd.Series(w1) + " " + pd.Series(w2)
     out = pd.DataFrame({
-        "doc_id": ids[:-1][keep],
+        "doc_id": ids,
         "bucket": (md5_u64(bg) % np.uint64(k)).astype("int64")})
     return out.groupby(["doc_id", "bucket"], as_index=False).size() \
         .rename(columns={"size": "tf"})

@@ -41,9 +41,12 @@ _NUM_LONG = {"integer", "int", "long", "short", "byte", "positiveInteger",
 _NUM_DOUBLE = {"float", "double", "decimal"}
 _DATE = {"date", "dateTime", "time"}
 
-_TEXT_KEYWORD = {"type": "text",
-                 "fields": {"keyword": {"type": "keyword",
-                                        "ignore_above": 256}}}
+def _text_keyword() -> dict:
+    # built fresh per call: generated mappings are plain mutable dicts and
+    # must not alias each other (or a module constant) through 'fields'
+    return {"type": "text",
+            "fields": {"keyword": {"type": "keyword",
+                                   "ignore_above": 256}}}
 
 
 def _field_for(c: PropertyConstraint, by_type: dict[str, Shape],
@@ -65,7 +68,7 @@ def _field_for(c: PropertyConstraint, by_type: dict[str, Shape],
     dt = c.datatype
     if dt is not None:
         if dt in ("string", "normalizedString"):
-            return dict(_TEXT_KEYWORD)
+            return _text_keyword()
         if dt == "anyURI":
             return {"type": "keyword"}
         if dt in _NUM_LONG:
@@ -77,7 +80,8 @@ def _field_for(c: PropertyConstraint, by_type: dict[str, Shape],
         if dt in _DATE:
             return {"type": "date"}
     # numeric range constraints without a datatype imply a number
-    if c.min_inclusive is not None or c.max_inclusive is not None:
+    if c.min_inclusive is not None or c.max_inclusive is not None \
+            or c.min_exclusive is not None or c.max_exclusive is not None:
         return {"type": "double"}
     for alts in (c.all_of, c.any_of, c.one_of):
         if alts:
@@ -94,11 +98,19 @@ def _properties(shape: Shape, by_type: dict[str, Shape],
     if depth > 8:
         raise ValueError("shape nesting too deep (cyclic sh:node?)")
     props: dict = {}
+    concrete: set[str] = set()
     for c in shape.constraints:
         if not c.path:
             continue
         f = _field_for(c, by_type, vector_dims, c.path, depth)
-        props[c.path] = f if f is not None else dict(_TEXT_KEYWORD)
+        # several constraints may target one path (e.g. datatype + pattern);
+        # the FIRST concrete typing signal wins, and a signal-free
+        # constraint never clobbers a derived type with the text fallback
+        if f is not None and c.path not in concrete:
+            props[c.path] = f
+            concrete.add(c.path)
+        elif c.path not in props:
+            props[c.path] = _text_keyword()
     return props
 
 
@@ -130,8 +142,6 @@ def keyword_path(mapping: dict, path: str) -> str | None:
         if p not in props:
             return path if mapping.get("dynamic") else None
         node = props[p]
-        if node.get("type") == "nested" and i < len(parts) - 1:
-            continue
     t = node.get("type")
     if t == "keyword":
         return path

@@ -106,3 +106,33 @@ def test_keyword_path_resolution():
     assert keyword_path(m, "nope") is None
     m_dyn = es_mapping(SHAPES, "Person", dynamic=True)
     assert keyword_path(m_dyn, "nope") == "nope"
+
+
+def test_repeated_path_keeps_first_concrete_type():
+    s = Shape(target_type="T", constraints=[
+        PropertyConstraint(path="age", datatype="integer"),
+        PropertyConstraint(path="age", pattern=r"\d+"),      # no type signal
+        PropertyConstraint(path="age", min_inclusive=0),     # weaker signal
+    ])
+    m = es_mapping([s], "T")
+    assert m["properties"]["age"] == {"type": "long"}
+
+
+def test_exclusive_bounds_imply_number():
+    s = Shape(target_type="T", constraints=[
+        PropertyConstraint(path="score", min_exclusive=0.0),
+    ])
+    m = es_mapping([s], "T")
+    assert m["properties"]["score"] == {"type": "double"}
+
+
+def test_generated_mappings_do_not_alias():
+    s = Shape(target_type="T", constraints=[
+        PropertyConstraint(path="a", datatype="string"),
+        PropertyConstraint(path="b", datatype="string"),
+    ])
+    m1 = es_mapping([s], "T")
+    m1["properties"]["a"]["fields"]["keyword"]["ignore_above"] = 9
+    assert m1["properties"]["b"]["fields"]["keyword"]["ignore_above"] == 256
+    m2 = es_mapping([s], "T")
+    assert m2["properties"]["a"]["fields"]["keyword"]["ignore_above"] == 256
