@@ -22,9 +22,6 @@ import ray.data
 
 from nexus_forge_ray.kg.triples import RDF_TYPE, expand_term
 
-LD_KEYS = {"id": "@id", "type": "@type", "list": "@list", "set": "@set",
-           "value": "@value"}
-
 _ISO_DT = re.compile(
     r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$")
 _NUM = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
@@ -48,13 +45,15 @@ def parse_type(value: Any) -> str:
 
 def merge_contexts(*contexts) -> dict:
     """Union of JSON-LD contexts without duplicates (rdf.py:533-591): later
-    term definitions win; string/list context entries merge in order."""
+    term definitions win — consistently, including bare-string contexts
+    (a later vocab IRI replaces an earlier one, exactly as it would when
+    list-wrapped); string/list context entries merge in order."""
     out: dict = {}
     for ctx in contexts:
         if ctx is None:
             continue
         if isinstance(ctx, str):
-            out.setdefault("@vocab", ctx)
+            out["@vocab"] = ctx
         elif isinstance(ctx, list):
             merged = merge_contexts(*ctx)
             out.update(merged)
@@ -139,7 +138,10 @@ def jsonld_compact(doc: dict, context: dict[str, str],
             if k == "@id":
                 out["id"] = v
             elif k == "@type":
-                ts = [rev.get(str(t), str(t)) for t in
+                # same shortening as property keys: context term first,
+                # then the default-namespace local name (so the documented
+                # inverse of as_jsonld holds for types outside the context)
+                ts = [compact_key(str(t)) for t in
                       (v if isinstance(v, list) else [v])]
                 out["type"] = ts[0] if len(ts) == 1 else ts
             else:
@@ -194,11 +196,21 @@ def flatten_record(record: dict, prefix: str = "", sep: str = ".") -> dict:
 
 
 def deflatten_record(flat: dict, sep: str = ".", na=None) -> dict:
-    """Dotted flat dict -> nested dict, dropping na values (dataframe.py:69-108)."""
+    """Dotted flat dict -> nested dict, dropping na values
+    (dataframe.py:69-108). The na sentinel matches by EQUALITY (an arrow /
+    parquet round trip returns np.float64(-1.0) for a -1 filler, and
+    strings lose interning — identity would keep every filler); None and
+    float NaN always drop (a record has no null fields, it omits them)."""
     out: dict = {}
     for k, v in flat.items():
-        if v is na or (isinstance(v, float) and pd.isna(v)):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
             continue
+        if na is not None and not isinstance(v, (dict, list, np.ndarray)):
+            try:
+                if bool(v == na):
+                    continue
+            except (TypeError, ValueError):
+                pass
         parts = k.split(sep)
         cur = out
         for p in parts[:-1]:
@@ -230,7 +242,6 @@ class JsonLdNormalizer:
                  record_col: str = "record"):
         from nexus_forge_ray.core import jsonld as ld
         self._ld = ld
-        self.raw = context
         self.resolver = ld.ContextResolver(documents or {})
         self.ctx = ld.Context.parse(context, resolver=self.resolver)
         self.record_col = record_col
@@ -244,8 +255,10 @@ class JsonLdNormalizer:
             local = (ld.Context.parse(doc["@context"], parent=ctx)
                      if "@context" in doc else ctx)
             expanded = ld.expand(body, local)
-            compacted = ld.compact(expanded, self.raw,
-                                   resolver=self.resolver)
+            # compaction runs against the ONE pre-parsed model context —
+            # per-record Context.parse of the model context was the hot
+            # path's dominant cost on heterogeneous corpora
+            compacted = ld.compact(expanded, ctx)
             compacted.pop("@context", None)
             out.append(compacted)
         batch = batch.copy()
@@ -274,6 +287,8 @@ def jsonld_expand_dataset(ds: ray.data.Dataset, context: dict[str, str], *,
         docs = [as_jsonld(r if isinstance(r, dict) else {}, context,
                           "expanded", default_ns)
                 for r in batch[record_col]]
-        return pd.DataFrame({record_col: docs})
+        batch = batch.copy()          # provenance columns ride along
+        batch[record_col] = docs
+        return batch
 
     return ds.map_batches(fn, batch_format="pandas")

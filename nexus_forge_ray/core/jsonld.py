@@ -228,12 +228,19 @@ class Context:
 
     # --------------------------------------------------------- compact side
     def _inverse(self) -> dict[str, list[tuple[str, TermDef]]]:
-        inv: dict[str, list[tuple[str, TermDef]]] = {}
+        # cached per instance: contexts are immutable once parse() returns,
+        # and compaction calls this once per key — rebuilding the term index
+        # per key made compact O(doc x context) instead of O(doc)
+        inv = getattr(self, "_inv_cache", None)
+        if inv is not None:
+            return inv
+        inv = {}
         for term, d in self.terms.items():
             if d.iri and d.iri not in KEYWORDS:
                 inv.setdefault(d.iri, []).append((term, d))
         for terms in inv.values():
             terms.sort(key=lambda td: (len(td[0]), td[0]))
+        object.__setattr__(self, "_inv_cache", inv)
         return inv
 
     def compact_iri(self, iri: str, *, vocab: bool = False,
@@ -513,8 +520,15 @@ def compact(doc: Any, raw_ctx: Any,
             resolver: Optional[ContextResolver] = None) -> dict:
     """JSON-LD compaction: expand first (idempotent on expanded input), then
     compact keys/values against the processed context. Mirrors the
-    reference's jsonld.compact(item, ctx=context) call (rdf.py:128-138)."""
-    ctx = Context.parse(raw_ctx, resolver=resolver)
+    reference's jsonld.compact(item, ctx=context) call (rdf.py:128-138).
+
+    `raw_ctx` may be a pre-parsed Context — hot loops (one compact per
+    record) parse the model context once and pass it here; the output then
+    carries no "@context" entry (the caller owns the raw form)."""
+    if isinstance(raw_ctx, Context):
+        ctx, raw_ctx = raw_ctx, None
+    else:
+        ctx = Context.parse(raw_ctx, resolver=resolver)
     expanded = doc if isinstance(doc, list) else expand(doc, ctx)
     items = [_compact_node(n, ctx) for n in expanded]
     if len(items) == 1:

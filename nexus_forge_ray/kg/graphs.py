@@ -109,7 +109,8 @@ def quad_select(quads: ray.data.Dataset,
     dataset clauses) — both are vectorized isin scans. Dataset clauses
     REPLACE the whole dataset (13.2): when either list is given, the other
     defaults to the EMPTY set (``[]``) — pass None for "no clause" (the
-    implicit all-graphs dataset).
+    implicit all-graphs dataset). A variable-free pattern acts as an
+    existence filter: present -> no constraint, absent -> empty result.
     """
     from nexus_forge_ray.ops.agg import distinct_rows
     from nexus_forge_ray.ops.joins import partitioned_join
@@ -152,19 +153,54 @@ def quad_select(quads: ray.data.Dataset,
     def consts(job) -> int:
         return sum(0 if (t is None or _is_var(t)) else 1 for t in job[1])
 
-    # greedy connectivity-preserving order, most constants first
-    ordered = [max(jobs, key=consts)]
-    jobs.remove(ordered[0])
-    bound = set(pat_vars(ordered[0]))
-    while jobs:
-        linked = [j for j in jobs if bound & set(pat_vars(j))]
-        nxt = max(linked, key=consts) if linked else jobs[0]
-        ordered.append(nxt)
-        jobs.remove(nxt)
-        bound |= set(pat_vars(nxt))
+    # a variable-free pattern is an EXISTENCE filter (SPARQL: a constant
+    # pattern either keeps every solution or empties the result); probe it
+    # with a limit(1) scan — match_quad would project it to zero columns
+    const_jobs = [j for j in jobs if not pat_vars(j)]
+    jobs = [j for j in jobs if pat_vars(j)]
+    exists = True
+    for src, pattern in const_jobs:
+        cols = _QCOLS if pattern[0] is not None else _QCOLS[1:]
+        terms = pattern if pattern[0] is not None else pattern[1:]
 
+        def hit(df: pd.DataFrame, cols=cols, terms=terms) -> pd.DataFrame:
+            mask = pd.Series(True, index=df.index)
+            for c, t in zip(cols, terms):
+                mask &= df[c] == t
+            return df[mask]
+
+        if src.map_batches(hit, batch_format="pandas") \
+                .limit(1).count() == 0:
+            exists = False
+            break
+
+    all_vars = list(dict.fromkeys(v for j in jobs for v in pat_vars(j)))
     cur: ray.data.Dataset | None = None
     have: list[str] = []
+    if not exists:
+        # one failed existence check empties the whole solution set
+        cur = ray.data.from_pandas(pd.DataFrame(
+            {v: pd.Series(dtype=object) for v in all_vars or ["__one"]}))
+        have = all_vars
+        jobs = []
+    elif not jobs:
+        # every pattern was a satisfied existence check: ONE empty solution
+        # (selected vars project unbound, COUNT(*) sees one row)
+        cur = ray.data.from_pandas(pd.DataFrame({"__one": [1]}))
+
+    # greedy connectivity-preserving order, most constants first
+    ordered: list = []
+    if jobs:
+        ordered = [max(jobs, key=consts)]
+        jobs.remove(ordered[0])
+        bound = set(pat_vars(ordered[0]))
+        while jobs:
+            linked = [j for j in jobs if bound & set(pat_vars(j))]
+            nxt = max(linked, key=consts) if linked else jobs[0]
+            ordered.append(nxt)
+            jobs.remove(nxt)
+            bound |= set(pat_vars(nxt))
+
     for job in ordered:
         nxt = match_quad(job[0], job[1])
         pv = pat_vars(job)
@@ -224,14 +260,29 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
     if not m:
         raise ValueError("unsupported quad query form")
     distinct = bool(m.group(1))
-    # aggregate projections (COUNT/SUM/MIN/MAX/AVG over a var, COUNT(*))
-    agg_re = re.compile(r"(?is)\(\s*(count|sum|min|max|avg)\s*\("
-                        r"\s*(\*|\?\w+)\s*\)\s+as\s+\?(\w+)\s*\)")
-    aggregates = [(f.lower(), v if v == "*" else v[1:], a)
-                  for f, v, a in agg_re.findall(m.group(2))]
-    plain = re.findall(r"\?\w+", agg_re.sub(" ", m.group(2)))
-    select = plain + ["?" + a for _, _, a in aggregates]
-    if not select or not all(_is_var(v) for v in plain):
+    # walk the SELECT list in WRITTEN order: every item must be a ?var or a
+    # supported (FUNC(?v|*) AS ?alias) aggregate — anything else (e.g.
+    # COUNT(DISTINCT ?x), an unaliased COUNT) raises instead of silently
+    # running as a plain variable select; projection keeps the written order
+    agg_re = re.compile(r"(?is)^\(\s*(count|sum|min|max|avg)\s*\("
+                        r"\s*(\*|\?\w+)\s*\)\s+as\s+\?(\w+)\s*\)$")
+    item_re = re.compile(r"\((?:[^()]|\([^()]*\))*\)|\S+")
+    select: list[str] = []
+    plain: list[str] = []
+    aggregates: list[tuple[str, str, str]] = []
+    for tok in item_re.findall(m.group(2).strip()):
+        am = agg_re.match(tok)
+        if am:
+            f, v, a = am.groups()
+            aggregates.append((f.lower(), v if v == "*" else v[1:], a))
+            select.append("?" + a)
+        elif _is_var(tok) and re.fullmatch(r"\?\w+", tok):
+            select.append(tok)
+            plain.append(tok)
+        else:
+            raise ValueError(f"unsupported SELECT item {tok!r} (expected "
+                             "?var or (COUNT|SUM|MIN|MAX|AVG(?v|*) AS ?a))")
+    if not select:
         raise ValueError(f"SELECT must list ?vars / aggregate aliases, "
                          f"got {m.group(2)!r}")
     group_by = re.findall(r"\?(\w+)", m.group(5) or "")
@@ -265,11 +316,19 @@ def sparql_select_quads(quads: ray.data.Dataset, query: str,
         return " "
 
     rest = re.sub(r"(?is)\bgraph\s+(\S+)\s*\{([^{}]*)\}", grab, where)
-    for kwd in ("filter", "optional", "union", "graph", "{", "}"):
-        if re.search(r"(?i)" + re.escape(kwd), rest):
+    # keyword scan runs over the body with IRIs and literals blanked out,
+    # so <http://ex/subgraph> or a "... union ..." literal cannot
+    # false-trigger (same discipline as forge.sparql's dispatcher)
+    scrubbed = re.sub(r'<[^>]*>|"[^"]*"|\'[^\']*\'', " ", rest)
+    for kwd in ("filter", "optional", "union", "graph"):
+        if re.search(r"(?i)\b" + kwd + r"\b", scrubbed):
             raise ValueError(
                 f"{kwd!r} is not supported in the quad subset (use "
                 "kg.bgp.sparql_select on a triple projection)")
+    if "{" in scrubbed or "}" in scrubbed:
+        raise ValueError(
+            "nested groups are not supported in the quad subset (use "
+            "kg.bgp.sparql_select on a triple projection)")
     if rest.strip():
         blocks.append((None, _template_patterns(rest, prefixes)))
     return quad_select(

@@ -169,3 +169,48 @@ def test_import_class_default_and_from_syntax():
         import_class("Nope", "resolvers")
     with pytest.raises(ConfigurationError, match="incorrect"):
         import_class("bad syntax here!", "models")
+
+
+def test_deflatten_na_matches_by_equality():
+    import numpy as np
+    from nexus_forge_ray.core.conversions import (dataframe_to_records,
+                                                  records_to_dataframe)
+    recs = [{"a": 1}, {"a": 2, "b": {"c": 3}}]
+    df = records_to_dataframe(recs, na=-1)
+    # the filler comes back as np.float64(-1.0) — equality must drop it
+    assert isinstance(df.loc[0, "b.c"], (float, np.floating))
+    back = dataframe_to_records(df, na=-1)
+    assert back[0] == {"a": 1}
+    assert back[1]["b"] == {"c": 3}
+    # nested-key collision regression: a kept filler used to crash deflatten
+    recs2 = [{"a": 1}, {"a": {"b": 2}}]
+    df2 = records_to_dataframe(recs2, na="x" + "y")   # non-interned string
+    back2 = dataframe_to_records(df2, na="xy")
+    assert back2[0] == {"a": 1} and back2[1] == {"a": {"b": 2}}
+
+
+def test_merge_contexts_later_wins_consistently():
+    from nexus_forge_ray.core.conversions import merge_contexts
+    assert merge_contexts("http://a/", "http://b/") == {"@vocab": "http://b/"}
+    assert merge_contexts("http://a/", ["http://b/"]) == \
+        {"@vocab": "http://b/"}
+
+
+def test_jsonld_compact_default_ns_type():
+    from nexus_forge_ray.core.conversions import as_jsonld, jsonld_compact
+    ctx = {"name": "http://schema.org/name"}
+    rec = {"id": "urn:x", "type": "Person", "name": "n"}
+    expanded = as_jsonld(rec, ctx, "expanded")
+    assert jsonld_compact(expanded, ctx) == rec   # documented inverse
+
+
+def test_jsonld_expand_dataset_keeps_other_columns(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.core.conversions import jsonld_expand_dataset
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "url": ["u1"], "record": [{"id": "urn:1", "name": "x"}]}))
+    out = jsonld_expand_dataset(ds, {"name": "http://schema.org/name"}) \
+        .to_pandas()
+    assert list(out.columns) == ["url", "record"]
+    assert out.loc[0, "url"] == "u1"

@@ -165,3 +165,40 @@ def test_group_by_validation(quads):
     with pytest.raises(ValueError, match="requires at least one aggregate"):
         sparql_select_quads(
             quads, "SELECT ?g WHERE { GRAPH ?g { ?d ?p ?o } } GROUP BY ?g")
+
+
+def test_iri_containing_keyword_not_rejected(quads):
+    # 'subgraph'/'union' inside an IRI must not trip the keyword scan
+    q = f"""SELECT ?d ?o WHERE {{ ?d <{V}subgraph_union_filter> ?o }}"""
+    assert len(to_pandas(sparql_select_quads(quads, q))) == 0
+
+
+def test_constant_pattern_is_existence_filter(quads):
+    # present constant quad: no constraint on the other pattern
+    q = f"""SELECT ?d WHERE {{ GRAPH <{G}g1> {{ <d1> <{V}lang> "en" }} .
+                               GRAPH <{G}g2> {{ ?d <{V}lang> ?l }} }}"""
+    # NB <d1> parses as an IRI token; the fixture stores bare 'd1'
+    q = q.replace("<d1>", '"d1"')
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert sorted(got["d"]) == ["d3"]
+    # absent constant quad: the whole result empties
+    q2 = f"""SELECT ?d WHERE {{ GRAPH <{G}g1> {{ "d9" <{V}lang> "xx" }} .
+                                GRAPH <{G}g2> {{ ?d <{V}lang> ?l }} }}"""
+    assert len(to_pandas(sparql_select_quads(quads, q2))) == 0
+
+
+def test_unsupported_select_items_raise(quads):
+    with pytest.raises(ValueError, match="unsupported SELECT item"):
+        sparql_select_quads(
+            quads, "SELECT (COUNT(DISTINCT ?d) AS ?n) WHERE { GRAPH ?g "
+                   "{ ?d ?p ?o } } GROUP BY ?g")
+    with pytest.raises(ValueError, match="unsupported SELECT item"):
+        sparql_select_quads(
+            quads, "SELECT COUNT(?d) WHERE { GRAPH ?g { ?d ?p ?o } }")
+
+
+def test_select_projects_in_written_order(quads):
+    q = ("SELECT (COUNT(?d) AS ?n) ?g WHERE { GRAPH ?g { ?d ?p ?o } } "
+         "GROUP BY ?g")
+    got = to_pandas(sparql_select_quads(quads, q))
+    assert list(got.columns) == ["n", "g"]
