@@ -248,7 +248,8 @@ class ParsedQuery(NamedTuple):
     # FILTER EXISTS {...} groups — bucketed semi-join on the shared vars
     exists: list[list[tuple[str, str, str]]] = []
     # BIND(expr AS ?v): (fn, args, alias); fn in concat/strlen/ucase/
-    # lcase/str/arith (arith args = [t1, op, t2])
+    # lcase/str/substr/strbefore/strafter/replace/abs/round/ceil/floor/
+    # coalesce/if/arith (arith args = [t1, op, t2]; args are raw tokens)
     binds: list[tuple[str, list, str]] = []
     # HAVING(?aggAlias OP number) — post-aggregation group filter
     having: list[tuple[str, str, float]] = []
@@ -281,10 +282,11 @@ def parse_sparql(query: str) -> ParsedQuery:
     and union; every branch must bind the selected variables).
     FILTER EXISTS / FILTER NOT EXISTS / MINUS groups compile to bucketed
     semi-/anti-joins on the variables shared with the required patterns.
-    BIND(expr AS ?v) supports CONCAT/STRLEN/UCASE/LCASE/STR and binary
+    BIND(expr AS ?v) supports CONCAT/STRLEN/UCASE/LCASE/STR/SUBSTR/
+    STRBEFORE/STRAFTER/REPLACE/ABS/ROUND/CEIL/FLOOR/COALESCE/IF and binary
     arithmetic (vectorized per batch; bound vars usable in FILTER).
     GROUP BY ?vars with aggregate projections `(FUNC(?v) AS ?alias)`
-    (COUNT/SUM/MIN/MAX/AVG, COUNT(*), GROUP_CONCAT with optional
+    (COUNT/SUM/MIN/MAX/AVG/SAMPLE, COUNT(*), GROUP_CONCAT with optional
     `; SEPARATOR="..."` — values sorted within the group for determinism)
     and inline `VALUES ?v { t1 t2 ... }` bindings (the var must also be
     pattern-bound) complete the analytics surface. LIMIT takes an optional
@@ -352,7 +354,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     # an optional `; SEPARATOR="..."` (default " ") and encodes it into the
     # func slot ("group_concat\x00<sep>") to keep the tuple shape
     agg_re = re.compile(
-        r"(?is)\(\s*(count|sum|min|max|avg|group_concat)\s*\("
+        r"(?is)\(\s*(count|sum|min|max|avg|sample|group_concat)\s*\("
         r"\s*(distinct\s+)?(\*|\?\w+)"
         r'\s*(?:;\s*separator\s*=\s*"([^"]*)")?\s*\)'
         r"\s+as\s+\?(\w+)\s*\)")
@@ -672,24 +674,80 @@ def parse_sparql(query: str) -> ParsedQuery:
                        subqueries)
 
 
+def _split_call_args(text: str) -> list[str]:
+    """Split a function-call argument list at top-level commas (commas
+    inside quoted literals or nested parens belong to the argument)."""
+    parts, depth, cur, inq = [], 0, [], False
+    for ch in text:
+        if ch == '"':
+            inq = not inq
+        if ch == "," and not inq and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        if not inq:
+            depth += ch == "("
+            depth -= ch == ")"
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+# BIND function arities: name -> (min_args, max_args, first_arg_is_var)
+_BIND_FNS = {"concat": (1, 99, False), "strlen": (1, 1, True),
+             "ucase": (1, 1, True), "lcase": (1, 1, True),
+             "str": (1, 1, True), "substr": (2, 3, True),
+             "strbefore": (2, 2, True), "strafter": (2, 2, True),
+             "replace": (3, 3, True), "abs": (1, 1, True),
+             "round": (1, 1, True), "ceil": (1, 1, True),
+             "floor": (1, 1, True), "coalesce": (1, 99, False)}
+_BIND_ARG = re.compile(r'^(\?\w+|"[^"]*"|-?\d+(?:\.\d+)?)$')
+
+
 def _parse_binds(binds_raw: list[tuple[str, str]]) \
         -> list[tuple[str, list, str]]:
-    """Compile raw BIND (expr, alias) pairs into (fn, args, alias) triples;
-    fn in concat/strlen/ucase/lcase/str/arith."""
+    """Compile raw BIND (expr, alias) pairs into (fn, args, alias) triples.
+
+    fn in concat/strlen/ucase/lcase/str/substr/strbefore/strafter/replace/
+    abs/round/ceil/floor/coalesce/if/arith. Args are kept as raw tokens
+    ('?v', '"lit"', '3') — the apply side interprets them, so string
+    literals and numbers stay distinguishable. IF takes a comparison
+    condition: IF(?v OP term, then, else)."""
     binds: list[tuple[str, list, str]] = []
     for expr, alias in binds_raw:
-        mfn = re.match(r"(?is)^(concat|strlen|ucase|lcase|str)"
-                       r"\s*\((.*)\)$", expr)
-        if mfn:
+        mfn = re.match(r"(?is)^(\w+)\s*\((.*)\)$", expr)
+        if mfn and mfn.group(1).lower() in _BIND_FNS:
             fn = mfn.group(1).lower()
-            args = re.findall(r'\?\w+|"[^"]*"', mfn.group(2))
-            if not args:
-                raise ValueError(f"empty BIND expression: {expr!r}")
-            if fn != "concat" and (len(args) != 1
-                                   or not args[0].startswith("?")):
-                raise ValueError(f"{fn.upper()} takes one variable")
-            binds.append((fn, [a if a.startswith("?") else a.strip('"')
-                               for a in args], alias))
+            args = _split_call_args(mfn.group(2))
+            lo, hi, var0 = _BIND_FNS[fn]
+            if not (lo <= len(args) <= hi):
+                raise ValueError(f"{fn.upper()} takes {lo}..{hi} args, "
+                                 f"got {len(args)} in {expr!r}")
+            bad = [a for a in args if not _BIND_ARG.match(a)]
+            if bad:
+                raise ValueError(f"unsupported BIND argument(s) {bad} "
+                                 f"in {expr!r}")
+            if var0 and not args[0].startswith("?"):
+                raise ValueError(
+                    f"{fn.upper()}'s first argument must be a variable")
+            binds.append((fn, args, alias))
+            continue
+        if mfn and mfn.group(1).lower() == "if":
+            args = _split_call_args(mfn.group(2))
+            if len(args) != 3:
+                raise ValueError(f"IF takes (cond, then, else): {expr!r}")
+            mc = re.match(r'(?s)^(\?\w+)\s*(!=|<=|>=|=|<|>)\s*'
+                          r'(\?\w+|"[^"]*"|<[^>]*>|-?[\d.]+)$', args[0])
+            if not mc:
+                raise ValueError("IF condition must be ?var OP term: "
+                                 f"{args[0]!r}")
+            for a in args[1:]:
+                if not _BIND_ARG.match(a):
+                    raise ValueError(f"unsupported IF branch {a!r}")
+            binds.append(("if", [mc.group(1), mc.group(2), mc.group(3),
+                                 args[1], args[2]], alias))
             continue
         ma = re.match(r"(?s)^(\?\w+|-?[\d.]+)\s*([+\-*/])"
                       r"\s*(\?\w+|-?[\d.]+)$", expr)
@@ -835,36 +893,102 @@ def _apply_filters(ds: ray.data.Dataset,
 def _apply_binds(ds: ray.data.Dataset,
                  binds: list[tuple[str, list, str]]) -> ray.data.Dataset:
     """Vectorized BIND(expr AS ?alias) application: appends one column per
-    bind (concat/strlen/ucase/lcase/str/arith over existing bindings)."""
+    bind. String fns run as pandas .str kernels, numeric fns as numpy;
+    each bound alias is visible to later binds and FILTERs."""
+    def lit(tok: str) -> str:
+        # raw token -> python value: strip quotes / angle brackets
+        if tok.startswith('"'):
+            return tok[1:-1]
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        return tok
+
     def apply_binds(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         df = df.copy()
         for fn, args, alias in binds:
+            def sv(tok=None, i=0):          # string series of arg i
+                t = tok if tok is not None else args[i]
+                return df[t[1:]].astype(str)
+
+            def nv(tok):                    # numeric view of a token
+                return pd.to_numeric(df[tok[1:]], errors="coerce") \
+                    if tok.startswith("?") else float(tok)
+
             if fn == "concat":
                 acc = None
                 for a in args:
-                    part = df[a[1:]].astype(str) \
-                        if a.startswith("?") else a
+                    part = sv(a) if a.startswith("?") else lit(a)
                     acc = part if acc is None else acc + part
                 df[alias] = acc
             elif fn == "strlen":
-                df[alias] = df[args[0][1:]].astype(str) \
-                    .str.len().astype("int64")
+                df[alias] = sv().str.len().astype("int64")
             elif fn in ("ucase", "lcase"):
-                s = df[args[0][1:]].astype(str)
-                df[alias] = s.str.upper() if fn == "ucase" \
-                    else s.str.lower()
+                df[alias] = sv().str.upper() if fn == "ucase" \
+                    else sv().str.lower()
             elif fn == "str":
-                df[alias] = df[args[0][1:]].astype(str)
+                df[alias] = sv()
+            elif fn == "substr":            # SPARQL/xpath: 1-based start
+                start = int(float(lit(args[1]))) - 1
+                if start < 0:
+                    raise ValueError("SUBSTR start is 1-based")
+                df[alias] = (sv().str.slice(
+                    start, start + int(float(lit(args[2]))))
+                    if len(args) > 2 else sv().str.slice(start))
+            elif fn in ("strbefore", "strafter"):
+                s, needle = sv(), lit(args[1])
+                if needle == "":
+                    # STRBEFORE(s,"") = "", STRAFTER(s,"") = s (17.4.3)
+                    df[alias] = "" if fn == "strbefore" else s
+                else:
+                    part = s.str.partition(needle)
+                    df[alias] = (part[0].where(part[1] == needle, "")
+                                 if fn == "strbefore" else part[2])
+            elif fn == "replace":
+                # $n group references map to python \n backrefs
+                rep = re.sub(r"\$(\d)", r"\\\1", lit(args[2]))
+                df[alias] = sv().str.replace(lit(args[1]), rep, regex=True)
+            elif fn in ("abs", "round", "ceil", "floor"):
+                v = nv(args[0])
+                df[alias] = (v.abs() if fn == "abs"
+                             # fn:round: ties resolve toward +inf
+                             else np.floor(v + 0.5) if fn == "round"
+                             else np.ceil(v) if fn == "ceil"
+                             else np.floor(v))
+            elif fn == "coalesce":
+                acc = pd.Series([None] * len(df), index=df.index,
+                                dtype=object)
+                for a in args:
+                    if a.startswith("?"):
+                        if a[1:] in df.columns:
+                            acc = acc.where(acc.notna(), df[a[1:]])
+                    else:               # a literal is always bound: done
+                        acc = acc.where(acc.notna(), lit(a))
+                        break
+                df[alias] = acc
+            elif fn == "if":
+                var, op, term, then, els = args
+                import operator as _op
+                ops = {"=": _op.eq, "!=": _op.ne, "<": _op.lt,
+                       "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+                rhs_num = (not term.startswith(('?', '"', '<'))
+                           and re.match(r"^-?[\d.]+$", term))
+                if term.startswith("?") or not rhs_num:
+                    lhs = sv(var)
+                    rhs = sv(term) if term.startswith("?") else lit(term)
+                else:
+                    lhs, rhs = nv(var), float(term)
+                mask = ops[op](lhs, rhs).fillna(False)
+                tv = df[then[1:]] if then.startswith("?") else lit(then)
+                ev = df[els[1:]] if els.startswith("?") else lit(els)
+                df[alias] = pd.Series(
+                    np.where(mask, tv, ev), index=df.index)
             else:                       # arith
                 t1, op, t2 = args
                 import operator as _op
                 ops = {"+": _op.add, "-": _op.sub,
                        "*": _op.mul, "/": _op.truediv}
-
-                def val(t):
-                    return pd.to_numeric(df[t[1:]], errors="coerce") \
-                        if t.startswith("?") else float(t)
-                df[alias] = ops[op](val(t1), val(t2))
+                df[alias] = ops[op](nv(t1), nv(t2))
         return df
 
     return ds.map_batches(apply_binds, batch_format="pandas")
@@ -900,7 +1024,7 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
             if func == "count":
                 cols[alias] = (1.0 if var == "*"
                                else batch[var].notna().astype("float64"))
-            elif func.startswith("group_concat"):
+            elif func == "sample" or func.startswith("group_concat"):
                 cols[alias] = batch[var]         # raw strings, no coercion
             else:
                 cols[alias] = pd.to_numeric(batch[var], errors="coerce")
@@ -919,7 +1043,11 @@ def _aggregate_groups(ds: ray.data.Dataset, q: ParsedQuery) -> ray.data.Dataset:
         for func, _, alias in rest:
             how = ("collect" if func.startswith("group_concat") else
                    {"count": "sum", "sum": "sum", "min": "min",
-                    "max": "max", "avg": "sum"}[func])
+                    "max": "max", "avg": "sum",
+                    # SAMPLE may return any group value (18.5.1.9); the
+                    # codepoint-min is a valid pick and deterministic
+                    # regardless of block layout (oracle: min(v))
+                    "sample": "min"}[func])
             aggs[alias] = (alias, how)
             if func == "avg":
                 aggs[alias + "__n"] = (alias + "__n", "sum")

@@ -910,6 +910,38 @@ def kg_bgp_bind(sf_dir: str):
     return sparql_select(kg_triples(sf_dir), q)
 
 
+def kg_bgp_functions(sf_dir: str):
+    """SPARQL 1.1 function library in BIND (vectorized pandas .str / numpy
+    kernels per batch): SUBSTR/STRAFTER slice the entity IRI, REPLACE
+    rewrites its namespace, IF tags mention volume — every kernel runs
+    map-side, no exchange."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?local ?short ?uri ?size WHERE {
+      ?d v:mentions ?e .
+      BIND(STRAFTER(?e, "entity/") AS ?local)
+      BIND(SUBSTR(?local, 1, 3) AS ?short)
+      BIND(REPLACE(?e, "http://example.org/entity/(.*)", "urn:ent:$1")
+           AS ?uri)
+      BIND(STRLEN(?local) AS ?n)
+      BIND(IF(?n >= 6, "long", "short") AS ?size)
+    }"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
+def kg_bgp_sample(sf_dir: str):
+    """SPARQL SAMPLE aggregate: one representative mentioned entity per
+    language plus the mention count. SAMPLE may return any group value
+    (18.5.1.9); the engine picks the codepoint-min — deterministic across
+    block layouts and exactly min(v) in SQL."""
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?l (SAMPLE(?e) AS ?one) (COUNT(?e) AS ?mentions)
+    WHERE { ?d v:mentions ?e . ?d v:lang ?l }
+    GROUP BY ?l"""
+    from nexus_forge_ray.kg.bgp import sparql_select
+    return sparql_select(kg_triples(sf_dir), q)
+
+
 def kg_bgp_having(sf_dir: str):
     """SPARQL HAVING: entities mentioned by at least 20 documents — the
     post-aggregation group filter runs on the (tiny) aggregated rows."""
@@ -1096,6 +1128,8 @@ QUERIES = {
     "kg_bgp_describe": kg_bgp_describe,
     "kg_bgp_groupconcat": kg_bgp_groupconcat,
     "kg_bgp_bind": kg_bgp_bind,
+    "kg_bgp_functions": kg_bgp_functions,
+    "kg_bgp_sample": kg_bgp_sample,
     "kg_bgp_having": kg_bgp_having,
     "kg_bgp_count_distinct": kg_bgp_count_distinct,
     "kg_bgp_star": kg_bgp_star,

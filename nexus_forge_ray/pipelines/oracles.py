@@ -644,6 +644,28 @@ ORACLES: dict[str, str] = {
         select subj || '->' || obj as k, length(obj)::bigint as n
         from t where pred = 'http://example.org/vocab/mentions'
     """,
+    "kg_bgp_functions": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d,
+               replace(obj, 'http://example.org/entity/', '') as "local",
+               substr(replace(obj, 'http://example.org/entity/', ''),
+                      1, 3) as short,
+               regexp_replace(obj, 'http://example.org/entity/(.*)',
+                              'urn:ent:\\1') as uri,
+               case when length(replace(obj,
+                        'http://example.org/entity/', '')) >= 6
+                    then 'long' else 'short' end as size
+        from t where pred = 'http://example.org/vocab/mentions'
+    """,
+    "kg_bgp_sample": f"""
+        with {_KG_TRIPLES_CTE}
+        select b.obj as l, min(a.obj) as one,
+               count(*)::bigint as mentions
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang'
+        group by 1
+    """,
     "kg_bgp_groupconcat": f"""
         with {_KG_TRIPLES_CTE}
         select a.subj as d,

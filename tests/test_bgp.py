@@ -536,6 +536,102 @@ def test_bind_arithmetic(ray_session):
     assert out["half"].tolist() == [5.0, 2.0]
 
 
+def test_bind_string_functions(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "en-US"), ("d2", "m", "fr")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d ?s ?b ?a ?r WHERE { ?d <m> ?e . '
+         'BIND(SUBSTR(?e, 1, 2) AS ?s) '
+         'BIND(STRBEFORE(?e, "-") AS ?b) '
+         'BIND(STRAFTER(?e, "-") AS ?a) '
+         'BIND(REPLACE(?e, "([a-z]+)-?.*", "$1!") AS ?r) }')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    assert out["s"].tolist() == ["en", "fr"]
+    # STRBEFORE/STRAFTER return "" when the needle is absent (17.4.3)
+    assert out["b"].tolist() == ["en", ""]
+    assert out["a"].tolist() == ["US", ""]
+    assert out["r"].tolist() == ["en!", "fr!"]
+
+
+def test_bind_numeric_and_conditional(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("a", "v", "2.5"), ("b", "v", "-1.5"), ("c", "v", "3.5")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?s ?ab ?rd ?cl ?fl ?tag WHERE { ?s <v> ?x . '
+         'BIND(ABS(?x) AS ?ab) BIND(ROUND(?x) AS ?rd) '
+         'BIND(CEIL(?x) AS ?cl) BIND(FLOOR(?x) AS ?fl) '
+         'BIND(IF(?x > 0, "pos", "neg") AS ?tag) }')
+    out = sparql_select(trip, q).to_pandas().sort_values("s")
+    assert out["ab"].tolist() == [2.5, 1.5, 3.5]
+    # fn:round resolves ties toward +inf: -1.5 -> -1, 2.5 -> 3
+    assert out["rd"].tolist() == [3.0, -1.0, 4.0]
+    assert out["cl"].tolist() == [3.0, -1.0, 4.0]
+    assert out["fl"].tolist() == [2.0, -2.0, 3.0]
+    assert out["tag"].tolist() == ["pos", "neg", "pos"]
+
+
+def test_bind_coalesce_over_optional(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "name", "Ada"), ("d1", "kind", "person"),
+         ("d2", "kind", "org")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d ?label WHERE { ?d <kind> ?k . '
+         'OPTIONAL { ?d <name> ?n } '
+         'BIND(COALESCE(?n, "unnamed") AS ?label) }')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    assert out["label"].tolist() == ["Ada", "unnamed"]
+
+
+def test_sample_aggregate(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame(
+        [("d1", "m", "x"), ("d1", "m", "a"), ("d2", "m", "q")],
+        columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    q = ('SELECT ?d (SAMPLE(?e) AS ?one) WHERE { ?d <m> ?e } '
+         'GROUP BY ?d')
+    out = sparql_select(trip, q).to_pandas().sort_values("d")
+    # the deterministic pick is the codepoint-min group value
+    assert out["one"].tolist() == ["a", "q"]
+
+
+def test_bind_bad_expressions_raise(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = pd.DataFrame([("a", "v", "1")], columns=["subj", "pred", "obj"])
+    trip = ray.data.from_pandas(t)
+    with pytest.raises(ValueError, match="takes 2..3 args"):
+        sparql_select(trip, 'SELECT ?s ?y WHERE { ?s <v> ?x . '
+                            'BIND(SUBSTR(?x) AS ?y) }')
+    with pytest.raises(ValueError, match="first argument must be"):
+        sparql_select(trip, 'SELECT ?s ?y WHERE { ?s <v> ?x . '
+                            'BIND(STRLEN("lit") AS ?y) }')
+    with pytest.raises(ValueError, match="IF condition"):
+        sparql_select(trip, 'SELECT ?s ?y WHERE { ?s <v> ?x . '
+                            'BIND(IF(?x, "a", "b") AS ?y) }')
+
+
 def test_construct_describe_with_dotted_iris(ray_session):
     """Full dotted IRIs must survive statement splitting (the WHERE parser
     tokenizes before splitting on '.'; the template parser must too)."""
