@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_span_dedup": corpus.doc_span_dedup,
         "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "doc_tfidf": corpus.doc_tfidf,
+        "doc_bm25": corpus.doc_bm25,
         "doc_inverted_index": corpus.doc_inverted_index,
         "doc_heavy_tokens": corpus.doc_heavy_tokens,
         "doc_quality_classifier": corpus.doc_quality_classifier,
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": corpus.doc_sample,
         "doc_sample_stratified": corpus.doc_sample_stratified,
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
+        "doc_bigram_logprob": corpus.doc_bigram_logprob,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,
         "dsir_weights": corpus.dsir_weights,
@@ -164,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_epoch_shuffle": corpus.doc_epoch_shuffle,
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
+        "emb_semdedup": corpus.emb_semdedup,
+        "kg_shortest_paths": kg_queries.QUERIES["kg_shortest_paths"],
     })
     # remaining kg_queries entries (the window subset above keeps its early
     # dict positions — update() does not move existing keys)

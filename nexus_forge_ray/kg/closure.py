@@ -87,3 +87,47 @@ def reachable_from(edges: ray.data.Dataset, roots: list, *,
             if len(nxt) else []
         seen.update(frontier)
     return pd.DataFrame({"node": sorted(seen)})
+
+
+def bfs_distances(edges: ray.data.Dataset, roots: list, *,
+                  src: str = "src", dst: str = "dst",
+                  max_rounds: int = 10,
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """Hop distance from `roots` to every reachable node (multi-source BFS).
+
+    Scale-first twin of `reachable_from`: the visited set and the frontier
+    are Datasets, never driver state — each round is ONE bucketed hash join
+    (frontier ⋈ edges on the source endpoint) plus ONE bucketed distinct and
+    ONE bucketed anti-join against the visited set, so a 10^9-node cone
+    never ships node ids through the driver (the only driver scalar is the
+    new-frontier count used for fixpoint detection). Returns (node, dist)
+    with dist = minimum hop count (BFS order guarantees minimality).
+    """
+    from nexus_forge_ray.ops.joins import (partitioned_anti_join,
+                                           partitioned_join)
+
+    edges = edges.materialize()
+    visited = ray.data.from_pandas(pd.DataFrame({
+        "node": pd.Series(sorted(set(roots)), dtype=object),
+        "dist": 0})).materialize()
+    frontier = visited
+    for r in range(1, max_rounds + 1):
+        f = frontier.map_batches(
+            lambda df: pd.DataFrame({src: df["node"]}),
+            batch_format="pandas")
+        nxt = partitioned_join(f, edges, on=src,
+                               num_buckets=num_buckets,
+                               lcols=[src], rcols=[src, dst])
+        cand = distinct_rows(
+            nxt.map_batches(lambda df: pd.DataFrame({"node": df[dst]}),
+                            batch_format="pandas"),
+            ["node"], num_buckets=num_buckets, keep_cols=[])
+        new = partitioned_anti_join(cand, visited, on="node",
+                                    num_buckets=num_buckets) \
+            .map_batches(lambda df, rr=r: df.assign(dist=rr),
+                         batch_format="pandas").materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

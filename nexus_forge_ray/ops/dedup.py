@@ -855,3 +855,75 @@ def dedup_incremental(new_ds: ray.data.Dataset, index_dir: str, *,
         batch_format="pandas").write_parquet(run_dir)
     return survivors.map_batches(
         lambda df: df.drop(columns="__fp"), batch_format="pandas")
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+def semantic_dedup(emb_ds: ray.data.Dataset, *, k: int = 10, iters: int = 2,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   num_buckets: int = 8) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters the
+    embedding space, then semantic near-duplicates are pruned WITHIN each
+    cluster only — a vector is removed when a lower-id vector in the SAME
+    cluster has cosine >= threshold; the reported keeper is the smallest
+    such id. Returns (removed_id, kept_id, cluster, cosine).
+
+    Scale shape: cluster assignment is the broadcast-centroid k-means
+    (`ops.clustering.kmeans_assign` — centroids are the only driver state,
+    k*d floats); assignments re-attach to vectors via ONE bucketed hash
+    join; the O(s^2) cosine matrix is computed per cluster inside
+    map_groups. The paper's operating point scales k with corpus size so
+    per-cluster s stays bounded (they run k=50k on 100M+ embeddings) —
+    this preserves exactly that contract: only one cluster's vectors ever
+    co-locate, and the pairwise work is s^2 per cluster, never corpus^2.
+    """
+    from nexus_forge_ray.ops.clustering import kmeans_assign
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    emb_ds = emb_ds.materialize()  # consumed twice: kmeans + the join side
+    asg = kmeans_assign(emb_ds, k=k, iters=iters, id_col=id_col,
+                        vec_col=vec_col)
+
+    # vectors ride the shuffle as raw float64 bytes — Ray's tensor-column
+    # concat chokes on object-typed vector columns mid-shuffle, and bytes
+    # rows are also what the LSH verify path ships (see
+    # embedding_near_dup_pairs)
+    def to_bytes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "__vb": [np.asarray(v, dtype=np.float64).tobytes()
+                     for v in batch[vec_col].to_numpy()]})
+
+    emb_b = emb_ds.map_batches(to_bytes, batch_format="pandas")
+    joined = partitioned_join(asg, emb_b, on=id_col,
+                              num_buckets=num_buckets)
+
+    empty = pd.DataFrame({"removed_id": pd.Series(dtype="int64"),
+                          "kept_id": pd.Series(dtype="int64"),
+                          "cluster": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.stack([np.frombuffer(v, dtype=np.float64)
+                        for v in g["__vb"].to_numpy()])
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        cos = unit @ unit.T
+        # strictly-lower triangle: row i duplicates column j (ids[j] < ids[i])
+        dup = np.tril(cos >= threshold, k=-1)
+        rows, cols = np.nonzero(dup)
+        if not len(rows):
+            return empty
+        ids = g[id_col].to_numpy()
+        out = pd.DataFrame({"removed_id": ids[rows], "kept_id": ids[cols],
+                            "cosine": cos[rows, cols]})
+        # keeper = smallest qualifying lower id
+        out = out.sort_values(["removed_id", "kept_id"]) \
+            .groupby("removed_id", as_index=False).first()
+        out["cluster"] = np.int64(g["cluster"].iloc[0])
+        return out[["removed_id", "kept_id", "cluster", "cosine"]]
+
+    return joined.groupby("cluster").map_groups(prune,
+                                                batch_format="pandas")

@@ -586,6 +586,34 @@ def embedding_near_dup(sf_dir: str):
     return dd.embedding_near_dup_pairs(aug, threshold=0.95)
 
 
+def emb_semdedup(sf_dir: str):
+    """SemDeDup over the embeddings table. The driver fixture has no
+    semantic near-dups (max pairwise cosine ~0.51), so the query plants
+    deterministic exact duplicates (vec_id + 10000, same embedding — the
+    embedding_near_dup convention): identical vectors always land in the
+    same k-means cluster and score cosine 1.0, so the pruning decision is
+    exact and the unrolled-kmeans + within-cluster self-join SQL oracle
+    matches row-for-row."""
+    import pyarrow.compute as pc
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def with_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.copy()
+        d["vec_id"] = d["vec_id"] + 10000
+        return pd.concat([batch, d], ignore_index=True)
+
+    aug = emb.map_batches(with_dups, batch_format="pandas")
+    out = dd.semantic_dedup(aug, k=10, iters=2, threshold=0.95).to_pandas()
+    out["cosine"] = pc.round(pa.array(out["cosine"], type=pa.float64()),
+                             ndigits=4,
+                             round_mode="half_towards_infinity").to_pandas()
+    for c in ("removed_id", "kept_id", "cluster"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("removed_id").reset_index(drop=True)
+
+
 def mm_image_features(sf_dir: str):
     """Multimodal pipeline over REAL image payloads: each document gets a
     deterministic PNG (gradient keyed by doc_id, size from doc length),
@@ -776,6 +804,75 @@ def doc_tfidf(sf_dir: str):
                             round_mode="half_towards_infinity").to_pandas()
     top["tf"] = top["tf"].astype("int64")
     return top[["doc_id", "token", "tf", "tfidf"]]
+
+
+def doc_bm25(sf_dir: str):
+    """BM25 ranked retrieval: top-10 documents for a fixed 3-term query
+    (k1=1.2, b=0.75, Lucene idf = ln((N-df+.5)/(df+.5)+1)). Scale shape:
+    ONE pass over documents emits (doc_id, term, tf, dl) for query terms
+    only (a doc's text is a single row, so tf and length are exact
+    map-side and the pair table is O(matching docs x |Q|), never the full
+    token explosion); per-term document frequencies reduce that table to
+    |Q| driver rows broadcast back as the idf dict; scoring is a
+    vectorized map; the per-doc sum is one bucketed agg over the tiny
+    pair table; the global cut is per-batch top-k + a driver merge of
+    k rows per block. N and total-token-count are the only corpus-sized
+    driver scalars."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+
+    QUERY = ("spark", "vector", "stream")
+    K1, B = 1.2, 0.75
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    n_docs = float(docs.count())
+    n_toks = float(docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": [int(df["text"].str.split().map(len).sum())]}),
+        batch_format="pandas").sum("n"))
+    avgdl = n_toks / n_docs
+
+    qset = frozenset(QUERY)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        lens = toks.map(len).to_numpy()
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().repeat(lens),
+            "token": toks.explode().dropna().to_numpy(),
+            "dl": np.repeat(lens, lens).astype("float64")})
+        ex = ex[ex["token"].isin(qset)]
+        return ex.groupby(["doc_id", "token", "dl"], as_index=False) \
+            .size().rename(columns={"size": "tf"})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pandas").materialize()
+    dfs = hash_groupby_agg(pair_ds, ["token"],
+                           {"df": ("doc_id", "count")},
+                           num_buckets=4).to_pandas()
+    idf = {t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+           for t, d in zip(dfs["token"], dfs["df"])}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].astype("float64")
+        s = df["token"].map(idf).astype("float64") * tf * (K1 + 1.0) \
+            / (tf + K1 * (1.0 - B + B * df["dl"] / avgdl))
+        return pd.DataFrame({"doc_id": df["doc_id"], "s": s})
+
+    per_doc = hash_groupby_agg(pair_ds.map_batches(score,
+                                                   batch_format="pandas"),
+                               ["doc_id"], {"score": ("s", "sum")},
+                               num_buckets=8)
+    tops = per_doc.map_batches(
+        lambda df: df.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(10),
+        batch_format="pandas").to_pandas()
+    out = tops.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    out["score"] = pc.round(pa.array(out["score"], type=pa.float64()),
+                            ndigits=4,
+                            round_mode="half_towards_infinity").to_pandas()
+    return out[["doc_id", "score"]]
 
 
 def doc_inverted_index(sf_dir: str):
@@ -1070,6 +1167,58 @@ def doc_unigram_logprob(sf_dir: str):
             pa.array(agg["lp"] / agg["n"], type=pa.float64()), ndigits=4,
             round_mode="half_towards_infinity").to_pandas()})
     return out
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """Interpolated bigram-LM document scoring — the CCNet-style
+    perplexity quality filter (Wenzek et al. 2020) one rung above
+    `doc_unigram_logprob`: per bigram position the score is
+    ln(λ·P(w2|w1) + (1−λ)·P(w2)) with λ=0.7, P(w2|w1)=C(w1,w2)/C(w1·),
+    P(w2)=C(·w2)/T, all counts over the corpus's bigram positions.
+    Distributed shape: the (doc, w1, w2, n) pair table is exact map-side
+    (a doc's text is one row); the three LM count tables attach via three
+    bucketed window shuffles of that pair table (bigram/unigram tables
+    never broadcast — at web scale they are corpus-sized); the per-doc
+    position-weighted mean is one final bucketed agg. T is the only
+    driver scalar."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import attach_group_stat, hash_groupby_agg
+
+    LAM = 0.7
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        w1, w2, ids = _bigram_pairs(df["text"], df["doc_id"].to_numpy())
+        p = pd.DataFrame({"doc_id": ids, "w1": w1, "w2": w2})
+        return p.groupby(["doc_id", "w1", "w2"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    pair_ds = docs.map_batches(pairs, batch_format="pandas").materialize()
+    total = float(pair_ds.sum("n"))
+    with_counts = attach_group_stat(
+        attach_group_stat(
+            attach_group_stat(pair_ds, ["w1", "w2"], "n", "sum", "c12",
+                              num_buckets=16),
+            "w1", "n", "sum", "c1", num_buckets=16),
+        "w2", "n", "sum", "c2", num_buckets=16)
+    lp = with_counts.map_batches(
+        lambda d: pd.DataFrame({
+            "doc_id": d["doc_id"],
+            "lp": d["n"].astype("float64") * np.log(
+                LAM * d["c12"].astype("float64") / d["c1"].astype("float64")
+                + (1.0 - LAM) * d["c2"].astype("float64") / total),
+            "n": d["n"].astype("float64")}),
+        batch_format="pandas")
+    agg = hash_groupby_agg(lp, "doc_id",
+                           {"lp": ("lp", "sum"), "n": ("n", "sum")},
+                           num_buckets=16).to_pandas()
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype("int64"),
+        "avg_logprob": pc.round(
+            pa.array(agg["lp"] / agg["n"], type=pa.float64()), ndigits=4,
+            round_mode="half_towards_infinity").to_pandas(),
+    }).sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_sample_per_lang(sf_dir: str):

@@ -991,6 +991,27 @@ def kg_reachable(sf_dir: str):
     return reachable_from(und, ["http://example.org/entity/spark"])
 
 
+def kg_shortest_paths(sf_dir: str):
+    """Hop distances from the 'spark' entity over undirected co-occurrence
+    edges (`kg.closure.bfs_distances`): the scale twin of `kg_reachable` —
+    visited set and frontier are Datasets end-to-end, one bucketed join +
+    distinct + anti-join per BFS level, no driver-side node sets. BFS level
+    order makes the reported dist the minimum hop count; oracle is a
+    bounded recursive CTE with min-dist aggregation."""
+    from nexus_forge_ray.kg.closure import bfs_distances
+    edges = kg_cooccur(sf_dir)
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["e1"], "dst": df["e2"]}),
+            pd.DataFrame({"src": df["e2"], "dst": df["e1"]})],
+            ignore_index=True),
+        batch_format="pandas")
+    out = bfs_distances(und, ["http://example.org/entity/spark"],
+                        max_rounds=8).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["dist", "node"]).reset_index(drop=True)
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -1146,6 +1167,7 @@ QUERIES = {
     "kg_validate_strings": kg_validate_strings,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
+    "kg_shortest_paths": kg_shortest_paths,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

@@ -758,6 +758,23 @@ ORACLES: dict[str, str] = {
             select e.dst from edges e join reach r on e.src = r.node)
         select node from reach
     """,
+    "kg_shortest_paths": f"""
+        with recursive {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        edges as (select e1 as src, e2 as dst from cooc
+                  union all select e2, e1 from cooc),
+        walk(node, dist) as (
+            select 'http://example.org/entity/spark', 0
+            union
+            select e.dst, w.dist + 1
+            from edges e join walk w on e.src = w.node
+            where w.dist < 8)
+        select node, min(dist)::bigint as dist from walk group by node
+    """,
     "kg_triangles": f"""
         with {_KG_TRIPLES_CTE},
         e as (select distinct a.tok as e1, b.tok as e2
@@ -1160,6 +1177,33 @@ ORACLES: dict[str, str] = {
         from scored
         qualify row_number() over (partition by doc_id
                                    order by tfidf_raw desc, token) <= 3
+    """,
+    "doc_bm25": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as token
+                      from documents),
+             stats as (select (select count(*) from documents)::double as n,
+                              (select count(*) from toks)::double as nt),
+             dl as (select doc_id, count(*)::double as dl
+                    from toks group by 1),
+             tf as (select doc_id, token, count(*)::double as tf from toks
+                    where token in ('spark', 'vector', 'stream')
+                    group by 1, 2),
+             dfreq as (select token, count(*)::double as df
+                       from tf group by 1),
+             parts as (select tf.doc_id,
+                              ln((s.n - dfreq.df + 0.5)
+                                 / (dfreq.df + 0.5) + 1)
+                              * tf.tf * (1.2 + 1)
+                              / (tf.tf + 1.2 * (1 - 0.75
+                                                + 0.75 * dl.dl
+                                                  / (s.nt / s.n))) as p
+                       from tf
+                       join dfreq using (token)
+                       join dl using (doc_id)
+                       cross join stats s)
+        select doc_id, round(sum(p), 4) as score
+        from parts group by doc_id
+        order by sum(p) desc, doc_id limit 10
     """,
     "doc_inverted_index": """
         with pairs as (select distinct doc_id, tok as token
@@ -1899,6 +1943,64 @@ ORACLES: dict[str, str] = {
                                               c.cent), c.cid) as rn
             from embeddings e cross join c1 c) where rn = 1
     """,
+    # same unrolled 2-iteration kmeans as emb_kmeans, but over the
+    # dup-augmented table, then within-cluster cosine pruning (SemDeDup)
+    "emb_semdedup": """
+        with all_v as (
+            select vec_id, embedding from embeddings
+            union all
+            select vec_id + 10000 as vec_id, embedding from embeddings),
+        init as (
+            select row_number() over (order by vec_id) - 1 as cid,
+                   embedding::DOUBLE[] as cent
+            from (select vec_id, embedding from all_v
+                  order by vec_id limit 10)
+        ),
+        m1 as (
+            select vec_id, cid from (
+                select e.vec_id, c.cid,
+                       row_number() over (
+                           partition by e.vec_id
+                           order by list_distance(e.embedding::DOUBLE[],
+                                                  c.cent), c.cid) as rn
+                from all_v e cross join init c) where rn = 1
+        ),
+        upd as (
+            select cid, ord, avg(val) as v
+            from (select m1.cid,
+                         generate_subscripts(e.embedding, 1) as ord,
+                         unnest(e.embedding::DOUBLE[]) as val
+                  from m1 join all_v e using (vec_id))
+            group by cid, ord
+        ),
+        c1 as (
+            select i.cid, coalesce(u.cent, i.cent) as cent
+            from init i left join (
+                select cid, list(v order by ord) as cent
+                from upd group by cid) u using (cid)
+        ),
+        asg as (
+            select vec_id, cluster, embedding from (
+                select e.vec_id, c.cid::bigint as cluster, e.embedding,
+                       row_number() over (
+                           partition by e.vec_id
+                           order by list_distance(e.embedding::DOUBLE[],
+                                                  c.cent), c.cid) as rn
+                from all_v e cross join c1 c) where rn = 1
+        ),
+        pairs as (
+            select a.vec_id as removed_id, b.vec_id as kept_id, a.cluster,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) as cosine
+            from asg a join asg b on a.cluster = b.cluster
+                                 and b.vec_id < a.vec_id
+            where list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.95)
+        select removed_id, kept_id, cluster, round(cosine, 4) as cosine
+        from pairs
+        qualify row_number() over (partition by removed_id
+                                   order by kept_id) = 1
+    """,
     "q10_returned_revenue": """
         select c.c_custkey, c.c_name, c.c_acctbal,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue
@@ -1966,6 +2068,27 @@ ORACLES: dict[str, str] = {
         select doc_id,
                round(avg(ln(c::double / (select n from tot))), 4) as avg_logprob
         from tok join f using (token)
+        group by doc_id
+    """,
+    "doc_bigram_logprob": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        prs as (select doc_id, toks[i] as w1, toks[i+1] as w2
+                from (select doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) as i
+                      from t)),
+        c12 as (select w1, w2, count(*)::double as c12 from prs group by 1, 2),
+        c1 as (select w1, count(*)::double as c1 from prs group by 1),
+        c2 as (select w2, count(*)::double as c2 from prs group by 1),
+        tot as (select count(*)::double as t from prs)
+        select doc_id,
+               round(avg(ln(0.7 * c12.c12 / c1.c1
+                            + 0.3 * c2.c2 / tot.t)), 4) as avg_logprob
+        from prs
+        join c12 using (w1, w2)
+        join c1 using (w1)
+        join c2 using (w2)
+        cross join tot
         group by doc_id
     """,
     "doc_sample_per_lang": """

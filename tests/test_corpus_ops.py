@@ -29,6 +29,9 @@ CASES = {
     "q_events_top_users": relational.q_events_top_users,
     "q_es_agg": corpus.q_es_agg,
     "doc_tfidf": corpus.doc_tfidf,
+    "doc_bm25": corpus.doc_bm25,
+    "emb_semdedup": corpus.emb_semdedup,
+    "doc_bigram_logprob": corpus.doc_bigram_logprob,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
     "q_events_pivot": relational.q_events_pivot,

@@ -60,6 +60,25 @@ def test_embedding_near_dup_finds_planted_pairs():
     assert out["id_a"].dtype == np.int64 and out["id_b"].dtype == np.int64
 
 
+def test_semantic_dedup_prunes_within_cluster_only():
+    from nexus_forge_ray.ops.dedup import semantic_dedup
+    # four collinear vectors (pairwise cosine = 1.0) whose magnitudes put
+    # them in two k-means clusters: SemDeDup must prune within each
+    # cluster (2->0, 3->1) but NEVER across (1 survives despite cosine 1
+    # with 0) — the scoping that distinguishes it from global near-dup
+    mat = np.zeros((4, 8), dtype=np.float64)
+    mat[0, 0], mat[1, 0], mat[2, 0], mat[3, 0] = 1.0, 100.0, 2.0, 99.0
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": list(mat)})
+    out = semantic_dedup(ray.data.from_pandas(df), k=2, iters=2,
+                         threshold=0.999).to_pandas()
+    got = dict(zip(out["removed_id"], out["kept_id"]))
+    assert got == {2: 0, 3: 1}
+    assert (out["cosine"] >= 0.999).all()
+    cl = dict(zip(out["removed_id"], out["cluster"]))
+    assert cl[2] != cl[3]
+
+
 def _naive_simhash(text, bits):
     toks = (text or "").split()
     if not toks:

@@ -21,7 +21,8 @@ ORACLE_CASES = [
                 "kg_bgp_alt", "kg_bgp_union_scoped", "kg_validate_logical",
                 "kg_update", "kg_quads", "kg_graph_named", "kg_graph_var",
                 "kg_graph_mixed", "kg_upsert_recrawl", "kg_graph_drop",
-                "kg_graph_with_update", "kg_validate_strings"]
+                "kg_graph_with_update", "kg_validate_strings",
+                "kg_shortest_paths"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
