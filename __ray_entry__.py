@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
         "q_es_should": corpus.q_es_should,
+        "q_es_match_phrase": corpus.q_es_match_phrase,
+        "q_es_match": corpus.q_es_match,
         "q_es_date_histogram": corpus.q_es_date_histogram,
         "doc_mixture": corpus.doc_mixture,
         "doc_pii_redact": corpus.doc_pii_redact,
@@ -159,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": corpus.doc_sample_stratified,
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
         "doc_bigram_logprob": corpus.doc_bigram_logprob,
+        "doc_bpe_encode": corpus.doc_bpe_encode,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,
         "dsir_weights": corpus.dsir_weights,

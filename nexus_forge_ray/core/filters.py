@@ -118,8 +118,11 @@ def filters_from_elastic(query: dict) -> list[Filter]:
 
     Supported: {"query": ...} wrapper; bool.must / bool.filter (AND);
     bool.must_not over term clauses (__ne__); term {"f": v} or
-    {"f": {"value": v}}; range gt/gte/lt/lte; match (treated as term
-    equality — no analyzer in this engine); match_all; exists (negatable
+    {"f": {"value": v}}; range gt/gte/lt/lte; match (scalar short form =
+    term equality, the keyword-field behavior; object form with a
+    multi-token query or an explicit `operator` = analyzed any/all-token
+    matching); match_phrase (consecutive analyzed tokens); match_all;
+    exists (negatable
     under must_not); prefix; wildcard (*/? translated to an anchored
     regex); regexp (anchored, per ES); bool.should (disjunction) compiled
     to an `AnyOf` mask — enforced when it is the only clause group or
@@ -148,8 +151,43 @@ def filters_from_elastic(query: dict) -> list[Filter]:
             if should and (not out or msm >= 1):
                 out.append(AnyOf(tuple(tuple(clause(s)) for s in should)))
             return out
+        if kind == "match_phrase":
+            # analyzed phrase: the query tokens must appear consecutively
+            # (whitespace-tokenized field, no positions index — a
+            # token-boundary regex is the vectorized equivalent)
+            if negate:
+                raise ValueError("match_phrase under must_not unsupported")
+            import re as _re
+            (field, v), = body.items()
+            if isinstance(v, dict):
+                v = v.get("query")
+            toks = str(v).split()
+            if not toks:
+                return []
+            pat = (r"(?:^|\s)" + r"\s+".join(_re.escape(t) for t in toks)
+                   + r"(?:\s|$)")
+            return [Filter(field, "__regex__", pat)]
         if kind in ("term", "match"):
             (field, v), = body.items()
+            if kind == "match" and isinstance(v, dict) and (
+                    "operator" in v or len(str(v.get("query", "")).split()) > 1):
+                # analyzed match (object form): any/all of the query's
+                # whitespace tokens must occur with token boundaries —
+                # OR is ES's default operator
+                if negate:
+                    raise ValueError("analyzed match under must_not "
+                                     "unsupported")
+                import re as _re
+                toks = str(v.get("query", "")).split()
+                conj = str(v.get("operator", "or")).lower() == "and"
+                fs = [Filter(field, "__regex__",
+                             r"(?:^|\s)" + _re.escape(t) + r"(?:\s|$)")
+                      for t in toks]
+                if not fs:
+                    return []
+                if conj:
+                    return fs
+                return [AnyOf(tuple((f,) for f in fs))]
             if isinstance(v, dict):
                 v = v.get("value", v.get("query"))
             return [Filter(field, "__ne__" if negate else "__eq__", v)]

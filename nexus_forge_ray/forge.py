@@ -96,6 +96,16 @@ class KnowledgeGraphForge:
     def types(self) -> list[str]:
         return sorted({s.target_type for s in self._shapes})
 
+    def get_store_context(self) -> dict:
+        """The JSON-LD context the store serializes under (reference
+        forge.py:973-975 — here store and session share one context)."""
+        return dict(self.context)
+
+    def get_model_context(self) -> dict:
+        """The JSON-LD context the model (schema layer) resolves terms
+        with (reference forge.py:977-979; one shared context here)."""
+        return dict(self.context)
+
     # -------------------------------------------------------------- templates
 
     def template(self, type: str, only_required: bool = False) -> dict:

@@ -371,6 +371,24 @@ def doc_bpe_merges(sf_dir: str):
     return bpe_learn(_docs(sf_dir, ["doc_id", "text"]), n_merges=20)
 
 
+def doc_bpe_encode(sf_dir: str):
+    """Token counts per document under the LEARNED 20-merge BPE tokenizer —
+    the train→apply round trip (`ops.bpe.bpe_learn` + `bpe_encode_counts`):
+    learning is one distributed word-count shuffle + the merge loop on the
+    aggregated vocabulary; encoding broadcasts the ranked merge table once
+    and each batch encodes independently with a word-level cache (Zipf).
+    Oracle: the unrolled merge-replay CTE carrying word identity, joined
+    back to the per-doc word explosion (`oracles._bpe_encode_sql`)."""
+    from nexus_forge_ray.ops.bpe import bpe_encode_counts, bpe_learn
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    merges = bpe_learn(docs, n_merges=20)
+    out = bpe_encode_counts(docs, merges).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------ rows-only checked pipelines
 
 def lang_id_pred(sf_dir: str):
@@ -913,6 +931,32 @@ def q_es_should(sf_dir: str):
     out = KnowledgeGraphForge().elastic(
         body, data=_docs(sf_dir, ["doc_id", "source", "n_chars"]))
     return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+def q_es_match_phrase(sf_dir: str):
+    """ES match_phrase through the facade: documents whose text contains
+    the consecutive tokens 'spark join' — analyzed phrase matching as one
+    vectorized token-boundary regex mask per batch."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"match_phrase": {"text": "spark join"}}}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def q_es_match(sf_dir: str):
+    """ES analyzed match (object form, default OR operator) through the
+    facade: documents containing the token 'vector' OR 'stream', plus an
+    AND-operator probe for 'spark join' — each an OR/AND of vectorized
+    token-boundary masks, one pass per batch."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"bool": {"must": [
+        {"match": {"text": {"query": "vector stream"}}},
+        {"match": {"text": {"query": "spark join", "operator": "and"}}},
+    ]}}}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
 
 
 # ------------------------------------------------ deterministic sampling

@@ -215,9 +215,61 @@ def _bpe_merge_sql(n_merges: int) -> str:
     return "".join(parts) + "\n" + union + " order by rank"
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Unrolled-CTE oracle for ENCODING under the learned merges: the same
+    round-per-CTE merge replay as `_bpe_merge_sql`, but each word state
+    carries its source word, so after the last round the per-word symbol
+    count joins back to the per-document word explosion. Applying the
+    ranked merge list in order with leftmost non-overlapping replace() is
+    the classic equivalence with greedy lowest-rank-first BPE encoding."""
+    parts = ["""
+    with words as materialized (
+        select word, count(*)::bigint as n from (
+            select unnest(string_split(text, ' ')) as word from documents)
+        where word != '' group by word),
+    r0 as materialized (
+        select word,
+               '⟨' || array_to_string(regexp_split_to_array(word, ''),
+                                       '⟩⟨')
+               || '⟩⟨</w>⟩' as w, n
+        from words)"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    s{k} as materialized (
+        select string_split(trim(w, '⟨⟩'), '⟩⟨') as a, n
+        from r{k} where len(w) > 0),
+    p{k} as materialized (
+        select '⟨' || a[i] || '⟩⟨' || a[i+1] || '⟩' as pair,
+               sum(n)::bigint as c
+        from s{k}, unnest(generate_series(1, len(a) - 1)) as t(i)
+        group by 1),
+    b{k} as materialized (
+        select pair, c from p{k} order by c desc, pair asc limit 1),
+    r{k + 1} as materialized (
+        select word, replace(w, b.pair, replace(b.pair, '⟩⟨', '')) as w, n
+        from r{k}, b{k} b)""")
+    parts.append(f""",
+    enc as materialized (
+        select word,
+               len(string_split(trim(w, '⟨⟩'), '⟩⟨'))::bigint as n_sym
+        from r{n_merges}),
+    docw as (
+        select doc_id, unnest(string_split(text, ' ')) as word
+        from documents)
+    select d.doc_id,
+           coalesce(sum(enc.n_sym), 0)::bigint as n_bpe_tokens
+    from documents d
+    left join docw on d.doc_id = docw.doc_id and docw.word != ''
+    left join enc on docw.word = enc.word
+    group by d.doc_id""")
+    return "".join(parts)
+
+
 ORACLES: dict[str, str] = {
     # first 20 BPE merges, unrolled round-by-round (see _bpe_merge_sql)
     "doc_bpe_merges": _bpe_merge_sql(20),
+    # encode every document under those learned merges (train -> apply)
+    "doc_bpe_encode": _bpe_encode_sql(20),
     "q1_pricing_summary": """
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                            as sum_qty,
@@ -1278,6 +1330,17 @@ ORACLES: dict[str, str] = {
     "q_es_should": """
         select doc_id, source, n_chars from documents
         where n_chars >= 400 or source = 'src1'
+    """,
+    "q_es_match_phrase": r"""
+        select doc_id from documents
+        where regexp_matches(text, '(^|\s)spark\s+join(\s|$)')
+    """,
+    "q_es_match": r"""
+        select doc_id from documents
+        where (regexp_matches(text, '(^|\s)vector(\s|$)')
+               or regexp_matches(text, '(^|\s)stream(\s|$)'))
+          and regexp_matches(text, '(^|\s)spark(\s|$)')
+          and regexp_matches(text, '(^|\s)join(\s|$)')
     """,
     "q_es_agg": """
         select source as key, count(*)::bigint as doc_count,

@@ -32,8 +32,11 @@ CASES = {
     "doc_bm25": corpus.doc_bm25,
     "emb_semdedup": corpus.emb_semdedup,
     "doc_bigram_logprob": corpus.doc_bigram_logprob,
+    "doc_bpe_encode": corpus.doc_bpe_encode,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
+    "q_es_match_phrase": corpus.q_es_match_phrase,
+    "q_es_match": corpus.q_es_match,
     "q_events_pivot": relational.q_events_pivot,
     "q_events_gap": relational.q_events_gap,
     "q_revenue_rollup": relational.q_revenue_rollup,

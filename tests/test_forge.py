@@ -47,6 +47,11 @@ def test_types_template_paths(forge):
                  "gender": "female"}
     f = forge.paths("Person").familyName == "Doe"
     assert f.path == ("familyName",) and f.value == "Doe"
+    # context getters (reference forge.py:973-979): copies, not aliases
+    sc, mc = forge.get_store_context(), forge.get_model_context()
+    assert sc == forge.context and mc == forge.context
+    sc["x"] = "mutated"
+    assert "x" not in forge.context
 
 
 def test_validate_records_and_inference(forge):
