@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resolve_fuzzy", "kg_resolve_ontology", "kg_validate_customers",
         "kg_validate_nested", "kg_validate_logical", "kg_validate_pairs",
         "kg_validate_closed", "kg_validate_strings", "kg_actions_summary",
-        "kg_bgp", "kg_bgp_filter", "kg_bgp_optional", "kg_bgp_union",
+        "kg_bgp", "kg_bgp_filter", "kg_bgp_filter_logic",
+        "kg_bgp_optional", "kg_bgp_union",
         "kg_bgp_union_scoped", "kg_bgp_groupby", "kg_bgp_values",
         "kg_bgp_bind", "kg_bgp_having", "kg_bgp_count_distinct",
         "kg_bgp_groupconcat", "kg_bgp_exists", "kg_bgp_notexists",
@@ -170,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_pred": corpus.lang_id_pred,
         "doc_quality": corpus.doc_quality,
         "emb_semdedup": corpus.emb_semdedup,
+        "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
         "kg_shortest_paths": kg_queries.QUERIES["kg_shortest_paths"],
     })
     # remaining kg_queries entries (the window subset above keeps its early

@@ -267,14 +267,128 @@ _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
             ">": "gt", ">=": "ge"}
 
 
+def _split_top(expr: str, sep: str) -> list[str]:
+    """Split `expr` on a top-level logical connective (`&&` / `||`) —
+    occurrences inside parentheses or double-quoted strings don't split."""
+    parts, depth, inq, last, i = [], 0, False, 0, 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and expr.startswith(sep, i):
+                parts.append(expr[last:i])
+                i += len(sep)
+                last = i
+                continue
+        i += 1
+    parts.append(expr[last:])
+    return [p.strip() for p in parts]
+
+
+def _strip_outer_parens(expr: str) -> str:
+    """Remove parens that wrap the ENTIRE expression (repeatedly)."""
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(expr):
+            depth += {"(": 1, ")": -1}.get(ch, 0)
+            if depth == 0 and i < len(expr) - 1:
+                return expr  # the opening paren closes early — not a wrap
+        expr = expr[1:-1].strip()
+    return expr
+
+
+def _parse_filter_atom(expr: str, term) -> tuple[str, str, object, bool]:
+    """One atomic FILTER expression -> a uniform (var, op, val, is_var)
+    tuple (regex atoms use op 'regexm')."""
+    rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
+    cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
+                  r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
+    bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
+    im = re.match(r"(?is)^\?(\w+)\s+(not\s+)?in\s*\((.*)\)$", expr)
+    sm = re.match(r'(?is)^(!\s*)?(strstarts|strends|contains)'
+                  r'\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
+    if im:
+        toks = re.findall(r'<[^>]*>|"[^"]*"|[^,\s]+', im.group(3))
+        vals = []
+        for tk in toks:
+            v: object = term(tk)
+            try:
+                v = float(tk)
+            except ValueError:
+                pass
+            vals.append(v)
+        # IN compares both raw and numeric forms downstream
+        return (im.group(1), "notisin" if im.group(2) else "isin",
+                vals, False)
+    if sm:
+        fn = sm.group(2).lower()
+        return (sm.group(3), ("not" + fn) if sm.group(1) else fn,
+                sm.group(4), False)
+    if bm:
+        # (not-)bound over an OPTIONAL variable: null-ness mask
+        return (bm.group(2), "notbound" if bm.group(1) else "bound",
+                None, False)
+    if rm:
+        return (rm.group(1), "regexm", rm.group(2), False)
+    if cm:
+        var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
+        is_var = rhs.startswith("?")
+        val: object = rhs[1:] if is_var else term(rhs)
+        if not is_var:
+            try:
+                val = float(rhs)
+            except ValueError:
+                pass
+        return (var, _CMP_OPS[op], val, is_var)
+    raise ValueError(f"unsupported FILTER expression: {expr!r}")
+
+
+def _parse_filter_expr(expr: str, term) \
+        -> list[tuple[str, str, object, bool]]:
+    """FILTER expression with optional top-level `&&` / `||` connectives.
+
+    SPARQL precedence: `||` binds loosest, so the top-level split is on
+    `||` first (`A && B || C` = `(A && B) || C`). A pure conjunction
+    flattens to independent AND-ed atoms (conjunction is the filter
+    list's native semantics); a disjunction becomes ONE
+    (None, '__or__', branches, False) entry whose branches are atom
+    lists, vectorized downstream as an OR of per-branch AND masks.
+    Parenthesized sub-groups recurse one level each way — the nesting
+    real queries use; an unrecognized atom raises."""
+    def or_group(alts: list[str]) -> tuple:
+        branches = [[_parse_filter_atom(x, term)
+                     for x in _split_top(_strip_outer_parens(a), "&&")]
+                    for a in alts]
+        return (None, "__or__", branches, False)
+
+    alts = _split_top(expr, "||")
+    if len(alts) > 1:
+        return [or_group(alts)]
+    out: list[tuple[str, str, object, bool]] = []
+    for conj in _split_top(expr, "&&"):
+        c = _strip_outer_parens(conj)
+        calts = _split_top(c, "||")
+        if len(calts) == 1:
+            out.append(_parse_filter_atom(c, term))
+        else:
+            out.append(or_group(calts))
+    return out
+
+
 def parse_sparql(query: str) -> ParsedQuery:
     """Parse the SELECT-BGP subset of SPARQL the reference's stores accept
     for simple graph queries: PREFIX declarations, SELECT [DISTINCT] with
     explicit variables, a WHERE block of dot-separated triple patterns
-    ('a' sugar for rdf:type) and FILTER clauses (one comparison per FILTER:
-    `FILTER(?v OP term)` with OP in =/!=/</<=/>/>=, or
-    `FILTER regex(?v, "pat")`), then optional ORDER BY (?v / ASC(?v) /
-    DESC(?v)) and LIMIT.
+    ('a' sugar for rdf:type) and FILTER clauses (`FILTER(?v OP term)` with
+    OP in =/!=/</<=/>/>=, `FILTER regex(?v, "pat")`, and compound
+    expressions with `&&` / `||` at SPARQL precedence — `||` loosest,
+    parenthesized sub-groups one level each way), then optional ORDER BY
+    (?v / ASC(?v) / DESC(?v)) and LIMIT.
 
     OPTIONAL { patterns } groups are supported (left-join semantics,
     one level, no FILTER inside the group), as is a WHERE body that is a
@@ -464,52 +578,12 @@ def parse_sparql(query: str) -> ParsedQuery:
                 raise ValueError("unbalanced parens in FILTER")
             inner = text[inner_start:j - 1].strip()
             expr = f"regex({inner})" if fun.group(1) else inner
-            rm = re.match(r'(?is)^regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$',
-                          expr)
-            cm = re.match(r'(?s)^\?(\w+)\s*(!=|<=|>=|=|<|>)\s*'
-                          r'(\?\w+|<[^>]*>|"[^"]*"|\S+)$', expr)
-            bm = re.match(r"(?is)^(!\s*)?bound\(\s*\?(\w+)\s*\)$", expr)
-            im = re.match(r"(?is)^\?(\w+)\s+(not\s+)?in\s*\((.*)\)$", expr)
-            sm = re.match(r'(?is)^(!\s*)?(strstarts|strends|contains)'
-                          r'\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)$', expr)
-            if im:
-                toks = re.findall(r'<[^>]*>|"[^"]*"|[^,\s]+', im.group(3))
-                vals = []
-                for tk in toks:
-                    v: object = term(tk)
-                    try:
-                        v = float(tk)
-                    except ValueError:
-                        pass
-                    vals.append(v)
-                # IN compares both raw and numeric forms downstream
-                filters.append((im.group(1),
-                                "notisin" if im.group(2) else "isin",
-                                vals, False))
-            elif sm:
-                fn = sm.group(2).lower()
-                filters.append((sm.group(3),
-                                ("not" + fn) if sm.group(1) else fn,
-                                sm.group(4), False))
-            elif bm:
-                # (not-)bound over an OPTIONAL variable: null-ness mask
-                filters.append((bm.group(2),
-                                "notbound" if bm.group(1) else "bound",
-                                None, False))
-            elif rm:
-                regex_filters.append((rm.group(1), rm.group(2)))
-            elif cm:
-                var, op, rhs = cm.group(1), cm.group(2), cm.group(3)
-                is_var = rhs.startswith("?")
-                val: object = rhs[1:] if is_var else term(rhs)
-                if not is_var:
-                    try:
-                        val = float(rhs)
-                    except ValueError:
-                        pass
-                filters.append((var, _CMP_OPS[op], val, is_var))
-            else:
-                raise ValueError(f"unsupported FILTER expression: {expr!r}")
+            for atom in _parse_filter_expr(expr, term):
+                if atom[1] == "regexm" and atom[0] is not None:
+                    # bare regex atom: keep the dedicated regex list
+                    regex_filters.append((atom[0], atom[2]))
+                else:
+                    filters.append(atom)
             i = j
             # swallow an optional pattern separator after the FILTER
             while i < n and text[i] in " \t\r\n.":
@@ -828,59 +902,70 @@ def _apply_filters(ds: ray.data.Dataset,
     ops = {"eq": _op.eq, "ne": _op.ne, "lt": _op.lt, "le": _op.le,
            "gt": _op.gt, "ge": _op.ge}
 
+    def atom_mask(batch: pd.DataFrame, var, op, val, is_var) -> pd.Series:
+        if op in ("bound", "notbound"):
+            # a variable no pattern ever binds is unbound everywhere
+            # (SPARQL: bound() is false, not an error)
+            nn = batch[var].notna() if var in batch.columns \
+                else pd.Series(False, index=batch.index)
+            return nn if op == "bound" else ~nn
+        if op == "regexm":
+            return batch[var].str.contains(val, regex=True, na=False)
+        if op in ("isin", "notisin"):
+            # FILTER(?v IN (...)): match on the lexical form OR the
+            # numeric form (numbers arrive as floats from the parser)
+            sval = batch[var].astype(str)
+            strs = {str(v) for v in val}
+            hit = sval.isin(strs)
+            nums = [v for v in val if isinstance(v, float)]
+            if nums:
+                hit |= pd.to_numeric(batch[var],
+                                     errors="coerce").isin(nums)
+            return hit if op == "isin" else ~hit
+        if op in ("strstarts", "strends", "contains", "notstrstarts",
+                  "notstrends", "notcontains"):
+            s = batch[var].astype(str)
+            base_fn = op[3:] if op.startswith("not") else op
+            hit = (s.str.startswith(val) if base_fn == "strstarts"
+                   else s.str.endswith(val) if base_fn == "strends"
+                   else s.str.contains(val, regex=False))
+            hit = hit.fillna(False)
+            return ~hit if op.startswith("not") else hit
+        lhs = batch[var]
+        rhs = batch[val] if is_var else val
+        if is_var:
+            # var-var compare: the sides may carry different dtypes
+            # (e.g. a stringly-typed binding vs a numeric aggregate
+            # alias) — compare numerically where BOTH coerce, else
+            # lexically (matches the literal-vs-literal convention)
+            ln = pd.to_numeric(lhs, errors="coerce")
+            rn = pd.to_numeric(rhs, errors="coerce")
+            num = ln.notna() & rn.notna()
+            res = pd.Series(False, index=batch.index)
+            if num.any():
+                res[num] = ops[op](ln[num], rn[num])
+            if (~num).any():
+                res[~num] = ops[op](lhs[~num].astype(str),
+                                    rhs[~num].astype(str))
+            return res.fillna(False)
+        if isinstance(val, float):
+            lhs = pd.to_numeric(lhs, errors="coerce")
+        return ops[op](lhs, rhs).fillna(False)
+
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         mask = pd.Series(True, index=batch.index)
         for var, op, val, is_var in filters:
-            if op in ("bound", "notbound"):
-                # a variable no pattern ever binds is unbound everywhere
-                # (SPARQL: bound() is false, not an error)
-                nn = batch[var].notna() if var in batch.columns \
-                    else pd.Series(False, index=batch.index)
-                mask &= nn if op == "bound" else ~nn
+            if op == "__or__":
+                # disjunction: OR of per-branch AND masks, one pass
+                m = pd.Series(False, index=batch.index)
+                for branch in val:
+                    bm = pd.Series(True, index=batch.index)
+                    for (v2, o2, vl2, iv2) in branch:
+                        bm &= atom_mask(batch, v2, o2, vl2, iv2)
+                    m |= bm
+                mask &= m
                 continue
-            if op in ("isin", "notisin"):
-                # FILTER(?v IN (...)): match on the lexical form OR the
-                # numeric form (numbers arrive as floats from the parser)
-                sval = batch[var].astype(str)
-                strs = {str(v) for v in val}
-                hit = sval.isin(strs)
-                nums = [v for v in val if isinstance(v, float)]
-                if nums:
-                    hit |= pd.to_numeric(batch[var],
-                                         errors="coerce").isin(nums)
-                mask &= hit if op == "isin" else ~hit
-                continue
-            if op in ("strstarts", "strends", "contains", "notstrstarts",
-                      "notstrends", "notcontains"):
-                s = batch[var].astype(str)
-                base_fn = op[3:] if op.startswith("not") else op
-                hit = (s.str.startswith(val) if base_fn == "strstarts"
-                       else s.str.endswith(val) if base_fn == "strends"
-                       else s.str.contains(val, regex=False))
-                hit = hit.fillna(False)
-                mask &= ~hit if op.startswith("not") else hit
-                continue
-            lhs = batch[var]
-            rhs = batch[val] if is_var else val
-            if is_var:
-                # var-var compare: the sides may carry different dtypes
-                # (e.g. a stringly-typed binding vs a numeric aggregate
-                # alias) — compare numerically where BOTH coerce, else
-                # lexically (matches the literal-vs-literal convention)
-                ln = pd.to_numeric(lhs, errors="coerce")
-                rn = pd.to_numeric(rhs, errors="coerce")
-                num = ln.notna() & rn.notna()
-                res = pd.Series(False, index=batch.index)
-                if num.any():
-                    res[num] = ops[op](ln[num], rn[num])
-                if (~num).any():
-                    res[~num] = ops[op](lhs[~num].astype(str),
-                                        rhs[~num].astype(str))
-                mask &= res.fillna(False)
-                continue
-            if isinstance(val, float):
-                lhs = pd.to_numeric(lhs, errors="coerce")
-            mask &= ops[op](lhs, rhs).fillna(False)
+            mask &= atom_mask(batch, var, op, val, is_var)
         for var, pat in regex_filters:
             mask &= batch[var].str.contains(pat, regex=True, na=False)
         for var, vals in values_clauses:
@@ -1120,8 +1205,13 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         v for v in
         ([v for v in sel]
          + [v for _, v, _ in q.aggregates if v != "*"]
-         + [f[0] for f in q.filters]
+         + [f[0] for f in q.filters if f[0] is not None]
          + [f[2] for f in q.filters if f[3]]
+         # vars referenced inside __or__ branches (atoms nest in f[2])
+         + [a[0] for f in q.filters if f[1] == "__or__"
+            for br in f[2] for a in br]
+         + [a[2] for f in q.filters if f[1] == "__or__"
+            for br in f[2] for a in br if a[3]]
          + [r[0] for r in q.regex_filters]
          + [v for v, _ in q.values_clauses]
          + [v for v, _ in q.order_by]

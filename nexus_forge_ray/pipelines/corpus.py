@@ -679,6 +679,25 @@ def similarity_topk_ivf(sf_dir: str):
     return out
 
 
+def similarity_topk_ivf_full(sf_dir: str):
+    """IVF probe-everything parity gate: with nprobe = n_centroids the
+    centroid pruning admits every partition, so the IVF pipeline (centroid
+    build → assignment → partition filter → scored top-k) must reproduce
+    the exact brute-force result; oracle-checked against the same SQL as
+    `similarity_topk`. Recall-vs-nprobe for the genuinely approximate
+    setting is gated separately in tests/test_similarity_recall.py."""
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 3)]).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(emb, qdf["vec_id"].tolist(), qmat, k=5,
+                       n_centroids=8, nprobe=8)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
+
+
 def doc_span_dedup(sf_dir: str):
     """C4-style cross-document exact span dedup: 8-token chunks, globally
     first occurrence wins, documents reassembled from surviving chunks

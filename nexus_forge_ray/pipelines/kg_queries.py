@@ -569,6 +569,20 @@ def kg_bgp_filter(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_filter_logic(sf_dir: str):
+    """Compound FILTER expressions at SPARQL precedence (|| loosest):
+    French documents' mentions, OR English documents' mentions above an
+    IRI threshold — one vectorized OR-of-AND-masks pass per batch."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT DISTINCT ?d ?e WHERE {
+      ?d v:mentions ?e .
+      ?d v:lang ?l .
+      FILTER(?l = "fr" || ?l = "en" && ?e > "http://example.org/entity/s")
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_bgp_optional(sf_dir: str):
     """OPTIONAL (left-join) SPARQL surface: every document with its
     language, plus each mentioned entity where any exists — unmatched
@@ -1134,6 +1148,7 @@ QUERIES = {
     "kg_assemble": kg_assemble,
     "kg_bgp": kg_bgp,
     "kg_bgp_filter": kg_bgp_filter,
+    "kg_bgp_filter_logic": kg_bgp_filter_logic,
     "kg_degree_dist": kg_degree_dist,
     "kg_bgp_optional": kg_bgp_optional,
     "kg_pagerank": kg_pagerank,

@@ -633,6 +633,17 @@ ORACLES: dict[str, str] = {
           and a.obj > 'http://example.org/entity/m'
         order by d, e desc limit 100
     """,
+    # || binds loosest: fr-docs' mentions OR (en-docs' mentions > threshold)
+    "kg_bgp_filter_logic": f"""
+        with {_KG_TRIPLES_CTE}
+        select distinct a.subj as d, a.obj as e
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and b.pred = 'http://example.org/vocab/lang'
+          and (b.obj = 'fr'
+               or (b.obj = 'en'
+                   and a.obj > 'http://example.org/entity/s'))
+    """,
     "kg_bgp_groupby": f"""
         with {_KG_TRIPLES_CTE}
         select obj as e, count(subj) as n from t
@@ -2267,3 +2278,7 @@ ORACLES: dict[str, str] = {
             order by s.s_acctbal desc, s.s_suppkey) = 1
     """,
 }
+
+# IVF with nprobe = n_centroids prunes nothing, so it must reproduce the
+# exact brute-force result — the same oracle gates both paths
+ORACLES["similarity_topk_ivf_full"] = ORACLES["similarity_topk"]

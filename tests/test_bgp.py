@@ -984,3 +984,49 @@ def test_min_max_over_string_literals(ray_session):
         {"a": "apple", "b": "9.0"}
     assert got.set_index("s")["hi"].astype(str).to_dict() == \
         {"a": "zebra", "b": "10.0"}
+
+
+def test_filter_logical_and_or_precedence(ray_session):
+    # || binds loosest: A && B || C parses as (A && B) || C
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b", "b", "c", "c", "d", "d"],
+        "pred": ["http://v/l", "http://v/n"] * 4,
+        "obj": ["en", "5", "en", "1", "fr", "9", "de", "5"],
+    }))
+    base = """PREFIX v: <http://v/>
+    SELECT ?s WHERE {{ ?s v:l ?l . ?s v:n ?n . FILTER({expr}) }}"""
+
+    def run(expr):
+        out = sparql_select(t, base.format(expr=expr)).to_pandas()
+        return sorted(out["s"])
+
+    # (l="en" && n>2) || l="fr": a (en,5) yes; b (en,1) no; c (fr) yes
+    assert run('?l = "en" && ?n > 2 || ?l = "fr"') == ["a", "c"]
+    # explicit parens, other grouping: en && (n>2 || l="fr") -> only a
+    assert run('?l = "en" && (?n > 2 || ?l = "fr")') == ["a"]
+    # pure conjunction still flattens
+    assert run('?l = "en" && ?n > 2') == ["a"]
+    # disjunction of conjunction groups
+    assert run('(?l = "en" && ?n > 2) || (?l = "de" && ?n = 5)') \
+        == ["a", "d"]
+    # regex atom inside a compound expression
+    assert run('regex(?l, "^e") && ?n < 2') == ["b"]
+
+
+def test_filter_logical_with_bound_and_in(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "b", "b", "c"],
+        "pred": ["http://v/l", "http://v/l", "http://v/m", "http://v/l"],
+        "obj": ["en", "fr", "x", "de"],
+    }))
+    q = """PREFIX v: <http://v/>
+    SELECT ?s WHERE { ?s v:l ?l . OPTIONAL { ?s v:m ?m }
+                      FILTER(bound(?m) || ?l IN ("en")) }"""
+    out = sparql_select(t, q).to_pandas()
+    assert sorted(out["s"]) == ["a", "b"]

@@ -22,7 +22,7 @@ ORACLE_CASES = [
                 "kg_update", "kg_quads", "kg_graph_named", "kg_graph_var",
                 "kg_graph_mixed", "kg_upsert_recrawl", "kg_graph_drop",
                 "kg_graph_with_update", "kg_validate_strings",
-                "kg_shortest_paths"]
+                "kg_shortest_paths", "kg_bgp_filter_logic"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
