@@ -261,6 +261,13 @@ class ParsedQuery(NamedTuple):
     # each executes recursively and inner-joins the outer solutions on the
     # variables shared with its projection
     subqueries: list[str] = []
+    # per-OPTIONAL-group (filters, regex_filters), parallel to `optionals`:
+    # a FILTER written inside OPTIONAL {...} constrains the optional-side
+    # solutions BEFORE the left join, so a failing match leaves the
+    # optional vars unbound instead of dropping the base row (SPARQL 8.3
+    # semantics for filters local to the optional group; restricted to
+    # filters over the group's own variables)
+    optional_filters: list[tuple] = []
 
 
 _CMP_OPS = {"=": "eq", "!=": "ne", "<": "lt", "<=": "le",
@@ -390,8 +397,10 @@ def parse_sparql(query: str) -> ParsedQuery:
     parenthesized sub-groups one level each way), then optional ORDER BY
     (?v / ASC(?v) / DESC(?v)) and LIMIT.
 
-    OPTIONAL { patterns } groups are supported (left-join semantics,
-    one level, no FILTER inside the group), as is a WHERE body that is a
+    OPTIONAL { patterns [FILTER...] } groups are supported (left-join
+    semantics, one level; a group-local FILTER over the group's own
+    variables constrains the optional side before the join), as is a
+    WHERE body that is a
     chain of { group } UNION { group } (branches execute independently
     and union; every branch must bind the selected variables).
     FILTER EXISTS / FILTER NOT EXISTS / MINUS groups compile to bucketed
@@ -694,6 +703,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             union_clauses.append((bf, brf, bv, _parse_binds(bb_raw)))
         patterns: list[tuple[str, str, str]] = []
         optionals: list[list[tuple[str, str, str]]] = []
+        optional_filters = []
         not_exists: list[list[tuple[str, str, str]]] = []
         exists: list[list[tuple[str, str, str]]] = []
     else:
@@ -722,9 +732,29 @@ def parse_sparql(query: str) -> ParsedQuery:
         patterns = patterns_of(body)
         if not patterns:
             raise ValueError("empty WHERE block")
-        optionals = [patterns_of(g) for g in optionals_raw]
-        if any(not g for g in optionals):
-            raise ValueError("empty OPTIONAL block")
+        optionals = []
+        optional_filters: list[tuple] = []
+        for g in optionals_raw:
+            gclean, gf, grf, gvc, gb = extract_clauses(g)
+            if gvc or gb:
+                raise ValueError("VALUES/BIND inside OPTIONAL unsupported")
+            gp = patterns_of(gclean)
+            if not gp:
+                raise ValueError("empty OPTIONAL block")
+            gvars = {t[1:] for pat in gp for t in pat if _is_var(t)}
+            used = set(
+                [f[0] for f in gf if f[0] is not None]
+                + [f[2] for f in gf if f[3]]
+                + [a[0] for f in gf if f[1] == "__or__"
+                   for br in f[2] for a in br]
+                + [a[2] for f in gf if f[1] == "__or__"
+                   for br in f[2] for a in br if a[3]]
+                + [r[0] for r in grf])
+            if not used <= gvars:
+                raise ValueError("FILTER inside OPTIONAL may only use the "
+                                 f"group's own variables (got {used})")
+            optionals.append(gp)
+            optional_filters.append((gf, grf))
         not_exists = [patterns_of(g) for g in not_exists_raw]
         if any(not g for g in not_exists):
             raise ValueError("empty NOT EXISTS / MINUS block")
@@ -745,7 +775,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                        regex_filters, order_by, optionals, union_groups,
                        group_by, aggregates, values_clauses, offset,
                        not_exists, exists, binds, having, union_clauses,
-                       subqueries)
+                       subqueries, optional_filters)
 
 
 def _split_call_args(text: str) -> list[str]:
@@ -1325,11 +1355,17 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                 on="__nk", lcols=bound + ["__nk"]) \
                 .map_batches(lambda df: df.drop(columns="__nk"),
                              batch_format="pandas")
-    for gpats, gv, shared in zip(q.optionals, opt_vars, shared_per_group):
+    opt_filts = q.optional_filters or [((), ())] * len(q.optionals)
+    for gpats, gv, shared, (gf, grf) in zip(q.optionals, opt_vars,
+                                            shared_per_group, opt_filts):
         if not shared:
             raise ValueError(f"OPTIONAL {gpats} shares no variable with the "
                              "required patterns")
         opt_ds = bgp_select(triples, gpats, gv, **kw)
+        if gf or grf:
+            # group-local FILTER: constrain the optional side BEFORE the
+            # left join (failing rows unbind, they don't drop the base)
+            opt_ds = _apply_filters(opt_ds, list(gf), list(grf), [])
         out = partitioned_join(out, opt_ds, on=shared[0],
                                extra_keys=shared[1:], how="left",
                                lcols=bound, rcols=gv)

@@ -31,11 +31,19 @@ from nexus_forge_ray.ops.joins import partitioned_agg_join, partitioned_join
 
 def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 3,
-             num_buckets: int = 16) -> ray.data.Dataset:
+             num_buckets: int = 16,
+             seeds: list | None = None) -> ray.data.Dataset:
     """Ranks after `iters` power iterations; returns (node, rank).
 
     Nodes are the vertices touched by at least one edge (isolated records
-    carry no rank mass to move). Deterministic for a fixed input."""
+    carry no rank mass to move). Deterministic for a fixed input.
+
+    With `seeds`, runs PERSONALIZED PageRank: the teleport distribution is
+    uniform over the seed nodes instead of all nodes —
+    rank_new(n) = ((1-d) + d*DM) * p(n) + d * contrib(n), with p(n) = 1/|S|
+    on seeds and 0 elsewhere (dangling mass also redistributes by p). The
+    seed set ships in task closures (bounded: topic/entity seeds, never a
+    corpus); seeds absent from the graph raise."""
     # the edge table feeds node extraction AND the degree annotation —
     # materialize once so a lazy upstream pipeline (e.g. mention detection)
     # doesn't re-execute per consumer
@@ -77,9 +85,26 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
                                      "rank": pd.Series(dtype="float64")}),
             batch_format="pandas")
 
-    ranks = nodes.map_batches(
-        lambda df: df.assign(rank=1.0 / n), batch_format="pandas") \
-        .materialize()
+    sset: frozenset | None = None
+    if seeds is not None:
+        sset = frozenset(seeds)
+        k = int(nodes.map_batches(
+            lambda df, fz=sset: pd.DataFrame(
+                {"k": [int(df["node"].isin(fz).sum())]}),
+            batch_format="pandas").sum("k") or 0)
+        if k == 0:
+            raise ValueError("no personalization seed appears in the graph")
+
+        def pvec(df: pd.DataFrame) -> np.ndarray:
+            return np.where(df["node"].isin(sset), 1.0 / k, 0.0)
+
+        ranks = nodes.map_batches(
+            lambda df: df.assign(rank=pvec(df)),
+            batch_format="pandas").materialize()
+    else:
+        ranks = nodes.map_batches(
+            lambda df: df.assign(rank=1.0 / n), batch_format="pandas") \
+            .materialize()
 
     for _ in range(iters):
         dm = (ranks.map_batches(
@@ -102,24 +127,37 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
                 / df["outd"].astype("float64")})
             .groupby("node", as_index=False)["s"].sum(),
             batch_format="pandas")
-        base = (1.0 - damping) / n + damping * dm / n
         # aggregate contributions AND re-attach every node (keeping
         # zero-in-degree nodes + the dangling flag) in ONE bucketed shuffle
         joined = partitioned_agg_join(
             contrib, nodes, on="node", aggs={"s": ("s", "sum")},
             num_buckets=num_buckets, how="right",
             lcols=["node", "s"], rcols=["node", "dangling"])
+        if sset is not None:
+            jump = (1.0 - damping) + damping * dm   # mass teleporting by p
+
+            def refresh(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": df["node"],
+                    "dangling": df["dangling"].astype(bool),
+                    "rank": jump * pvec(df) + damping
+                    * pd.to_numeric(df["s"], errors="coerce")
+                        .fillna(0.0).to_numpy()})
+        else:
+            base = (1.0 - damping) / n + damping * dm / n
+
+            def refresh(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": df["node"],
+                    "dangling": df["dangling"].astype(bool),
+                    "rank": base + damping
+                    * pd.to_numeric(df["s"], errors="coerce")
+                        .fillna(0.0).to_numpy()})
         # repartition before materializing: the union+groupby chain breeds
         # blocks each iteration (the sort shuffle emits one block per input
         # block), and per-block overhead would otherwise grow the wall time
         # superlinearly with iteration count
-        ranks = joined.map_batches(
-            lambda df: pd.DataFrame({
-                "node": df["node"],
-                "dangling": df["dangling"].astype(bool),
-                "rank": base + damping
-                * pd.to_numeric(df["s"], errors="coerce")
-                    .fillna(0.0).to_numpy()}),
-            batch_format="pandas").repartition(num_buckets).materialize()
+        ranks = joined.map_batches(refresh, batch_format="pandas") \
+            .repartition(num_buckets).materialize()
     return ranks.map_batches(lambda df: df[["node", "rank"]],
                              batch_format="pandas")

@@ -598,6 +598,23 @@ def kg_bgp_optional(sf_dir: str):
     return out
 
 
+def kg_bgp_optional_filter(sf_dir: str):
+    """FILTER local to an OPTIONAL group (SPARQL 8.3): the filter
+    constrains the optional side BEFORE the left join — documents whose
+    mentions all fail the threshold keep their row with ?e unbound,
+    exactly a SQL left join with the predicate in the ON clause."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?l ?e WHERE {
+      ?d v:lang ?l .
+      OPTIONAL { ?d v:mentions ?e .
+                 FILTER(?e > "http://example.org/entity/s") }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, kg_triples(sf_dir)).to_pandas()
+    out["e"] = out["e"].fillna("")
+    return out
+
+
 def kg_bgp_union(sf_dir: str):
     """SPARQL UNION surface (bag semantics — no implicit dedup, matching
     UNION ALL in the oracle): French documents plus documents mentioning
@@ -1063,6 +1080,29 @@ def kg_pagerank(sf_dir: str):
     return pr[["node", "rank"]]
 
 
+def kg_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank seeded on the 'spark' entity: the teleport
+    (and dangling) mass returns to the seed instead of spreading uniformly
+    — the 'related entities' ranking a KG serves per topic. Same
+    per-iteration exchanges as kg_pagerank; the seed set is the only
+    closure-shipped state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.pagerank import pagerank
+    t = kg_triples(sf_dir)
+    edges = t.map_batches(
+        lambda df: df.loc[df["pred"] == KB.PRED_MENTIONS, ["subj", "obj"]]
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas")
+    pr = pagerank(edges, iters=3,
+                  seeds=["http://example.org/entity/spark"]).to_pandas()
+    pr["rank"] = pc.round(pa.array(pr["rank"], type=pa.float64()),
+                          ndigits=8,
+                          round_mode="half_towards_infinity").to_pandas()
+    return pr[["node", "rank"]]
+
+
 def kg_flagship(sf_dir: str):
     """Full DAG over synthesized pages (extract->validate->map->link->triples
     ->canonicalize). Rows-only: page IRIs derive from url hashes."""
@@ -1151,7 +1191,9 @@ QUERIES = {
     "kg_bgp_filter_logic": kg_bgp_filter_logic,
     "kg_degree_dist": kg_degree_dist,
     "kg_bgp_optional": kg_bgp_optional,
+    "kg_bgp_optional_filter": kg_bgp_optional_filter,
     "kg_pagerank": kg_pagerank,
+    "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_groupby": kg_bgp_groupby,
     "kg_bgp_values": kg_bgp_values,

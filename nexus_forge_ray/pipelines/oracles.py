@@ -172,6 +172,32 @@ def _pagerank_cte(iters: int = 3, d: float = 0.85) -> tuple[str, str]:
 _PR_ITERS, _PR_LAST = _pagerank_cte()
 
 
+def _pagerank_personalized_cte(iters: int = 3, d: float = 0.85) \
+        -> tuple[str, str]:
+    """Unrolled personalized PageRank (teleport by pv.p instead of 1/N):
+    r_i(n) = ((1-d) + d*DM) * p(n) + d*contrib(n); expects CTEs `nodes`,
+    `e`, `deg` and `pv(node, p)` and an `r0` of `select node, p from pv`."""
+    parts = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        d{i} as (select coalesce(sum(r.r), 0) as dm from {prev} r
+                 left join deg on r.node = deg.src where deg.src is null),
+        c{i} as (select e.dst as node, sum({prev}.r / deg.outd) as s
+                 from e join {prev} on e.src = {prev}.node
+                        join deg on e.src = deg.src group by 1),
+        r{i} as (select nodes.node,
+                        ((1 - {d}) + {d} * (select dm from d{i})) * pv.p
+                        + {d} * coalesce(c{i}.s, 0) as r
+                 from nodes join pv on nodes.node = pv.node
+                 left join c{i} on nodes.node = c{i}.node)""")
+        prev = f"r{i}"
+    return ",".join(parts), prev
+
+
+_PPR_ITERS, _PPR_LAST = _pagerank_personalized_cte()
+
+
 def _bpe_merge_sql(n_merges: int) -> str:
     """Unrolled-CTE oracle for the first `n_merges` BPE merges: each word's
     symbol state is a string with every symbol wrapped in U+27E8/U+27E9
@@ -1285,6 +1311,16 @@ ORACLES: dict[str, str] = {
                       and mm.pred = 'http://example.org/vocab/mentions'
         where la.pred = 'http://example.org/vocab/lang'
     """,
+    # the OPTIONAL-local filter is the left join's ON predicate
+    "kg_bgp_optional_filter": f"""
+        with {_KG_TRIPLES_CTE}
+        select la.subj as d, la.obj as l, coalesce(mm.obj, '') as e
+        from t la
+        left join t mm on la.subj = mm.subj
+                      and mm.pred = 'http://example.org/vocab/mentions'
+                      and mm.obj > 'http://example.org/entity/s'
+        where la.pred = 'http://example.org/vocab/lang'
+    """,
     "kg_bgp_union": f"""
         with {_KG_TRIPLES_CTE}
         select subj as d from t
@@ -1305,6 +1341,21 @@ ORACLES: dict[str, str] = {
         r0 as (select node, 1.0 / nn.n as r from nodes cross join nn),
         {_PR_ITERS}
         select node, round(r, 8) as rank from {_PR_LAST}
+    """,
+    "kg_pagerank_personalized": f"""
+        with {_KG_TRIPLES_CTE},
+        e as (select subj as src, obj as dst from t
+              where pred = 'http://example.org/vocab/mentions'),
+        nodes as (select distinct node from
+                  (select src as node from e union all select dst from e)),
+        deg as (select src, count(*)::double as outd from e group by 1),
+        pv as (select node,
+                      case when node = 'http://example.org/entity/spark'
+                           then 1.0 else 0.0 end as p
+               from nodes),
+        r0 as (select node, p as r from pv),
+        {_PPR_ITERS}
+        select node, round(r, 8) as rank from {_PPR_LAST}
     """,
     "kg_degree_dist": f"""
         with {_KG_TRIPLES_CTE},

@@ -1030,3 +1030,36 @@ def test_filter_logical_with_bound_and_in(ray_session):
                       FILTER(bound(?m) || ?l IN ("en")) }"""
     out = sparql_select(t, q).to_pandas()
     assert sorted(out["s"]) == ["a", "b"]
+
+
+def test_filter_inside_optional_unbinds_not_drops(ray_session):
+    # SPARQL 8.3: a FILTER local to OPTIONAL constrains the optional side;
+    # base rows failing the optional match survive with unbound vars
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.bgp import sparql_select
+    t = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["a", "a", "b", "b", "c"],
+        "pred": ["http://v/l", "http://v/m", "http://v/l", "http://v/m",
+                 "http://v/l"],
+        "obj": ["en", "5", "fr", "1", "de"],
+    }))
+    q = """PREFIX v: <http://v/>
+    SELECT ?s ?m WHERE { ?s v:l ?l .
+                         OPTIONAL { ?s v:m ?m . FILTER(?m > 2) } }"""
+    out = sparql_select(t, q).to_pandas().sort_values("s")
+    got = {r.s: r.m for r in out.itertuples()}
+    assert set(got) == {"a", "b", "c"}          # nobody dropped
+    assert got["a"] == "5"                       # match kept
+    assert pd.isna(got["b"]) and pd.isna(got["c"])   # filtered -> unbound
+
+
+def test_filter_inside_optional_rejects_outer_vars(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?s WHERE { ?s <http://v/l> ?l .
+           OPTIONAL { ?s <http://v/m> ?m . FILTER(?l = "en") } }"""
+    with pytest.raises(ValueError, match="group's own variables"):
+        parse_sparql(q)

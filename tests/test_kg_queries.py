@@ -22,7 +22,8 @@ ORACLE_CASES = [
                 "kg_update", "kg_quads", "kg_graph_named", "kg_graph_var",
                 "kg_graph_mixed", "kg_upsert_recrawl", "kg_graph_drop",
                 "kg_graph_with_update", "kg_validate_strings",
-                "kg_shortest_paths", "kg_bgp_filter_logic"]
+                "kg_shortest_paths", "kg_bgp_filter_logic",
+                "kg_bgp_optional_filter", "kg_pagerank_personalized"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
@@ -57,6 +58,24 @@ def test_pagerank_mass_and_order(ray_session):
     assert abs(pr.sum() - 1.0) < 1e-9          # mass conserved
     assert pr["b"] > pr["a"] > pr["c"] or pr["b"] > pr["c"]
     assert pr["b"] == pr.max()
+
+
+def test_pagerank_personalized_seed_bias(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.pagerank import pagerank
+    # a 3-cycle: uniform PageRank is symmetric (all equal); seeding on
+    # 'a' must break the tie in a's favor, and unknown seeds must raise
+    edges = pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
+    ds = ray.data.from_pandas(edges)
+    # near-stationary (the cycle oscillates through early iterations):
+    # r(a) = 0.15 + 0.85^3 r(a) -> a > b > c
+    pr = pagerank(ds, iters=25, seeds=["a"]).to_pandas() \
+        .set_index("node")["rank"]
+    assert pr["a"] > pr["b"] > pr["c"]
+    assert abs(pr.sum() - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(ray.data.from_pandas(edges), seeds=["zz"])
 
 
 def test_pagerank_empty_edges(ray_session):
