@@ -46,7 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_typed", "kg_entity_popularity", "kg_resolve_exact",
         "kg_resolve_fuzzy", "kg_resolve_ontology", "kg_validate_customers",
         "kg_validate_nested", "kg_validate_logical", "kg_validate_pairs",
-        "kg_validate_closed", "kg_validate_strings", "kg_actions_summary",
+        "kg_validate_closed", "kg_validate_strings", "kg_validate_sparql",
+        "kg_actions_summary",
         "kg_bgp", "kg_bgp_filter", "kg_bgp_filter_logic",
         "kg_bgp_optional", "kg_bgp_optional_filter", "kg_bgp_union",
         "kg_bgp_union_scoped", "kg_bgp_groupby", "kg_bgp_values",
@@ -54,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_groupconcat", "kg_bgp_exists", "kg_bgp_notexists",
         "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
         "kg_bgp_subquery", "kg_update",
-        "kg_pagerank", "kg_pagerank_personalized",
+        "kg_pagerank", "kg_pagerank_personalized", "kg_hits",
         "kg_degree_dist", "kg_cooccur", "kg_inlinks",
         "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
         # round-3 additions: named graphs + incremental maintenance

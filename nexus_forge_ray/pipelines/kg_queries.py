@@ -506,6 +506,33 @@ def kg_validate_strings(sf_dir: str):
     return out.select_columns(["c_custkey", "valid", "violation"])
 
 
+def kg_validate_sparql(sf_dir: str):
+    """SHACL-SPARQL constraint components (spec §5, sh:sparql): each
+    constraint's SELECT solutions ARE the violations, composed through
+    the full distributed SPARQL surface (`validation.shapes.
+    sparql_constraint_report`). Two components: a join+FILTER rule with
+    real violations, and a NOT EXISTS rule that must report zero."""
+    from nexus_forge_ray.validation.shapes import sparql_constraint_report
+    P = ("PREFIX v: <http://example.org/vocab/>\n"
+         "PREFIX e: <http://example.org/entity/>\n")
+    constraints = [
+        ("NonEnglishSparkMention",
+         "non-English documents must not mention the spark entity",
+         P + """SELECT DISTINCT ?this WHERE {
+             ?this v:mentions e:spark .
+             ?this v:lang ?l .
+             FILTER(?l != "en") }"""),
+        ("MissingLanguage",
+         "documents with mentions must declare a language",
+         P + """SELECT DISTINCT ?this WHERE {
+             ?this v:mentions ?e .
+             FILTER NOT EXISTS { ?this v:lang ?l } }"""),
+    ]
+    out = sparql_constraint_report(kg_triples(sf_dir),
+                                   constraints).to_pandas()
+    return out.sort_values(["component", "focus"]).reset_index(drop=True)
+
+
 def kg_actions_summary(sf_dir: str):
     """Actions report counting (actions.py:46-59): count x (operation,
     succeeded, error) over the validation stage's outcomes."""
@@ -1103,6 +1130,29 @@ def kg_pagerank_personalized(sf_dir: str):
     return pr[["node", "rank"]]
 
 
+def kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the doc->entity mention graph
+    (`kg.hits`): documents are hubs, entities authorities — 2
+    mutual-reinforcement rounds, two bucketed joins + two bucketed sums
+    per round, the L2 norms the only driver scalars. Oracle: unrolled
+    round-per-CTE SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.hits import hits
+    t = kg_triples(sf_dir)
+    edges = t.map_batches(
+        lambda df: df.loc[df["pred"] == KB.PRED_MENTIONS, ["subj", "obj"]]
+        .rename(columns={"subj": "src", "obj": "dst"}),
+        batch_format="pandas")
+    out = hits(edges, iters=2).to_pandas()
+    for c in ("hub", "auth"):
+        out[c] = pc.round(pa.array(out[c], type=pa.float64()), ndigits=8,
+                          round_mode="half_towards_infinity").to_pandas()
+    return out[["node", "hub", "auth"]].sort_values("node") \
+        .reset_index(drop=True)
+
+
 def kg_flagship(sf_dir: str):
     """Full DAG over synthesized pages (extract->validate->map->link->triples
     ->canonicalize). Rows-only: page IRIs derive from url hashes."""
@@ -1194,6 +1244,7 @@ QUERIES = {
     "kg_bgp_optional_filter": kg_bgp_optional_filter,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_personalized": kg_pagerank_personalized,
+    "kg_hits": kg_hits,
     "kg_bgp_union": kg_bgp_union,
     "kg_bgp_groupby": kg_bgp_groupby,
     "kg_bgp_values": kg_bgp_values,
@@ -1222,6 +1273,7 @@ QUERIES = {
     "kg_validate_pairs": kg_validate_pairs,
     "kg_validate_closed": kg_validate_closed,
     "kg_validate_strings": kg_validate_strings,
+    "kg_validate_sparql": kg_validate_sparql,
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_shortest_paths": kg_shortest_paths,

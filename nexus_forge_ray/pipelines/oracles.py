@@ -198,6 +198,32 @@ def _pagerank_personalized_cte(iters: int = 3, d: float = 0.85) \
 _PPR_ITERS, _PPR_LAST = _pagerank_personalized_cte()
 
 
+def _hits_cte(iters: int = 2) -> tuple[str, str, str]:
+    """Unrolled HITS matching kg.hits: per round auth = in-sum of hubs
+    then L2-normalize, hub = out-sum of auths then L2-normalize. Expects
+    CTEs `nodes` and `e`; emits h0..h{k}, a1..a{k}."""
+    parts = ["""
+        h0 as (select node, 1.0 as x from nodes)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        a{i}r as (select e.dst as node, sum({prev_h}.x) as x
+                  from e join {prev_h} on e.src = {prev_h}.node group by 1),
+        a{i} as (select node,
+                        x / (select sqrt(sum(x * x)) from a{i}r) as x
+                 from a{i}r),
+        h{i}r as (select e.src as node, sum(a{i}.x) as x
+                  from e join a{i} on e.dst = a{i}.node group by 1),
+        h{i} as (select node,
+                        x / (select sqrt(sum(x * x)) from h{i}r) as x
+                 from h{i}r)""")
+        prev_h = f"h{i}"
+    return "".join(parts), prev_h, f"a{iters}"
+
+
+_HITS_ITERS, _HITS_H, _HITS_A = _hits_cte()
+
+
 def _bpe_merge_sql(n_merges: int) -> str:
     """Unrolled-CTE oracle for the first `n_merges` BPE merges: each word's
     symbol state is a string with every symbol wrapped in U+27E8/U+27E9
@@ -669,6 +695,25 @@ ORACLES: dict[str, str] = {
           and (b.obj = 'fr'
                or (b.obj = 'en'
                    and a.obj > 'http://example.org/entity/s'))
+    """,
+    # sh:sparql constraint components: query solutions ARE the violations
+    "kg_validate_sparql": f"""
+        with {_KG_TRIPLES_CTE}
+        select distinct a.subj as focus,
+               'NonEnglishSparkMention' as component,
+               'non-English documents must not mention the spark entity'
+                   as message
+        from t a join t b on a.subj = b.subj
+        where a.pred = 'http://example.org/vocab/mentions'
+          and a.obj = 'http://example.org/entity/spark'
+          and b.pred = 'http://example.org/vocab/lang' and b.obj != 'en'
+        union all
+        select distinct m.subj, 'MissingLanguage',
+               'documents with mentions must declare a language'
+        from t m
+        where m.pred = 'http://example.org/vocab/mentions'
+          and not exists (select 1 from t l where l.subj = m.subj
+                          and l.pred = 'http://example.org/vocab/lang')
     """,
     "kg_bgp_groupby": f"""
         with {_KG_TRIPLES_CTE}
@@ -1356,6 +1401,20 @@ ORACLES: dict[str, str] = {
         r0 as (select node, p as r from pv),
         {_PPR_ITERS}
         select node, round(r, 8) as rank from {_PPR_LAST}
+    """,
+    "kg_hits": f"""
+        with {_KG_TRIPLES_CTE},
+        e as (select subj as src, obj as dst from t
+              where pred = 'http://example.org/vocab/mentions'),
+        nodes as (select distinct node from
+                  (select src as node from e union all select dst from e)),
+        {_HITS_ITERS}
+        select nodes.node,
+               round(coalesce(h.x, 0), 8) as hub,
+               round(coalesce(a.x, 0), 8) as auth
+        from nodes
+        left join {_HITS_H} h on nodes.node = h.node
+        left join {_HITS_A} a on nodes.node = a.node
     """,
     "kg_degree_dist": f"""
         with {_KG_TRIPLES_CTE},

@@ -512,3 +512,34 @@ def validate_dataset(ds: ray.data.Dataset, shapes: list[Shape], *,
         ShapeValidator, fn_constructor_kwargs=kw,
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def sparql_constraint_report(triples, constraints, **kw):
+    """SHACL-SPARQL constraints (SHACL spec §5, sh:sparql; the reference
+    validates through pySHACL which supports them,
+    /root/reference/kgforge/specializations/models/rdf/service.py): each
+    constraint is (component, message, SELECT query) whose solutions ARE
+    the violations — the spec's $this focus variable is written ?this.
+    Returns one row per violation: (focus, component, message).
+
+    Pure composition: every constraint query runs through the full
+    distributed SPARQL surface (joins, FILTER, NOT EXISTS, paths...) over
+    the shared materialized triple set; per-constraint results union.
+    The report is one row per violation, so it stays a Dataset end-to-end
+    — no driver collection."""
+    from nexus_forge_ray.kg.bgp import parse_sparql, sparql_select
+
+    triples = triples.materialize()   # scanned once per constraint query
+    outs: list[ray.data.Dataset] = []
+    for component, message, q in constraints:
+        focus = parse_sparql(q).select[0].lstrip("?")
+        sel = sparql_select(triples, q, **kw)
+        outs.append(sel.map_batches(
+            lambda df, c=component, m=message, fv=focus: pd.DataFrame({
+                "focus": df[fv].astype(str),
+                "component": c, "message": m}),
+            batch_format="pandas"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -23,7 +23,8 @@ ORACLE_CASES = [
                 "kg_graph_mixed", "kg_upsert_recrawl", "kg_graph_drop",
                 "kg_graph_with_update", "kg_validate_strings",
                 "kg_shortest_paths", "kg_bgp_filter_logic",
-                "kg_bgp_optional_filter", "kg_pagerank_personalized"]
+                "kg_bgp_optional_filter", "kg_pagerank_personalized",
+                "kg_validate_sparql", "kg_hits"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
@@ -76,6 +77,23 @@ def test_pagerank_personalized_seed_bias(ray_session):
     assert abs(pr.sum() - 1.0) < 1e-9
     with pytest.raises(ValueError, match="seed"):
         pagerank(ray.data.from_pandas(edges), seeds=["zz"])
+
+
+def test_hits_star_graph(ray_session):
+    import pandas as pd
+    import ray.data
+    from nexus_forge_ray.kg.hits import hits
+    # hub -> {a, b, c}; d -> a. hub is the best hub, a the best authority
+    edges = pd.DataFrame({"src": ["hub", "hub", "hub", "d"],
+                          "dst": ["a", "b", "c", "a"]})
+    out = hits(ray.data.from_pandas(edges), iters=3).to_pandas() \
+        .set_index("node")
+    assert out["hub"].idxmax() == "hub"
+    assert out["auth"].idxmax() == "a"
+    # pure authorities carry no hub mass; L2 norms are 1
+    assert out.loc["b", "hub"] == 0.0
+    assert abs((out["auth"] ** 2).sum() - 1.0) < 1e-9
+    assert abs((out["hub"] ** 2).sum() - 1.0) < 1e-9
 
 
 def test_pagerank_empty_edges(ray_session):
