@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,
         "doc_span_dedup": corpus.doc_span_dedup,
+        "doc_winnowing": corpus.doc_winnowing,
         "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "doc_tfidf": corpus.doc_tfidf,
         "doc_bm25": corpus.doc_bm25,

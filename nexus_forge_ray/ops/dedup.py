@@ -927,3 +927,95 @@ def semantic_dedup(emb_ds: ray.data.Dataset, *, k: int = 10, iters: int = 2,
 
     return joined.groupby("cluster").map_groups(prune,
                                                 batch_format="pandas")
+
+
+# ----------------------------------------------------------------- winnowing
+
+def winnow_fingerprints(ds: ray.data.Dataset, *, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): token k-gram
+    rolling hashes, then the minimum hash of every w-hash window — the
+    guarantee is that any shared run of >= w+k-1 tokens yields at least one
+    shared fingerprint, while selecting ~2/(w+1) of the hashes. Returns
+    DISTINCT (id, fp) rows.
+
+    Vectorization: gram strings build per doc but hash in ONE md5 pass per
+    batch (`utils.md5_u64` == DuckDB md5_number_lower, so the oracle is
+    exact); the sliding-window min is a numpy stride trick per doc. Docs
+    are single rows, so the fingerprint set is exact map-side — no shuffle
+    in this stage."""
+    from nexus_forge_ray.utils import md5_u64
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split()
+        ids, grams, bounds = [], [], []
+        for did, ts in zip(df[id_col].to_numpy(), toks):
+            m = len(ts) - k + 1
+            if m <= 0:
+                continue
+            grams.extend(" ".join(ts[i:i + k]) for i in range(m))
+            ids.append(did)
+            bounds.append(m)
+        if not grams:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype="uint64")})
+        h = md5_u64(grams)
+        out_ids, out_fps = [], []
+        pos = 0
+        for did, m in zip(ids, bounds):
+            hh = h[pos: pos + m]
+            pos += m
+            if m <= w:
+                fps = {int(hh.min())}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hh, w)
+                fps = set(sw.min(axis=1).tolist())
+            out_ids.extend([did] * len(fps))
+            out_fps.extend(sorted(fps))
+        return pd.DataFrame({id_col: np.array(out_ids, dtype="int64"),
+                             "fp": np.array(out_fps, dtype="uint64")})
+
+    return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def winnow_near_dup_pairs(ds: ray.data.Dataset, *, k: int = 3, w: int = 4,
+                          min_shared: int = 2, num_buckets: int = 16,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> ray.data.Dataset:
+    """Document pairs sharing >= min_shared winnowing fingerprints — the
+    content-overlap (plagiarism / boilerplate) detector. Pair generation
+    happens inside fp-hash buckets via a vectorized self-merge (winnowing
+    keeps fingerprints selective, bounding per-fp fan-out; degenerate
+    corpora should cap bucket width upstream like minhash's banding does),
+    partial pair counts pre-aggregate before the final bucketed sum."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.utils import stable_hash_u64
+
+    fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["fp"].astype(str))
+                       % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["fp", id_col]]
+        mm = g.merge(g, on="fp")
+        mm = mm[mm[f"{id_col}_x"] < mm[f"{id_col}_y"]]
+        return mm.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False) \
+            .size().rename(columns={f"{id_col}_x": "doc_a",
+                                    f"{id_col}_y": "doc_b",
+                                    "size": "n"})
+
+    partial = fps.map_batches(add_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(pairs, batch_format="pandas")
+    out = hash_groupby_agg(partial, ["doc_a", "doc_b"],
+                           {"n_shared": ("n", "sum")},
+                           num_buckets=max(4, num_buckets // 2))
+    return out.map_batches(
+        lambda df, t=min_shared: df[df["n_shared"] >= t]
+        .astype({"n_shared": "int64"}),
+        batch_format="pandas")

@@ -698,6 +698,19 @@ def similarity_topk_ivf_full(sf_dir: str):
     return out
 
 
+def doc_winnowing(sf_dir: str):
+    """Winnowing content-overlap pairs (MOSS, Schleimer et al. 2003):
+    token-3-gram md5 hashes, min per 4-hash window, then document pairs
+    sharing >= 2 fingerprints. Fingerprint selection is exact map-side;
+    the only shuffles move (fp, doc_id) rows then (doc_a, doc_b) partial
+    counts. Oracle: the identical k-gram/window/min pipeline in SQL
+    (md5_number_lower is the shared hash basis)."""
+    out = dd.winnow_near_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), k=3, w=4,
+        min_shared=2).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def doc_span_dedup(sf_dir: str):
     """C4-style cross-document exact span dedup: 8-token chunks, globally
     first occurrence wins, documents reassembled from surviving chunks

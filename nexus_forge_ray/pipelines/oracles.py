@@ -1339,6 +1339,33 @@ ORACLES: dict[str, str] = {
         from parts group by doc_id
         order by sum(p) desc, doc_id limit 10
     """,
+    # winnowing: 3-gram md5 hashes, min per 4-hash window, pairs >= 2 shared
+    "doc_winnowing": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        g as (select doc_id, i,
+                     md5_number_lower(toks[i] || ' ' || toks[i+1]
+                                      || ' ' || toks[i+2]) as h
+              from (select doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 2)) as i
+                    from t)),
+        m as (select doc_id, count(*) as m from g group by 1),
+        ws as (select doc_id,
+                      unnest(generate_series(1, greatest(m - 3, 1)))
+                          as wstart
+               from m),
+        w as (select g.doc_id, ws.wstart, min(g.h) as fp
+              from ws join g on g.doc_id = ws.doc_id
+                            and g.i between ws.wstart and ws.wstart + 3
+              group by 1, 2),
+        fps as (select distinct doc_id, fp from w),
+        pairs as (select a.doc_id as doc_a, b.doc_id as doc_b,
+                         count(*)::bigint as n_shared
+                  from fps a join fps b on a.fp = b.fp
+                                       and a.doc_id < b.doc_id
+                  group by 1, 2)
+        select doc_a, doc_b, n_shared from pairs where n_shared >= 2
+    """,
     "doc_inverted_index": """
         with pairs as (select distinct doc_id, tok as token
                        from (select doc_id,

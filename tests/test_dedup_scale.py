@@ -79,6 +79,31 @@ def test_semantic_dedup_prunes_within_cluster_only():
     assert cl[2] != cl[3]
 
 
+def test_winnowing_guarantee_and_disjoint_docs():
+    import ray.data
+    from nexus_forge_ray.ops.dedup import (winnow_fingerprints,
+                                           winnow_near_dup_pairs)
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"   # w+k-1 = 6 tokens
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"one two {shared} three four",
+                 f"nine eight {shared} seven six",
+                 "completely different words with no overlap at all here"],
+    })
+    ds = ray.data.from_pandas(df)
+    fps = winnow_fingerprints(ds, k=k, w=w).to_pandas()
+    s1 = set(fps.loc[fps["doc_id"] == 1, "fp"])
+    s2 = set(fps.loc[fps["doc_id"] == 2, "fp"])
+    s3 = set(fps.loc[fps["doc_id"] == 3, "fp"])
+    # the winnowing guarantee: a shared run of >= w+k-1 tokens always
+    # leaves at least one shared fingerprint
+    assert s1 & s2
+    assert not (s1 & s3) and not (s2 & s3)
+    pairs = winnow_near_dup_pairs(ds, k=k, w=w, min_shared=1).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(1, 2)}
+
+
 def _naive_simhash(text, bits):
     toks = (text or "").split()
     if not toks:
