@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
         "kg_bgp_subquery", "kg_update",
         "kg_pagerank", "kg_pagerank_personalized", "kg_hits",
-        "kg_degree_dist", "kg_cooccur", "kg_inlinks",
+        "kg_degree_dist", "kg_cooccur", "kg_entity_jaccard", "kg_inlinks",
         "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
         # round-3 additions: named graphs + incremental maintenance
         "kg_quads", "kg_graph_named", "kg_graph_var", "kg_graph_mixed",

@@ -833,6 +833,55 @@ def kg_cooccur(sf_dir: str):
         batch_format="pandas")
 
 
+def kg_entity_jaccard(sf_dir: str):
+    """Entity-entity Jaccard similarity over document sets (the
+    co-occurrence-normalized 'related entities' signal):
+    J(e1,e2) = |docs(e1) ∩ docs(e2)| / |docs(e1) ∪ docs(e2)|.
+    Intersections come from kg_cooccur's bucketed pair counts; per-entity
+    degrees attach via two bucketed joins (no driver-side degree map);
+    the union size is d1 + d2 - n12 by inclusion-exclusion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    pairs = kg_cooccur(sf_dir)
+    mentions = detect_mentions(_docs(sf_dir, ["doc_id", "text"]),
+                               KB.KB_TERMS)
+    resolved = resolve_dataset(mentions, KB.DEFAULT_KB,
+                               mention_col="mention",
+                               strategy="EXACT_MATCH")
+    hits = resolved.map_batches(
+        lambda df: df.dropna(subset=["entity_id"])[["doc_id", "entity_id"]]
+        .drop_duplicates(),
+        batch_format="pandas")
+    deg = hash_groupby_agg(hits, "entity_id",
+                           {"d": ("doc_id", "count")}, num_buckets=4)
+    d1 = deg.map_batches(
+        lambda df: df.rename(columns={"entity_id": "e1", "d": "d1"}),
+        batch_format="pandas")
+    d2 = deg.map_batches(
+        lambda df: df.rename(columns={"entity_id": "e2", "d": "d2"}),
+        batch_format="pandas")
+    j = partitioned_join(
+        partitioned_join(pairs, d1, on="e1", num_buckets=8,
+                         lcols=["e1", "e2", "n_docs"], rcols=["e1", "d1"]),
+        d2, on="e2", num_buckets=8,
+        lcols=["e1", "e2", "n_docs", "d1"], rcols=["e2", "d2"])
+    out = j.map_batches(
+        lambda df: pd.DataFrame({
+            "e1": df["e1"], "e2": df["e2"],
+            "jaccard": df["n_docs"].astype("float64")
+            / (df["d1"].astype("float64") + df["d2"].astype("float64")
+               - df["n_docs"].astype("float64"))}),
+        batch_format="pandas").to_pandas()
+    out["jaccard"] = pc.round(pa.array(out["jaccard"], type=pa.float64()),
+                              ndigits=4,
+                              round_mode="half_towards_infinity").to_pandas()
+    return out.sort_values(["e1", "e2"]).reset_index(drop=True)
+
+
 def kg_triangles(sf_dir: str):
     """Distributed triangle counting over the co-occurrence graph: wedges
     enumerate inside e1-hash buckets (vectorized self-merge), then ONE
@@ -1249,6 +1298,7 @@ QUERIES = {
     "kg_bgp_groupby": kg_bgp_groupby,
     "kg_bgp_values": kg_bgp_values,
     "kg_cooccur": kg_cooccur,
+    "kg_entity_jaccard": kg_entity_jaccard,
     "kg_triangles": kg_triangles,
     "kg_kcore": kg_kcore,
     "kg_bgp_notexists": kg_bgp_notexists,

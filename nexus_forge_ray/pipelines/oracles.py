@@ -734,6 +734,21 @@ ORACLES: dict[str, str] = {
         from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
         group by 1, 2
     """,
+    "kg_entity_jaccard": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as (select 'http://example.org/entity/' || a.tok as e1,
+                        'http://example.org/entity/' || b.tok as e2,
+                        count(*)::double as n12
+                 from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+                 group by 1, 2),
+        deg as (select 'http://example.org/entity/' || tok as e,
+                       count(*)::double as d
+                from m group by 1)
+        select cooc.e1, cooc.e2,
+               round(n12 / (da.d + db.d - n12), 4) as jaccard
+        from cooc join deg da on cooc.e1 = da.e
+                  join deg db on cooc.e2 = db.e
+    """,
     "kg_bgp_notexists": f"""
         with {_KG_TRIPLES_CTE}
         select a.subj as d
