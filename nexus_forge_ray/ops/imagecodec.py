@@ -215,3 +215,31 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
         "zcr": float(zc / (n - 1)) if n > 1 else 0.0,
         "peak": float(np.abs(samples).max()) if n else 0.0,
     }
+
+
+def spectral_features(samples: np.ndarray, rate: int,
+                      n_bands: int = 8) -> dict:
+    """Real frequency-domain clip features via one rfft: dominant frequency
+    (Hz), spectral centroid (magnitude-weighted mean frequency, Hz), and
+    `n_bands` equal-width band energy fractions up to Nyquist — the
+    classic cheap audio fingerprint/quality block (a pure-numpy stand-in
+    for the mel filterbank front end, no audio libs in this container)."""
+    n = len(samples)
+    if n < 2 or not rate:
+        return {"dominant_hz": 0.0, "centroid_hz": 0.0,
+                "band_energy": [0.0] * n_bands}
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    mag[0] = 0.0                         # drop DC for dominance/centroid
+    tot = float(mag.sum())
+    power = mag ** 2
+    ptot = float(power.sum())
+    band_idx = np.minimum((freqs / (rate / 2.0) * n_bands).astype(int),
+                          n_bands - 1)
+    bands = np.bincount(band_idx, weights=power, minlength=n_bands)
+    return {
+        "dominant_hz": float(freqs[int(mag.argmax())]),
+        "centroid_hz": float((freqs * mag).sum() / tot) if tot else 0.0,
+        "band_energy": (bands / ptot).tolist() if ptot
+        else [0.0] * n_bands,
+    }

@@ -176,6 +176,31 @@ class AudioDecoder:
         return batch
 
 
+class AudioSpectral:
+    """WAV binary -> frequency-domain features (dominant_hz, centroid_hz,
+    8 band-energy fractions) — one rfft per clip via
+    `imagecodec.spectral_features`; real computation, gated by
+    analytic-signal tests (a pure sine's dominant bin is its frequency)."""
+
+    def __init__(self, audio_col: str = "audio", n_bands: int = 8):
+        self.audio_col = audio_col
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dom, cen, bands = [], [], []
+        for b in batch[self.audio_col]:
+            x, rate = ic.wav_decode(b)
+            f = ic.spectral_features(x, rate, n_bands=self.n_bands)
+            dom.append(f["dominant_hz"])
+            cen.append(f["centroid_hz"])
+            bands.append(np.asarray(f["band_energy"], dtype=np.float32))
+        batch = batch.copy()
+        batch["dominant_hz"] = dom
+        batch["centroid_hz"] = cen
+        batch["band_energy"] = bands
+        return batch
+
+
 def _mm_stage(ds, cls, kwargs, concurrency, batch_size):
     """Task mode by default; pass concurrency for an actor pool when a real
     model/codec must load once per worker."""
@@ -224,4 +249,12 @@ def decode_audio(ds: ray.data.Dataset, *, audio_col: str = "audio",
                  concurrency: int | None = None,
                  batch_size: int = 32) -> ray.data.Dataset:
     return _mm_stage(ds, AudioDecoder, dict(audio_col=audio_col),
+                     concurrency, batch_size)
+
+
+def audio_spectral(ds: ray.data.Dataset, *, audio_col: str = "audio",
+                   n_bands: int = 8, concurrency: int | None = None,
+                   batch_size: int = 32) -> ray.data.Dataset:
+    return _mm_stage(ds, AudioSpectral,
+                     dict(audio_col=audio_col, n_bands=n_bands),
                      concurrency, batch_size)

@@ -666,6 +666,38 @@ def mm_image_features(sf_dir: str):
         batch_format="pandas")
 
 
+def mm_audio_spectral(sf_dir: str):
+    """Multimodal audio pipeline over REAL WAV payloads, oracle-checked:
+    each document gets a deterministic 0.5-second sine clip whose
+    frequency (100 + (doc_id % 37)*20 Hz) lands EXACTLY on an FFT bin
+    (bin width = rate/n = 2 Hz), so the real wav-encode -> decode -> rfft
+    path must report precisely that frequency as dominant and its 250
+    Hz-wide band as the energy peak — the SQL oracle states the physics,
+    the engine computes it from bytes."""
+    from nexus_forge_ray.ops import imagecodec as ic
+    from nexus_forge_ray.ops import multimodal as mmod
+
+    RATE, N = 4000, 2000
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        clips = []
+        for did in df["doc_id"]:
+            hz = 100 + (int(did) % 37) * 20
+            s = (0.5 * np.sin(2 * np.pi * hz * np.arange(N) / RATE)
+                 * 32767).astype(np.int16)
+            clips.append(ic.wav_encode(s, RATE))
+        return pd.DataFrame({"doc_id": df["doc_id"], "audio": clips})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(synth,
+                                               batch_format="pandas")
+    out = mmod.audio_spectral(ds).to_pandas()
+    out["top_band"] = np.stack(out["band_energy"].to_numpy()) \
+        .argmax(axis=1).astype("int64")
+    out["dominant_hz"] = out["dominant_hz"].astype("float64")
+    return out[["doc_id", "dominant_hz", "top_band"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def similarity_topk_ivf(sf_dir: str):
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],

@@ -1354,6 +1354,14 @@ ORACLES: dict[str, str] = {
         from parts group by doc_id
         order by sum(p) desc, doc_id limit 10
     """,
+    # the oracle states the signal physics; the engine must recover it
+    # from real WAV bytes via decode + rfft (exact-bin sines, zero leakage)
+    "mm_audio_spectral": """
+        select doc_id,
+               (100 + (doc_id % 37) * 20)::double as dominant_hz,
+               floor((100 + (doc_id % 37) * 20) / 250.0)::bigint as top_band
+        from documents
+    """,
     # winnowing: 3-gram md5 hashes, min per 4-hash window, pairs >= 2 shared
     "doc_winnowing": """
         with t as (select doc_id, string_split(text, ' ') as toks

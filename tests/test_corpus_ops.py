@@ -35,6 +35,7 @@ CASES = {
     "doc_bpe_encode": corpus.doc_bpe_encode,
     "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
     "doc_winnowing": corpus.doc_winnowing,
+    "mm_audio_spectral": corpus.mm_audio_spectral,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
     "q_es_match_phrase": corpus.q_es_match_phrase,

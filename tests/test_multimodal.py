@@ -160,3 +160,24 @@ def test_fake_paths_still_work_for_opaque_bytes():
 def test_real_decode_rejects_garbage():
     with pytest.raises(ValueError):
         ic.png_decode(b"not a png at all")
+
+
+def test_audio_spectral_sine_dominant():
+    rate, n = 8000, 8000
+    clips, ids = [], []
+    for i, hz in enumerate((440, 1000)):
+        s = (0.5 * np.sin(2 * np.pi * hz * np.arange(n) / rate)
+             * 32767).astype(np.int16)
+        clips.append(ic.wav_encode(s, rate))
+        ids.append(i)
+    ds = ray.data.from_pandas(pd.DataFrame({"clip_id": ids, "audio": clips}))
+    out = mm.audio_spectral(ds).to_pandas().sort_values("clip_id")
+    # 1-second clip -> 1 Hz bins: the dominant bin IS the sine frequency
+    assert out["dominant_hz"].tolist() == [440.0, 1000.0]
+    # centroid of a pure tone sits at the tone (leakage keeps it close)
+    assert np.allclose(out["centroid_hz"], [440.0, 1000.0], atol=5.0)
+    # band fractions sum to 1; the tone's band carries almost everything
+    be = np.stack(out["band_energy"].to_numpy())
+    assert np.allclose(be.sum(axis=1), 1.0, atol=1e-9)
+    assert be[0, 0] > 0.99          # 440 Hz in band 0 of 8 (0-500 Hz)
+    assert be[1, 2] > 0.99          # 1000 Hz in band 2 (1000-1500 Hz)
