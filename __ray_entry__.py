@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
         "kg_shortest_paths": kg_queries.QUERIES["kg_shortest_paths"],
         "mm_audio_spectral": corpus.mm_audio_spectral,
+        "mm_image_stats": corpus.mm_image_stats,
     })
     # remaining kg_queries entries (the window subset above keeps its early
     # dict positions — update() does not move existing keys)

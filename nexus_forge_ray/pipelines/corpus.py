@@ -666,6 +666,41 @@ def mm_image_features(sf_dir: str):
         batch_format="pandas")
 
 
+def mm_image_stats(sf_dir: str):
+    """Image-codec path with a value-checked oracle: per document a
+    deterministic gradient PNG ((x*7 + y*13 + doc_id) % 256, size keyed by
+    doc length and id) is encoded then REALLY decoded, and the engine
+    reports width, height and mean luminance from the pixel matrix; the
+    SQL oracle computes the same statistics analytically from the gradient
+    formula — byte-level codec correctness checked by value."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops import imagecodec as ic
+
+    def synth_and_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, txt in zip(df["doc_id"].astype("int64"),
+                            df["text"].fillna("")):
+            h = 8 + (len(txt) % 24)
+            w = 8 + (did % 24)
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            px = ic.png_decode(ic.png_encode(img))   # real roundtrip
+            rows.append((did, px.shape[1], px.shape[0],
+                         float(px.astype(np.float64).mean())))
+        out = pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                          "mean_luma"])
+        return out.astype({"width": "int64", "height": "int64"})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_and_stats, batch_format="pandas").to_pandas()
+    out["mean_luma"] = pc.round(pa.array(out["mean_luma"],
+                                         type=pa.float64()), ndigits=4,
+                                round_mode="half_towards_infinity") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def mm_audio_spectral(sf_dir: str):
     """Multimodal audio pipeline over REAL WAV payloads, oracle-checked:
     each document gets a deterministic 0.5-second sine clip whose

@@ -36,6 +36,7 @@ CASES = {
     "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
     "doc_winnowing": corpus.doc_winnowing,
     "mm_audio_spectral": corpus.mm_audio_spectral,
+    "mm_image_stats": corpus.mm_image_stats,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
     "q_es_match_phrase": corpus.q_es_match_phrase,
