@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update({
         # dedup / similarity / text family not yet inside a driver window
         "minhash_near_dup": corpus.minhash_near_dup,
+        "doc_ngram_jaccard": corpus.doc_ngram_jaccard,
         "embedding_near_dup": corpus.embedding_near_dup,
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,

@@ -209,8 +209,11 @@ def connected_components(edges: ray.data.Dataset, *, id_a: str = "id_a",
             c = df["component"].to_numpy(dtype=object)
             miss = pd.isna(c)
             c[miss] = df["p"].to_numpy()[miss]
+            # restore int64 for integer ids (exact — no float intermediate);
+            # string node ids (IRIs) stay object
+            comp = pd.Series(c).infer_objects()
             return pd.DataFrame({"node": df["node"].to_numpy(),
-                                 "component": c.astype("int64")})
+                                 "component": comp.to_numpy()})
 
         comp = joined.map_batches(
             resolve,

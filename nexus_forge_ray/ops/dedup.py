@@ -55,6 +55,77 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     out[seg_starts] = 1 - counts[:-1]
     return np.cumsum(out)
 
+# odd multipliers for positional mixing of the rolling shingle hash
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                         0x165667B19E3779F9, 0xD6E8FEB86659FD93,
+                         0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
+
+
+def _shingle_hashes(texts, k: int, tok_lists=None
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-window u64 shingle hashes for a batch of docs, doc-segmented.
+
+    Returns (sh, reps, doc_has):
+      sh       concatenated window hashes of NONEMPTY docs, in doc order
+      reps     windows per nonempty doc (len == doc_has.sum())
+      doc_has  (n_docs,) mask of docs with >= 1 token
+
+    Semantics match MinHasher._shingles: k-token windows for docs with
+    >= k tokens, ONE position-mixed whole-doc hash for shorter nonempty
+    docs. The k window size is FIXED per call so a doc's hashes don't
+    depend on which batch it lands in (determinism across blocks/cluster).
+    No shingle strings are ever built — token explode + SipHash are
+    pandas/numpy C paths, window mixing is pure numpy.
+    """
+    n = len(texts)
+    if n == 0:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=bool))
+    if tok_lists is None:
+        s = pd.Series(texts, dtype=object).fillna("")
+        tok_lists = s.str.split()
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    doc_has = lens > 0
+    total = int(lens.sum())
+    if total == 0:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64),
+                doc_has)
+    flat = tok_lists.explode().dropna()
+    th = stable_hash_u64(flat).astype(np.uint64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    starts = offsets[:-1]
+
+    # shingle value per window-start position; one value per doc for docs
+    # shorter than k (position-mixed whole-doc hash)
+    n_windows = np.where(lens >= k, lens - k + 1, np.where(lens > 0, 1, 0))
+    m = len(th) - k + 1
+    if m > 0:
+        win = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            win ^= (th[j:j + m] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)])
+    else:
+        win = np.zeros(0, dtype=np.uint64)
+    # short docs: mix of all their tokens (boundary-safe, batch-independent)
+    short = doc_has & (lens < k)
+    if short.any():
+        pos = _ranges(lens[doc_has])  # position within each nonempty doc
+        mixed_all = th * _SHINGLE_MIX[pos % len(_SHINGLE_MIX)]
+        short_vals = np.bitwise_xor.reduceat(
+            mixed_all, starts[doc_has] - 0)  # per nonempty doc
+    reps = n_windows[doc_has]
+    base_idx = np.repeat(starts[doc_has], reps) + _ranges(reps)
+    sh = win[np.minimum(base_idx, max(0, m - 1))] if m > 0 else \
+        np.zeros(int(reps.sum()), dtype=np.uint64)
+    if short.any():
+        # overwrite the single window of each short doc with its whole-doc mix
+        seg_starts_all = np.zeros(len(reps), dtype=np.int64)
+        np.cumsum(reps[:-1], out=seg_starts_all[1:])
+        short_in_has = short[doc_has]
+        sh[seg_starts_all[short_in_has]] = short_vals[short_in_has]
+    return sh, reps, doc_has
+
+
 class MinHasher:
     """Per-batch MinHash signatures over word shingles — an actor-pool stage.
 
@@ -81,8 +152,7 @@ class MinHasher:
         return [" ".join(toks[i:i + self.k]) for i in range(len(toks) - self.k + 1)]
 
     # odd multipliers for positional mixing of the rolling shingle hash
-    _MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-                     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5], dtype=np.uint64)
+    _MIX = _SHINGLE_MIX
 
     def signatures(self, texts, tok_lists=None) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix — fully vectorized.
@@ -98,49 +168,9 @@ class MinHasher:
         sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
         if n == 0:
             return sigs
-        if tok_lists is None:
-            s = pd.Series(texts, dtype=object).fillna("")
-            tok_lists = s.str.split()
-        lens = tok_lists.map(len).to_numpy(dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
+        sh, reps, doc_has = _shingle_hashes(texts, self.k, tok_lists)
+        if reps.size == 0:
             return sigs
-        flat = tok_lists.explode().dropna()
-        th = stable_hash_u64(flat).astype(np.uint64)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        starts, ends = offsets[:-1], offsets[1:]
-        k = self.k  # FIXED window size: a doc's signature must not depend on
-        # which batch it lands in (determinism across blocks/cluster)
-
-        # shingle value per window-start position; one value per doc for docs
-        # shorter than k (position-mixed whole-doc hash)
-        doc_has = lens > 0
-        n_windows = np.where(lens >= k, lens - k + 1, np.where(lens > 0, 1, 0))
-        m = len(th) - k + 1
-        if m > 0:
-            win = np.zeros(m, dtype=np.uint64)
-            for j in range(k):
-                win ^= (th[j:j + m] * self._MIX[j % len(self._MIX)])
-        else:
-            win = np.zeros(0, dtype=np.uint64)
-        # short docs: mix of all their tokens (boundary-safe, batch-independent)
-        short = doc_has & (lens < k)
-        if short.any():
-            pos = _ranges(lens[doc_has])  # position within each nonempty doc
-            mixed_all = th * self._MIX[pos % len(self._MIX)]
-            short_vals = np.bitwise_xor.reduceat(
-                mixed_all, starts[doc_has] - 0)  # per nonempty doc
-        reps = n_windows[doc_has]
-        base_idx = np.repeat(starts[doc_has], reps) + _ranges(reps)
-        sh = win[np.minimum(base_idx, max(0, m - 1))] if m > 0 else \
-            np.zeros(int(reps.sum()), dtype=np.uint64)
-        if short.any():
-            # overwrite the single window of each short doc with its whole-doc mix
-            seg_starts_all = np.zeros(len(reps), dtype=np.int64)
-            np.cumsum(reps[:-1], out=seg_starts_all[1:])
-            short_in_has = short[doc_has]
-            sh[seg_starts_all[short_in_has]] = short_vals[short_in_has]
         # universal hashes per permutation, per-doc segment min.
         # One reused 1-D buffer per permutation keeps the working set cache-
         # resident: a (num_perm, n_shingles) matrix would churn hundreds of MB
@@ -336,6 +366,160 @@ def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
         return batch[batch["jaccard"] >= threshold]
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+# fixed hash for the empty document's shingle set ({""} — what a whole-doc
+# join of zero tokens produces), so two empty docs are exact duplicates (J=1)
+# like the string-based paths treat them
+_EMPTY_SHINGLE = np.int64(-0x61C8864680B583EB)
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.5,
+                        shingle_size: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard all-pairs similarity join (jaccard >= threshold),
+    fully distributed — no candidate collection or shingle-dict broadcast on
+    the driver (contrast jaccard_verify_pairs, the small-corpus verify step).
+
+    AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): shingles get a GLOBAL total order (document frequency, then
+    hash); each doc posts only its first |S| - ceil(t*|S|) + 1 shingles into
+    the inverted-index shuffle. For any pair with J >= t the smallest common
+    shingle under that order provably sits inside BOTH prefixes (|I| >=
+    ceil(t*|S|) and at most |S| - |I| non-shared shingles can precede it),
+    so the candidate set is complete. Rare shingles sort first, so hot
+    (boilerplate) shingles never fan out quadratically; a size-ratio filter
+    (t * max(|A|,|B|) <= min(|A|,|B|)) prunes at pair generation. Candidates
+    then get exact intersection counts via two bucketed hash joins of
+    (id, shingle-hash) rows — fixed-width 24-byte rows, never text.
+
+    Shingle semantics match MinHasher._shingles (k-token windows, whole-doc
+    for shorter docs) via the shared rolling-u64 kernel, so results line up
+    with the minhash/jaccard_verify family; hashes stand in for strings
+    (64-bit, collision odds ~n^2/2^65).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp — the
+    same report shape as minhash_near_dup but exact and closed under the
+    threshold (no LSH recall caveat).
+    """
+    from nexus_forge_ray.ops.agg import (_bucket_of, distinct_rows,
+                                         hash_groupby_agg)
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    k = int(shingle_size)
+    t = float(threshold)
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sh, reps, doc_has = _shingle_hashes(df[text_col].tolist(), k)
+        ids = df[id_col].to_numpy()
+        n_has = int(doc_has.sum())
+        doc_idx = np.repeat(np.arange(n_has), reps)
+        # per-doc distinct shingles: lexsort + adjacent dedup (vectorized)
+        order = np.lexsort((sh, doc_idx))
+        di, sv = doc_idx[order], sh[order]
+        keep = np.ones(len(sv), dtype=bool)
+        keep[1:] = (di[1:] != di[:-1]) | (sv[1:] != sv[:-1])
+        di, sv = di[keep], sv[keep]
+        sz = np.bincount(di, minlength=n_has).astype(np.int64)
+        rows = pd.DataFrame({id_col: ids[doc_has][di],
+                             "sh": sv.view(np.int64),
+                             "sz": sz[di]})
+        if not doc_has.all():
+            emp = ids[~doc_has]
+            rows = pd.concat([rows, pd.DataFrame({
+                id_col: emp,
+                "sh": np.full(len(emp), _EMPTY_SHINGLE, dtype=np.int64),
+                "sz": np.ones(len(emp), dtype=np.int64)})],
+                ignore_index=True)
+        return rows
+
+    # read 3x below (df counts, prefix path, both intersection joins):
+    # materialize once instead of recomputing the shingle pass per consumer
+    rows = ds.map_batches(shingle_rows, batch_format="pandas").materialize()
+
+    dfreq = hash_groupby_agg(rows, "sh", {"df": (id_col, "count")},
+                             num_buckets=num_buckets)
+    rows_df = partitioned_join(rows, dfreq, on="sh",
+                               lcols=[id_col, "sh", "sz"],
+                               rcols=["sh", "df"], num_buckets=num_buckets)
+
+    def add_id_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = _bucket_of(df, [id_col], num_buckets)
+        return df
+
+    def prefix(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "df", "sh"], kind="mergesort")
+        rank = g.groupby(id_col, sort=False).cumcount().to_numpy()
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        # ceil with a downward nudge: overestimating ceil(t*sz) would SHORTEN
+        # the prefix and lose completeness; a longer prefix is merely slower
+        p = sz - np.ceil(t * sz - 1e-9).astype(np.int64) + 1
+        return g[rank < p][[id_col, "sh", "sz"]]
+
+    pref = rows_df.map_batches(add_id_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(prefix, batch_format="pandas")
+
+    def add_sh_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = _bucket_of(df, ["sh"], num_buckets)
+        return df
+
+    def gen_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in group.groupby("sh", sort=False):
+            if len(sub) < 2:
+                continue
+            o = np.argsort(sub[id_col].to_numpy(), kind="mergesort")
+            ids = sub[id_col].to_numpy()[o]
+            szs = sub["sz"].to_numpy(dtype=np.int64)[o]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ok = (t * np.maximum(szs[ia], szs[ib]) - 1e-9
+                  <= np.minimum(szs[ia], szs[ib]))
+            out.append(pd.DataFrame({"id_a": ids[ia][ok],
+                                     "id_b": ids[ib][ok],
+                                     "sz_a": szs[ia][ok],
+                                     "sz_b": szs[ib][ok]}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sz_a": pd.Series(dtype="int64"),
+                                 "sz_b": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = pref.map_batches(add_sh_bkt, batch_format="pandas") \
+        .groupby("__bkt").map_groups(gen_pairs, batch_format="pandas")
+    cand = distinct_rows(cand, ["id_a", "id_b"], keep_cols=["sz_a", "sz_b"],
+                         num_buckets=num_buckets)
+
+    rows_a = rows.map_batches(
+        lambda df: df[[id_col, "sh"]].rename(columns={id_col: "id_a"}),
+        batch_format="pandas")
+    rows_b = rows.map_batches(
+        lambda df: df[[id_col, "sh"]].rename(columns={id_col: "id_b"}),
+        batch_format="pandas")
+    j1 = partitioned_join(cand, rows_a, on="id_a",
+                          lcols=["id_a", "id_b", "sz_a", "sz_b"],
+                          rcols=["id_a", "sh"], num_buckets=num_buckets)
+    j2 = partitioned_join(j1, rows_b, on="id_b", extra_keys=["sh"],
+                          lcols=["id_a", "id_b", "sz_a", "sz_b", "sh"],
+                          rcols=["id_b", "sh"], num_buckets=num_buckets)
+    inter = hash_groupby_agg(j2, ["id_a", "id_b", "sz_a", "sz_b"],
+                             {"inter": ("sh", "count")},
+                             num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["inter"].to_numpy(dtype=np.float64)
+        u = (df["sz_a"].to_numpy(dtype=np.float64)
+             + df["sz_b"].to_numpy(dtype=np.float64) - i)
+        jac = i / u
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                            "id_b": df["id_b"].to_numpy(),
+                            "jaccard": np.round(jac, 4)})
+        return out[jac >= t]  # threshold on the UNROUNDED value, like the SQL
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 def minhash_verify_pairs(pairs_ds: ray.data.Dataset, sig_ds: ray.data.Dataset,

@@ -568,6 +568,16 @@ def minhash_near_dup(sf_dir: str):
                                    threshold=0.5)
 
 
+def doc_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard all-pairs join — the fully distributed twin of
+    minhash_near_dup's report: AllPairs/PPJoin prefix filtering over a global
+    (df, hash) shingle order, so candidates are provably complete at the
+    threshold and NOTHING (pairs, shingle dicts) is collected on the driver.
+    Same oracle as minhash_near_dup: all pairs with true Jaccard >= 0.5."""
+    return dd.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                  threshold=0.5)
+
+
 def simhash_signatures(sf_dir: str):
     """64-bit SimHash fingerprints on the md5 hash basis (reproducible as
     DuckDB's md5_number_lower), so the oracle recomputes the per-bit votes in

@@ -1260,7 +1260,64 @@ def kg_inlinks(sf_dir: str):
         batch_format="pandas")
 
 
+def kg_sameas_rewrite(sf_dir: str):
+    """owl:sameAs canonicalization — the KG-merge primitive. Fixture: 2/3 of
+    mention objects arrive under deterministic alias URIs (doc_id % 3 == 1
+    -> entity/<tok>_alt, % 3 == 2 -> entity/<tok>_alt2) and the sameAs graph
+    chains base—alt—alt2 per KB term (transitivity matters). Components via
+    graph contraction over the EDGE set only; subj/obj rewrite through the
+    canonical map with two bucketed left joins + distinct (RDF set
+    semantics), the map never driver-side."""
+    import numpy as np
+
+    from nexus_forge_ray.kg.entail import sameas_canonicalize
+
+    base = kg_triples(sf_dir)
+
+    def alias(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        m = df["pred"].eq(KB.PRED_MENTIONS)
+        did = pd.to_numeric(df["subj"].str.slice(len(KB.DOC_BASE)),
+                            errors="coerce").fillna(0).astype("int64")
+        suf = pd.Series(np.where(did % 3 == 1, "_alt",
+                                 np.where(did % 3 == 2, "_alt2", "")),
+                        index=df.index)
+        df.loc[m, "obj"] = df.loc[m, "obj"] + suf[m]
+        return df
+
+    aliased = base.map_batches(alias, batch_format="pandas")
+    edges = pd.DataFrame(
+        [(KB.BASE_IRI + t, KB.BASE_IRI + t + "_alt") for t in KB.KB_TERMS]
+        + [(KB.BASE_IRI + t + "_alt", KB.BASE_IRI + t + "_alt2")
+           for t in KB.KB_TERMS], columns=["a", "b"])
+    return sameas_canonicalize(aliased, ray.data.from_pandas(edges))
+
+
+# RDFS schema for the corpus triples — config, kilobytes by nature
+_CLS = "http://example.org/class/"
+RDFS_DOMAIN = {KB.PRED_MENTIONS: _CLS + "Document",
+               KB.PRED_LANG: _CLS + "Document"}
+RDFS_RANGE = {KB.PRED_MENTIONS: _CLS + "Entity"}
+RDFS_SUBCLASS = [(_CLS + "Document", _CLS + "WebResource"),
+                 (_CLS + "WebResource", _CLS + "Resource"),
+                 (_CLS + "Entity", _CLS + "Resource")]
+
+
+def kg_infer_types(sf_dir: str):
+    """RDFS entailment (rdfs2 domain, rdfs3 range, rdfs9/11 subClassOf):
+    every doc node types as Document ⊑ WebResource ⊑ Resource, every
+    mentioned entity as Entity ⊑ Resource — one vectorized map-side pass
+    over the triples pre-expanded through the subclass closure, one
+    bucketed distinct. Reference: rdf_model.py validate(inference='rdfs')."""
+    from nexus_forge_ray.kg.entail import rdfs_infer_types
+    return rdfs_infer_types(kg_triples(sf_dir), domain=RDFS_DOMAIN,
+                            range_=RDFS_RANGE,
+                            subclass_edges=RDFS_SUBCLASS)
+
+
 QUERIES = {
+    "kg_sameas_rewrite": kg_sameas_rewrite,
+    "kg_infer_types": kg_infer_types,
     "kg_mentions": kg_mentions,
     "kg_inlinks": kg_inlinks,
     "kg_triples": kg_triples,

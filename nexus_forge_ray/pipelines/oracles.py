@@ -545,6 +545,77 @@ ORACLES: dict[str, str] = {
         with {_KG_TRIPLES_CTE}
         select subj, pred, obj from t
     """,
+    # owl:sameAs canonicalization: alias objects (_alt / _alt2 by doc_id % 3)
+    # collapse onto the lexicographic min of their sameAs component
+    # (base—alt—alt2 chains per KB term), then triples dedupe (set semantics)
+    "kg_sameas_rewrite": """
+        with recursive
+        toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+                 from documents),
+        m as (select distinct doc_id, tok from toks
+              where tok in ('spark','table','join','sort','merge','filter',
+                            'window','customer','vector','stream','query','hash')),
+        t as (select 'http://example.org/doc/' || doc_id as subj,
+                     'http://example.org/vocab/mentions' as pred,
+                     'http://example.org/entity/' || tok ||
+                         case doc_id % 3 when 1 then '_alt'
+                                         when 2 then '_alt2' else '' end as obj
+              from m
+              union all
+              select 'http://example.org/doc/' || doc_id,
+                     'http://example.org/vocab/lang', lang
+              from documents),
+        terms(tok) as (select unnest(['spark','table','join','sort','merge',
+                                      'filter','window','customer','vector',
+                                      'stream','query','hash'])),
+        e as (select 'http://example.org/entity/' || tok as a,
+                     'http://example.org/entity/' || tok || '_alt' as b
+              from terms
+              union all
+              select 'http://example.org/entity/' || tok || '_alt',
+                     'http://example.org/entity/' || tok || '_alt2'
+              from terms),
+        sym as (select a, b from e union select b, a from e
+                union select a, a from e union select b, b from e),
+        reach(a, b) as (select a, b from sym
+                        union
+                        select r.a, s.b from reach r join sym s on r.b = s.a),
+        canon as (select a as node, min(b) as canon from reach group by a)
+        select distinct coalesce(cs.canon, t.subj) as subj, t.pred,
+                        coalesce(co.canon, t.obj) as obj
+        from t left join canon cs on t.subj = cs.node
+               left join canon co on t.obj = co.node
+    """,
+    # RDFS entailment: rdfs2 (domain), rdfs3 (range), rdfs9/11 (reflexive-
+    # transitive subClassOf propagation) over the mention/lang triples
+    "kg_infer_types": f"""
+        with recursive {_KG_TRIPLES_CTE},
+        sub(c, p) as (select * from (values
+            ('http://example.org/class/Document',
+             'http://example.org/class/WebResource'),
+            ('http://example.org/class/WebResource',
+             'http://example.org/class/Resource'),
+            ('http://example.org/class/Entity',
+             'http://example.org/class/Resource')) v(c, p)),
+        cls(c) as (select c from sub union select p from sub),
+        clos(c, s) as (select c, c from cls
+                       union
+                       select cl.c, sub.p from clos cl
+                       join sub on cl.s = sub.c),
+        dom(pred, c) as (select * from (values
+            ('http://example.org/vocab/mentions',
+             'http://example.org/class/Document'),
+            ('http://example.org/vocab/lang',
+             'http://example.org/class/Document')) v(pred, c)),
+        rng(pred, c) as (select * from (values
+            ('http://example.org/vocab/mentions',
+             'http://example.org/class/Entity')) v(pred, c)),
+        bt as (select t.subj as node, d.c from t join dom d using (pred)
+               union all
+               select t.obj, r.c from t join rng r using (pred))
+        select distinct bt.node, clos.s as type
+        from bt join clos on bt.c = clos.c
+    """,
     # re-crawl upsert: base triples of re-crawled subjects drop wholesale,
     # the fresh extraction (text gained ' spark', lang normalized 'en')
     # replaces them — subject-disjoint union, bag semantics
@@ -1768,6 +1839,13 @@ ORACLES: dict[str, str] = {
                                    order by n_chars desc, doc_id) <= 3
     """,
     "minhash_near_dup": f"""
+        with {_SHINGLE_PAIRS}
+        select id_a, id_b, round(j, 4) as jaccard
+        from jpairs where j >= 0.5
+    """,
+    # doc_ngram_jaccard is EXACT at the threshold (prefix-filtered all-pairs
+    # join), so the same true-Jaccard oracle applies with no recall caveat
+    "doc_ngram_jaccard": f"""
         with {_SHINGLE_PAIRS}
         select id_a, id_b, round(j, 4) as jaccard
         from jpairs where j >= 0.5

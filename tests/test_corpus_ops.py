@@ -47,6 +47,7 @@ CASES = {
     "dsir_weights": corpus.dsir_weights,
     "doc_substring_dedup": corpus.doc_substring_dedup,
     "doc_epoch_shuffle": corpus.doc_epoch_shuffle,
+    "doc_ngram_jaccard": corpus.doc_ngram_jaccard,
 }
 
 
@@ -55,6 +56,44 @@ def test_query_matches_oracle(name, duck, sf_dir):
     got = CASES[name](sf_dir)
     want = duck.sql(ORACLES[name]).df()
     assert_frames_match(got, want, tol=1e-4)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered all-pairs join == brute-force Jaccard on a corpus with
+    planted near-dups, exact dups, short docs (<k tokens) and empty docs."""
+    from nexus_forge_ray.ops import dedup as dd
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [
+            "a b c d e f g h",                       # 0
+            "a b c d e f g x",                       # 1: J(0,1)=5/7
+            "completely different words sit here",   # 2
+            "a b",                                   # 3: short
+            "a b",                                   # 4: short dup of 3
+            "",                                      # 5: empty
+            "",                                      # 6: empty dup of 5
+            "a b c d e f g h",                       # 7: exact dup of 0
+        ]})
+
+    def shingles(t):
+        toks = t.split()
+        if len(toks) <= 3:
+            return frozenset({" ".join(toks)})
+        return frozenset(" ".join(toks[i:i + 3])
+                         for i in range(len(toks) - 2))
+
+    for thr in (0.5, 0.7, 1.0):
+        got = dd.ngram_jaccard_pairs(
+            ray.data.from_pandas(docs), threshold=thr).to_pandas()
+        exp = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = shingles(docs.text[i]), shingles(docs.text[j])
+                jac = len(a & b) / len(a | b)
+                if jac >= thr:
+                    exp.add((i, j, round(jac, 4)))
+        assert set(zip(got.id_a, got.id_b, got.jaccard)) == exp, thr
 
 
 def test_pii_redact_kinds():

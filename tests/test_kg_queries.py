@@ -24,7 +24,8 @@ ORACLE_CASES = [
                 "kg_graph_with_update", "kg_validate_strings",
                 "kg_shortest_paths", "kg_bgp_filter_logic",
                 "kg_bgp_optional_filter", "kg_pagerank_personalized",
-                "kg_validate_sparql", "kg_hits", "kg_entity_jaccard"]
+                "kg_validate_sparql", "kg_hits", "kg_entity_jaccard",
+                "kg_sameas_rewrite", "kg_infer_types"]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
