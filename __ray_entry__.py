@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity / text family not yet inside a driver window
         "minhash_near_dup": corpus.minhash_near_dup,
         "doc_ngram_jaccard": corpus.doc_ngram_jaccard,
+        "doc_gopher_rules": corpus.doc_gopher_rules,
         "embedding_near_dup": corpus.embedding_near_dup,
         "simhash_signatures": corpus.simhash_signatures,
         "simhash_near_dup": corpus.simhash_near_dup,

@@ -90,6 +90,62 @@ def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
     )
 
 
+# Gopher quality-filter word list (Rae et al. 2021, appendix A1.1: "contains
+# at least 2 of the following English words")
+_GOPHER_STOP_RE = r"\b(the|be|to|of|and|that|have|with)\b"
+
+
+def gopher_rules_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021, A1.1) — the published
+    thresholds, all pyarrow.compute kernels (RE2, same engine as the oracle):
+
+      50 <= word count <= 100,000;  3 <= mean word length <= 10;
+      symbol-to-word ratio ('#', '...', '…') <= 0.1;
+      >= 80% of words contain an alphabetic character;
+      >= 2 of {the, be, to, of, and, that, have, with}.
+
+    Emits the per-rule signals plus `passes` (0/1) so downstream mixtures can
+    cut on individual signals, not just the verdict.
+    """
+    txt = batch[text_col]
+    n_words = pc.cast(pc.count_substring_regex(txt, _TOKEN_RE), pa.int64())
+    chars_ns = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(txt, r"\s", "")), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(
+        txt, r"\S*[A-Za-z]\S*"), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(txt, _GOPHER_STOP_RE),
+                     pa.int64())
+    n_sym = pc.add(pc.count_substring(txt, "#"),
+                   pc.add(pc.count_substring(txt, "..."),
+                          pc.count_substring(txt, "…")))
+    wf = pc.cast(pc.max_element_wise(n_words, 1), pa.float64())
+    mwl = pc.divide(pc.cast(chars_ns, pa.float64()), wf)
+    af = pc.divide(pc.cast(n_alpha, pa.float64()), wf)
+    sr = pc.divide(pc.cast(n_sym, pa.float64()), wf)
+    ok = pc.and_(
+        pc.and_(
+            pc.and_(pc.greater_equal(n_words, 50),
+                    pc.less_equal(n_words, 100_000)),
+            pc.and_(pc.greater_equal(mwl, 3.0), pc.less_equal(mwl, 10.0))),
+        pc.and_(
+            pc.and_(pc.less_equal(sr, 0.1), pc.greater_equal(af, 0.8)),
+            pc.greater_equal(n_stop, 2)))
+    r4 = dict(ndigits=4, round_mode="half_towards_infinity")
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("mean_word_len", pc.round(mwl, **r4))
+    batch = batch.append_column("alpha_frac", pc.round(af, **r4))
+    batch = batch.append_column("symbol_ratio", pc.round(sr, **r4))
+    batch = batch.append_column("n_stop", n_stop)
+    batch = batch.append_column("passes", pc.cast(ok, pa.int64()))
+    return batch
+
+
+def gopher_rules(ds: ray.data.Dataset,
+                 text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: gopher_rules_batch(t, text_col), batch_format="pyarrow")
+
+
 class LangIdModel:
     """Stopword-vote language identifier — an actor-pool stage.
 

@@ -568,6 +568,13 @@ def minhash_near_dup(sf_dir: str):
                                    threshold=0.5)
 
 
+def doc_gopher_rules(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) at the published
+    thresholds — per-rule signals + 0/1 verdict, one vectorized RE2 pass."""
+    ds = tx.gopher_rules(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.drop_columns(["text"])
+
+
 def doc_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard all-pairs join — the fully distributed twin of
     minhash_near_dup's report: AllPairs/PPJoin prefix filtering over a global

@@ -1315,8 +1315,23 @@ def kg_infer_types(sf_dir: str):
                             subclass_edges=RDFS_SUBCLASS)
 
 
+def kg_negative_samples(sf_dir: str):
+    """TransE-style negative sampling over the mention triples: each
+    positive (doc, mentions, entity) gains a deterministic corrupted tail
+    drawn from the distributed entity vocabulary (md5 draw mod V, +1 step
+    off the true object). Vocabulary indexing is one bucketed row_number
+    shuffle; only the bucket counts reach the driver; draws resolve via two
+    bucketed joins — nothing broadcasts."""
+    from nexus_forge_ray.kg.negatives import negative_samples
+    mt = kg_triples(sf_dir).map_batches(
+        lambda df: df[df["pred"] == KB.PRED_MENTIONS],
+        batch_format="pandas")
+    return negative_samples(mt)
+
+
 QUERIES = {
     "kg_sameas_rewrite": kg_sameas_rewrite,
+    "kg_negative_samples": kg_negative_samples,
     "kg_infer_types": kg_infer_types,
     "kg_mentions": kg_mentions,
     "kg_inlinks": kg_inlinks,

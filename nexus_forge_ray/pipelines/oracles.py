@@ -586,6 +586,42 @@ ORACLES: dict[str, str] = {
         from t left join canon cs on t.subj = cs.node
                left join canon co on t.obj = co.node
     """,
+    # TransE-style negative sampling: vocabulary index = per-md5-bucket
+    # row_number + bucket offsets; draw = md5(s|o) mod V with a +1 step when
+    # the draw hits the true object (md5_number_lower == utils.md5_u64)
+    "kg_negative_samples": f"""
+        with {_KG_TRIPLES_CTE},
+        mt as (select subj, pred, obj from t
+               where pred = 'http://example.org/vocab/mentions'),
+        ents as (select distinct obj as ent from mt),
+        eb as (select ent, (md5_number_lower(ent) % 32)::bigint as bkt
+               from ents),
+        er as (select ent, bkt,
+                      row_number() over (partition by bkt order by ent) - 1
+                          as rk
+               from eb),
+        cnt as (select bkt, count(*)::bigint as c from eb group by bkt),
+        offs as (select bkt,
+                        coalesce(sum(c) over (order by bkt
+                            rows between unbounded preceding
+                            and 1 preceding), 0)::bigint as off
+                 from cnt),
+        ei as (select er.ent, (er.rk + offs.off)::bigint as idx
+               from er join offs using (bkt)),
+        vv as (select count(*)::ubigint as v from ents),
+        td as (select subj, pred, obj,
+                      (md5_number_lower(subj || '|' || obj)
+                       % (select v from vv))::bigint as i1
+               from mt),
+        td2 as (select subj, pred, obj, i1,
+                       ((i1 + 1) % (select v from vv)::bigint)::bigint as i2
+                from td)
+        select t.subj, t.pred, t.obj,
+               case when e1.ent <> t.obj then e1.ent else e2.ent end
+                   as neg_obj
+        from td2 t join ei e1 on e1.idx = t.i1
+                   join ei e2 on e2.idx = t.i2
+    """,
     # RDFS entailment: rdfs2 (domain), rdfs3 (range), rdfs9/11 (reflexive-
     # transitive subClassOf propagation) over the mention/lang triples
     "kg_infer_types": f"""
@@ -1804,6 +1840,39 @@ ORACLES: dict[str, str] = {
               from i)
         select doc_id, n_emails, n_ipv4, n_phones, md5(t3) as clean_md5
         from p
+    """,
+    # Gopher rules (Rae et al. 2021 A1.1): published thresholds; ratios are
+    # compared UNROUNDED, displayed rounded (half-away, matching the engine's
+    # half_towards_infinity on positives)
+    "doc_gopher_rules": """
+        with g as (
+            select doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::bigint as n_words,
+                   length(regexp_replace(text, '\\s', '', 'g'))::bigint
+                       as n_chars_ns,
+                   len(list_filter(regexp_extract_all(text, '\\S+'),
+                       x -> regexp_matches(x, '[A-Za-z]')))::bigint as n_alpha,
+                   len(regexp_extract_all(text,
+                       '\\b(the|be|to|of|and|that|have|with)\\b'))::bigint
+                       as n_stop,
+                   (len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))
+                    + len(regexp_extract_all(text, '…')))::bigint as n_sym
+            from documents)
+        select doc_id, n_words,
+               round(n_chars_ns * 1.0 / greatest(n_words, 1), 4)
+                   as mean_word_len,
+               round(n_alpha * 1.0 / greatest(n_words, 1), 4) as alpha_frac,
+               round(n_sym * 1.0 / greatest(n_words, 1), 4) as symbol_ratio,
+               n_stop,
+               (case when n_words between 50 and 100000
+                      and n_chars_ns * 1.0 / greatest(n_words, 1)
+                          between 3 and 10
+                      and n_sym * 1.0 / greatest(n_words, 1) <= 0.1
+                      and n_alpha * 1.0 / greatest(n_words, 1) >= 0.8
+                      and n_stop >= 2
+                then 1 else 0 end)::bigint as passes
+        from g
     """,
     "doc_normalize": """
         with n as (select doc_id,

@@ -48,6 +48,7 @@ CASES = {
     "doc_substring_dedup": corpus.doc_substring_dedup,
     "doc_epoch_shuffle": corpus.doc_epoch_shuffle,
     "doc_ngram_jaccard": corpus.doc_ngram_jaccard,
+    "doc_gopher_rules": corpus.doc_gopher_rules,
 }
 
 
