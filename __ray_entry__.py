@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shortest_paths": kg_queries.QUERIES["kg_shortest_paths"],
         "mm_audio_spectral": corpus.mm_audio_spectral,
         "mm_image_stats": corpus.mm_image_stats,
+        "mm_image_formats": corpus.mm_image_formats,
     })
     # remaining kg_queries entries (the window subset above keeps its early
     # dict positions — update() does not move existing keys)

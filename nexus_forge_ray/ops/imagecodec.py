@@ -119,6 +119,60 @@ def png_decode(data: bytes) -> np.ndarray:
     return img[:, :, 0] if c == 1 else img
 
 
+_BMP_MAGIC = b"BM"
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> 24-bit uncompressed bottom-up BMP
+    (BITMAPINFOHEADER). Greyscale input replicates to RGB."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError(f"bmp_encode wants uint8, got {a.dtype}")
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"unsupported shape {arr.shape} (24-bit BMP only)")
+    h, w, _ = a.shape
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)      # rows pad to 4 bytes
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = a[::-1, :, ::-1].reshape(h, row_bytes)  # BGR, bottom-up
+    pixels = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", _BMP_MAGIC, off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB array. Handles
+    bottom-up (positive height) and top-down (negative) row order."""
+    if data[:2] != _BMP_MAGIC:
+        raise ValueError("not a BMP (bad signature)")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp}); this "
+                         "codec does 24-bit uncompressed")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                       offset=off).reshape(h, stride)
+    img = px[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if bottom_up else img).copy()
+
+
+def image_decode(data: bytes) -> np.ndarray:
+    """Format-sniffing decode: PNG or BMP by magic bytes."""
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:2] == _BMP_MAGIC:
+        return bmp_decode(data)
+    raise ValueError("unknown image container (not PNG/BMP)")
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize (pure indexing — exact, no interpolation)."""
     h, w = img.shape[:2]

@@ -37,7 +37,8 @@ def _hash_bytes(b: bytes) -> np.ndarray:
 
 
 class ImageDecoder:
-    """binary -> (width, height, mode) metadata (real PNG parse by default)."""
+    """binary -> (width, height, mode) metadata (real PNG/BMP parse,
+    container sniffed by magic bytes; fake=True only for unknown formats)."""
 
     def __init__(self, image_col: str = "image", fake: bool = False):
         self.image_col = image_col
@@ -51,7 +52,7 @@ class ImageDecoder:
             batch["height"] = (16 + h[:, 1].astype(np.int64) % 2032)
             batch["mode"] = np.where(h[:, 2] % 2 == 0, "RGB", "L")
             return batch
-        dims = [ic.png_decode(b).shape for b in batch[self.image_col]]
+        dims = [ic.image_decode(b).shape for b in batch[self.image_col]]
         batch["width"] = np.array([d[1] for d in dims], dtype=np.int64)
         batch["height"] = np.array([d[0] for d in dims], dtype=np.int64)
         batch["mode"] = ["L" if len(d) == 2 else
@@ -60,7 +61,8 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """Real resize: decode PNG -> nearest-neighbor -> re-encode PNG."""
+    """Real resize: decode (PNG/BMP sniffed) -> nearest-neighbor ->
+    re-encode PNG (the container normalizes on the way through)."""
 
     def __init__(self, width: int, height: int, image_col: str = "image",
                  fake: bool = False):
@@ -72,7 +74,7 @@ class ImageResizer:
         batch = batch.copy()
         if not self.fake:
             batch[self.image_col] = [
-                ic.png_encode(ic.resize_nearest(ic.png_decode(b),
+                ic.png_encode(ic.resize_nearest(ic.image_decode(b),
                                                 self.w, self.h))
                 for b in batch[self.image_col]]
         batch["width"] = self.w
@@ -103,7 +105,7 @@ class FeatureExtractor:
                 feats.append((h / n if n else h).tolist())
             else:
                 feats.append(
-                    ic.image_features(ic.png_decode(b), self.dim).tolist())
+                    ic.image_features(ic.image_decode(b), self.dim).tolist())
         batch = batch.copy()
         batch["embedding"] = feats
         return batch

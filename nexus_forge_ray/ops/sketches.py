@@ -289,3 +289,67 @@ def approx_quantiles_grouped(ds: ray.data.Dataset, keys: str | list[str],
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+class CountMinSketch:
+    """Frequency-estimate table: est(v) >= true(v) always (one-sided), and
+    est(v) <= true(v) + (e/width) * N with probability 1 - e^-depth.
+    Linear in the stream, so partials merge by elementwise SUM — the
+    combine tree is exact regardless of block layout."""
+
+    def __init__(self, table: np.ndarray, a: np.ndarray, b: np.ndarray):
+        self.table = table              # (depth, width) int64
+        self.a, self.b = a, b
+
+    def _idx(self, h: np.ndarray, i: int) -> np.ndarray:
+        # multiply-shift universal hash per row (odd multiplier)
+        return (((h * self.a[i] + self.b[i]) >> np.uint64(33))
+                % np.uint64(self.table.shape[1])).astype(np.int64)
+
+    def query(self, values) -> np.ndarray:
+        """Point estimates (int64) for an array/Series of values."""
+        h = stable_hash_u64(pd.Series(values)).astype(np.uint64)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.table.shape[0]):
+            est = np.minimum(est, self.table[i, self._idx(h, i)])
+        return est
+
+
+def count_min(ds: ray.data.Dataset, col: str, *, width: int = 2048,
+              depth: int = 4, weight_col: str | None = None,
+              seed: int = 1234) -> CountMinSketch:
+    """Build a Count-Min sketch of `col`'s value frequencies.
+
+    Each batch contributes ONE fixed (depth x width) int64 matrix
+    (depth*width*8 bytes — 64 KiB at the defaults) regardless of batch
+    cardinality; the driver reduce is an elementwise sum, mirroring the
+    HLL register-max pattern above. Use over `heavy_hitters` when you need
+    point-queryable estimates for arbitrary values, not just the top-k.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 2**63, size=depth).astype(np.uint64)
+         | np.uint64(1))
+    b = rng.randint(0, 2**63, size=depth).astype(np.uint64)
+    sk = CountMinSketch(np.zeros((depth, width), dtype=np.int64), a, b)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash_u64(batch[col]).astype(np.uint64)
+        w = (batch[weight_col].to_numpy(dtype=np.int64)
+             if weight_col is not None else None)
+        tbl = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            idx = sk._idx(h, i)
+            if w is None:
+                np.add.at(tbl[i], idx, 1)
+            else:
+                np.add.at(tbl[i], idx, w)
+        return pd.DataFrame({"cm": [tbl.ravel()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if len(parts):
+        sk.table = np.sum(np.stack(parts["cm"].to_numpy()),
+                          axis=0).reshape(depth, width)
+    return sk

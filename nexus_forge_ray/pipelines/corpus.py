@@ -718,6 +718,43 @@ def mm_image_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def mm_image_formats(sf_dir: str):
+    """Mixed-container decode path, value-checked: even docs carry the
+    deterministic gradient as PNG, odd docs as 24-bit BMP (grey replicated
+    to RGB, so mean luminance is IDENTICAL) — the format-sniffing decoder
+    (imagecodec.image_decode, the ImageDecoder kernel) must dispatch per
+    payload and recover the same analytic statistics from both codecs."""
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.ops import imagecodec as ic
+
+    def synth_and_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, txt in zip(df["doc_id"].astype("int64"),
+                            df["text"].fillna("")):
+            h = 8 + (len(txt) % 24)
+            w = 8 + (did % 24)
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+            payload = (ic.png_encode(img) if did % 2 == 0
+                       else ic.bmp_encode(img))
+            px = ic.image_decode(payload)            # sniffed real decode
+            rows.append((did, "png" if did % 2 == 0 else "bmp",
+                         px.shape[1], px.shape[0],
+                         float(px.astype(np.float64).mean())))
+        out = pd.DataFrame(rows, columns=["doc_id", "fmt", "width",
+                                          "height", "mean_luma"])
+        return out.astype({"width": "int64", "height": "int64"})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_and_stats, batch_format="pandas").to_pandas()
+    out["mean_luma"] = pc.round(pa.array(out["mean_luma"],
+                                         type=pa.float64()), ndigits=4,
+                                round_mode="half_towards_infinity") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def mm_audio_spectral(sf_dir: str):
     """Multimodal audio pipeline over REAL WAV payloads, oracle-checked:
     each document gets a deterministic 0.5-second sine clip whose

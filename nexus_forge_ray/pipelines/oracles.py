@@ -1478,6 +1478,25 @@ ORACLES: dict[str, str] = {
                round(avg(v), 4) as mean_luma
         from px group by doc_id
     """,
+    # mixed PNG/BMP containers: grey replicates to RGB in the BMP leg, so
+    # both codecs must report the SAME analytic gradient statistics
+    "mm_image_formats": """
+        with dims as (select doc_id,
+                             8 + (doc_id % 24) as w,
+                             8 + (length(text) % 24) as h
+                      from documents),
+        px as (select d.doc_id, d.w, d.h,
+                      (x.x * 7 + y.y * 13 + d.doc_id) % 256 as v
+               from dims d,
+                    unnest(generate_series(0, d.w - 1)) as x(x),
+                    unnest(generate_series(0, d.h - 1)) as y(y))
+        select doc_id,
+               case when doc_id % 2 = 0 then 'png' else 'bmp' end as fmt,
+               any_value(w)::bigint as width,
+               any_value(h)::bigint as height,
+               round(avg(v), 4) as mean_luma
+        from px group by doc_id
+    """,
     # the oracle states the signal physics; the engine must recover it
     # from real WAV bytes via decode + rfft (exact-bin sines, zero leakage)
     "mm_audio_spectral": """

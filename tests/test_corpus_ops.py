@@ -37,6 +37,7 @@ CASES = {
     "doc_winnowing": corpus.doc_winnowing,
     "mm_audio_spectral": corpus.mm_audio_spectral,
     "mm_image_stats": corpus.mm_image_stats,
+    "mm_image_formats": corpus.mm_image_formats,
     "doc_inverted_index": corpus.doc_inverted_index,
     "q_es_should": corpus.q_es_should,
     "q_es_match_phrase": corpus.q_es_match_phrase,

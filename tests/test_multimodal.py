@@ -181,3 +181,42 @@ def test_audio_spectral_sine_dominant():
     assert np.allclose(be.sum(axis=1), 1.0, atol=1e-9)
     assert be[0, 0] > 0.99          # 440 Hz in band 0 of 8 (0-500 Hz)
     assert be[1, 2] > 0.99          # 1000 Hz in band 2 (1000-1500 Hz)
+
+
+def test_bmp_roundtrip_rgb_and_grey():
+    from nexus_forge_ray.ops import imagecodec as ic
+    rng = np.random.RandomState(7)
+    # width 5: the 15-byte row needs 1 pad byte — exercises stride padding
+    rgb = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(ic.bmp_decode(ic.bmp_encode(rgb)), rgb)
+    grey = rng.randint(0, 256, size=(4, 7), dtype=np.uint8)
+    out = ic.bmp_decode(ic.bmp_encode(grey))
+    assert out.shape == (4, 7, 3)
+    for c in range(3):              # grey replicates across channels
+        assert np.array_equal(out[:, :, c], grey)
+
+
+def test_bmp_top_down_rows():
+    import struct
+
+    from nexus_forge_ray.ops import imagecodec as ic
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    data = bytearray(ic.bmp_encode(img))
+    # flip the height sign -> top-down row order; rows must NOT be re-flipped
+    (h,) = struct.unpack_from("<i", data, 22)
+    struct.pack_into("<i", data, 22, -h)
+    flipped = ic.bmp_decode(bytes(data))
+    assert np.array_equal(flipped, img[::-1])
+
+
+def test_image_decode_sniffs_containers():
+    import pytest
+
+    from nexus_forge_ray.ops import imagecodec as ic
+    img = ((np.arange(64, dtype=np.int64) % 256).astype(np.uint8)
+           .reshape(8, 8))
+    assert np.array_equal(ic.image_decode(ic.png_encode(img)), img)
+    bmp = ic.image_decode(ic.bmp_encode(img))
+    assert np.array_equal(bmp[:, :, 0], img)
+    with pytest.raises(ValueError, match="unknown image container"):
+        ic.image_decode(b"GIF89a not supported")

@@ -114,3 +114,27 @@ def test_approx_quantiles_grouped_vs_exact(ray_session):
         vals = np.sort(sub["x"].to_numpy())
         rank = np.searchsorted(vals, got[g]) / len(vals)
         assert abs(rank - 0.9) < 0.01, (g, rank)
+
+
+def test_count_min_bounds(ray_session):
+    """One-sided error: est >= true always; est <= true + (e/width)*N for
+    every queried value on a fixed-seed zipfish stream (deterministic)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from nexus_forge_ray.ops.sketches import count_min
+
+    rng = np.random.RandomState(3)
+    vals = (rng.zipf(1.3, size=20_000) % 500).astype(str)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    sk = count_min(ds, "v", width=1024, depth=4)
+
+    true = pd.Series(vals).value_counts()
+    est = sk.query(true.index.to_numpy())
+    n = len(vals)
+    eps = np.e / 1024
+    assert (est >= true.to_numpy()).all()
+    assert (est - true.to_numpy() <= eps * n).all()
+    # sketch totals: every row sums to the full (unit-weight) stream
+    assert (sk.table.sum(axis=1) == n).all()
