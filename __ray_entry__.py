@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": corpus.doc_sample_stratified,
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
         "doc_bigram_logprob": corpus.doc_bigram_logprob,
+        "doc_ppl_buckets": corpus.doc_ppl_buckets,
         "doc_bpe_encode": corpus.doc_bpe_encode,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,

@@ -32,7 +32,8 @@ from nexus_forge_ray.ops.joins import partitioned_agg_join, partitioned_join
 def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 3,
              num_buckets: int = 16,
-             seeds: list | None = None) -> ray.data.Dataset:
+             seeds: list | None = None,
+             weight: str | None = None) -> ray.data.Dataset:
     """Ranks after `iters` power iterations; returns (node, rank).
 
     Nodes are the vertices touched by at least one edge (isolated records
@@ -43,7 +44,13 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
     rank_new(n) = ((1-d) + d*DM) * p(n) + d * contrib(n), with p(n) = 1/|S|
     on seeds and 0 elsewhere (dangling mass also redistributes by p). The
     seed set ships in task closures (bounded: topic/entity seeds, never a
-    corpus); seeds absent from the graph raise."""
+    corpus); seeds absent from the graph raise.
+
+    With `weight` (an edge column of POSITIVE weights), runs WEIGHTED
+    PageRank: a source's rank splits proportionally to edge weight —
+    contrib(e) = rank(src) * w(e) / sum_w(src) — with the same exchange
+    shape (the loop-invariant annotation becomes the weight sum instead of
+    the out-degree count)."""
     # the edge table feeds node extraction AND the degree annotation —
     # materialize once so a lazy upstream pipeline (e.g. mention detection)
     # doesn't re-execute per consumer
@@ -55,10 +62,20 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
     # repartition before materializing: the sort shuffle emits one block per
     # INPUT block (128+ tiny blocks here), and per-block overhead would
     # dominate every iteration's exchange that re-reads these tables
-    edeg = attach_group_stat(
-        edges.map_batches(lambda df: df[[src, dst]], batch_format="pandas"),
-        src, dst, "size", "outd", num_buckets=num_buckets) \
-        .repartition(num_buckets).materialize()
+    if weight is None:
+        edeg = attach_group_stat(
+            edges.map_batches(lambda df: df[[src, dst]],
+                              batch_format="pandas"),
+            src, dst, "size", "outd", num_buckets=num_buckets) \
+            .repartition(num_buckets).materialize()
+    else:
+        edeg = attach_group_stat(
+            edges.map_batches(
+                lambda df: df[[src, dst, weight]].assign(
+                    **{weight: df[weight].astype("float64")}),
+                batch_format="pandas"),
+            src, weight, "sum", "outd", num_buckets=num_buckets) \
+            .repartition(num_buckets).materialize()
     # nodes + the loop-invariant dangling flag in ONE exchange: a node is
     # dangling iff it never appears as an edge source, so max(hasout) over
     # the tagged src/dst union decides it without a join
@@ -116,17 +133,27 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
             batch_format="pandas")
         contrib = partitioned_join(edeg, rsrc, on=src,
                                    num_buckets=num_buckets,
-                                   lcols=[src, dst, "outd"],
+                                   lcols=[src, dst, "outd"] +
+                                         ([weight] if weight else []),
                                    rcols=[src, "rank"])
         # per-edge contribution + map-side combine, so the second shuffle
         # moves one row per (batch, node)
-        contrib = contrib.map_batches(
-            lambda df: pd.DataFrame({
-                "node": df[dst],
-                "s": df["rank"].astype("float64")
-                / df["outd"].astype("float64")})
-            .groupby("node", as_index=False)["s"].sum(),
-            batch_format="pandas")
+        if weight is None:
+            def edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": df[dst],
+                    "s": df["rank"].astype("float64")
+                    / df["outd"].astype("float64")}) \
+                    .groupby("node", as_index=False)["s"].sum()
+        else:
+            def edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "node": df[dst],
+                    "s": df["rank"].astype("float64")
+                    * df[weight].astype("float64")
+                    / df["outd"].astype("float64")}) \
+                    .groupby("node", as_index=False)["s"].sum()
+        contrib = contrib.map_batches(edge_contrib, batch_format="pandas")
         # aggregate contributions AND re-attach every node (keeping
         # zero-in-degree nodes + the dangling flag) in ONE bucketed shuffle
         joined = partitioned_agg_join(

@@ -320,3 +320,58 @@ def exact_percentiles_lowcard(ds: ray.data.Dataset, col: str,
         xhi = v[np.searchsorted(cum, hi + 1)]
         out[q] = float(xlo + (pos - lo) * (xhi - xlo))
     return out
+
+
+def global_row_number(ds: ray.data.Dataset, keys: list[str], *,
+                      descending: bool | list[bool] = False,
+                      rank_col: str = "rank") -> ray.data.Dataset:
+    """Global 0-based row numbers in (keys) order — the distributed
+    ROW_NUMBER() OVER (ORDER BY ...).
+
+    One range-partitioned sort, then per-block offsets: each sorted block
+    contributes a single (first-key, count) summary row; the driver cumsums
+    those into exclusive prefixes (one scalar pair PER BLOCK, never data
+    rows) and the offset table ships back in task closures. Requires the
+    key tuple to be UNIQUE per row (append an id column as the last key) —
+    uniqueness makes block ranges disjoint, so a block is identified by its
+    first key.
+    """
+    s = ds.sort(keys, descending=descending).materialize()
+    kcols = [f"__k{i}" for i in range(len(keys))]
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: [] for c in (*kcols, "__n")})
+        return pd.DataFrame(
+            {c: [df[k].iloc[0]] for c, k in zip(kcols, keys)}
+            | {"__n": [len(df)]})
+
+    summ = s.map_batches(head, batch_size=None,
+                         batch_format="pandas").to_pandas()
+    desc = ([descending] * len(keys) if isinstance(descending, bool)
+            else list(descending))
+    summ = summ.sort_values(kcols, ascending=[not d for d in desc],
+                            kind="mergesort").reset_index(drop=True)
+    offs = summ["__n"].cumsum().shift(fill_value=0).astype("int64")
+    table = {tuple(row): int(o) for row, o in
+             zip(summ[kcols].itertuples(index=False, name=None), offs)}
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(**{rank_col: pd.Series([], dtype="int64")})
+        off = table[tuple(df[k].iloc[0] for k in keys)]
+        return df.assign(
+            **{rank_col: off + np.arange(len(df), dtype=np.int64)})
+
+    return s.map_batches(rank, batch_size=None, batch_format="pandas")
+
+
+def ntile_of(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE bucket (1-based) for 0-based global ranks: the first
+    n % tiles buckets get ceil(n/tiles) rows, the rest floor(n/tiles)."""
+    q, r = divmod(n, tiles)
+    if q == 0:
+        return rank.astype(np.int64) + 1
+    big = (q + 1) * r
+    rank = rank.astype(np.int64)
+    return np.where(rank < big, rank // (q + 1), r + (rank - big) // q) + 1

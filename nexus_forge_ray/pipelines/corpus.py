@@ -1366,18 +1366,19 @@ def doc_unigram_logprob(sf_dir: str):
     return out
 
 
-def doc_bigram_logprob(sf_dir: str):
-    """Interpolated bigram-LM document scoring — the CCNet-style
-    perplexity quality filter (Wenzek et al. 2020) one rung above
-    `doc_unigram_logprob`: per bigram position the score is
-    ln(λ·P(w2|w1) + (1−λ)·P(w2)) with λ=0.7, P(w2|w1)=C(w1,w2)/C(w1·),
-    P(w2)=C(·w2)/T, all counts over the corpus's bigram positions.
-    Distributed shape: the (doc, w1, w2, n) pair table is exact map-side
-    (a doc's text is one row); the three LM count tables attach via three
-    bucketed window shuffles of that pair table (bigram/unigram tables
-    never broadcast — at web scale they are corpus-sized); the per-doc
-    position-weighted mean is one final bucketed agg. T is the only
-    driver scalar."""
+def _bigram_lm_scores(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, avg_logprob) Dataset — interpolated bigram-LM document
+    scoring shared by doc_bigram_logprob and doc_ppl_buckets: per bigram
+    position the score is ln(λ·P(w2|w1) + (1−λ)·P(w2)) with λ=0.7,
+    P(w2|w1)=C(w1,w2)/C(w1·), P(w2)=C(·w2)/T, all counts over the
+    corpus's bigram positions. Distributed shape: the (doc, w1, w2, n)
+    pair table is exact map-side (a doc's text is one row); the three LM
+    count tables attach via three bucketed window shuffles of that pair
+    table (bigram/unigram tables never broadcast — at web scale they are
+    corpus-sized); the per-doc position-weighted mean is one final
+    bucketed agg. T is the only driver scalar. avg_logprob is rounded to
+    4 decimals half-away-from-zero (DuckDB ROUND semantics) so downstream
+    order-based consumers agree with SQL oracles."""
     import pyarrow.compute as pc
 
     from nexus_forge_ray.ops.agg import attach_group_stat, hash_groupby_agg
@@ -1409,13 +1410,45 @@ def doc_bigram_logprob(sf_dir: str):
         batch_format="pandas")
     agg = hash_groupby_agg(lp, "doc_id",
                            {"lp": ("lp", "sum"), "n": ("n", "sum")},
-                           num_buckets=16).to_pandas()
-    return pd.DataFrame({
-        "doc_id": agg["doc_id"].astype("int64"),
-        "avg_logprob": pc.round(
-            pa.array(agg["lp"] / agg["n"], type=pa.float64()), ndigits=4,
-            round_mode="half_towards_infinity").to_pandas(),
-    }).sort_values("doc_id").reset_index(drop=True)
+                           num_buckets=16)
+    return agg.map_batches(
+        lambda d: pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "avg_logprob": pc.round(
+                pa.array(d["lp"] / d["n"], type=pa.float64()), ndigits=4,
+                round_mode="half_towards_infinity").to_pandas()}),
+        batch_format="pandas")
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """CCNet-style perplexity quality scores (see _bigram_lm_scores)."""
+    return _bigram_lm_scores(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
+    docs NTILE(3)-split in (avg_logprob DESC, doc_id) order — higher
+    avg log-prob = less perplexing = 'head'. Distributed shape: LM
+    scoring is the doc_bigram_logprob pipeline; the global rank is ONE
+    range-partitioned sort with per-block offset scalars on the driver
+    (`ops.agg.global_row_number` — one (first-key, count) pair per block,
+    never data rows). Oracle: the same LM CTE + an NTILE window."""
+    from nexus_forge_ray.ops.agg import global_row_number, ntile_of
+
+    scores = _bigram_lm_scores(sf_dir).materialize()
+    n = scores.count()
+    ranked = global_row_number(scores, ["avg_logprob", "doc_id"],
+                               descending=[True, False], rank_col="__r")
+    names = np.array(["head", "middle", "tail"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t = ntile_of(df["__r"].to_numpy(), n, 3)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "bucket": names[t - 1]})
+
+    return ranked.map_batches(bucket, batch_format="pandas") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_sample_per_lang(sf_dir: str):

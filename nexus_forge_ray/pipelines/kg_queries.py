@@ -5,6 +5,7 @@ non-SQL-expressible stages (canonicalization, flagship DAG)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -1119,6 +1120,53 @@ def kg_shortest_paths(sf_dir: str):
     return out.sort_values(["dist", "node"]).reset_index(drop=True)
 
 
+def kg_scc(sf_dir: str):
+    """Strongly connected components of a deterministic directed doc link
+    graph. Nodes: doc_id < K with K = min(n_docs, 1250), organized in
+    8-node blocks over [0, M) with M = (K//8)*8: even blocks are directed
+    8-cycles (nontrivial SCCs), odd blocks are open 8-chains (singleton
+    SCCs), every 5th node adds a FORWARD-only cross edge to the next
+    block's head (a DAG between blocks, so blocks never merge), and nodes
+    in [M, K) are isolated. Exercises cycles, chains, DAG links and
+    isolated nodes while keeping the min-label propagation diameter small
+    (8), matching the shallow-core shape of real web graphs — the
+    published parallel-SCC algorithms this mirrors (coloring / FW-BW /
+    Multistep) are all diameter-bound too. Runs the distributed
+    (forward-min, backward-min) label-pair refinement (`kg.scc`); the
+    oracle is a recursive-CTE transitive closure with
+    scc = min mutually-reachable id. Isolated nodes are their own SCCs
+    via the reindex at the end."""
+    from nexus_forge_ray.kg.scc import strongly_connected_components
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    k = min(ids.count(), 1250)
+
+    def edges_of(df: pd.DataFrame, k: int = k) -> pd.DataFrame:
+        m = (k // 8) * 8
+        d = df.loc[df["doc_id"] < m, "doc_id"].to_numpy()
+        blk, pos = d // 8, d % 8
+        ring = (blk % 2 == 0) | (pos < 7)          # cycle or open chain
+        cross = (d % 5 == 0) & (d + 8 < m)         # forward-only block DAG
+        src = np.concatenate([d[ring], d[cross]])
+        dst = np.concatenate([blk[ring] * 8 + (pos[ring] + 1) % 8,
+                              (d[cross] // 8 + 1) * 8])
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = ids.map_batches(edges_of, batch_format="pandas")
+    # num_buckets sized to the label table (<= 1250 rows here): the
+    # fixpoint loop's wall is pure per-task scheduling at this size
+    # (measured 55 s at 8 buckets vs 19 s at 2); at real scale pass
+    # num_buckets ~ cluster cores
+    comp = strongly_connected_components(edges, num_buckets=2) \
+        .to_pandas().set_index("node")["scc"]
+    nodes = np.arange(k, dtype=np.int64)
+    scc = comp.reindex(nodes).fillna(
+        pd.Series(nodes, index=nodes)).astype("int64").to_numpy()
+    return pd.DataFrame({"node": nodes, "scc": scc})
+
+
 def kg_degree_dist(sf_dir: str):
     """Graph degree distribution (the KG-health rollup): per-subject
     out-degree, then subjects-per-degree — two bucketed partial-agg
@@ -1154,6 +1202,56 @@ def kg_pagerank(sf_dir: str):
                           ndigits=8,
                           round_mode="half_towards_infinity").to_pandas()
     return pr[["node", "rank"]]
+
+
+def kg_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank over the undirected entity co-occurrence graph
+    (edge weight = number of co-mentioning docs, both directions): a
+    node's rank splits proportionally to co-occurrence strength — the
+    'entity salience' ranking a KG pipeline publishes. Same per-iteration
+    exchanges as kg_pagerank; the loop-invariant annotation is the weight
+    sum instead of the out-degree count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.pagerank import pagerank
+    pairs = kg_cooccur(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["n_docs"].astype("float64")
+        return pd.concat([
+            pd.DataFrame({"src": df["e1"], "dst": df["e2"], "w": w}),
+            pd.DataFrame({"src": df["e2"], "dst": df["e1"], "w": w})],
+            ignore_index=True)
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas")
+    pr = pagerank(edges, iters=3, weight="w").to_pandas()
+    pr["rank"] = pc.round(pa.array(pr["rank"], type=pa.float64()),
+                          ndigits=8,
+                          round_mode="half_towards_infinity").to_pandas()
+    return pr[["node", "rank"]]
+
+
+def kg_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the undirected entity
+    co-occurrence graph (DeepWalk/node2vec-style input for KG-embedding
+    trainers): one 3-step walk per entity, next hop = out-neighbor
+    minimizing md5(walk_id:step:neighbor) — RNG-free, so walks are
+    byte-identical across reruns/engines (`kg.walks.random_walks`; one
+    bucketed join + bucketed min-by per step). Oracle: per-step
+    row_number window over the same md5 basis."""
+    from nexus_forge_ray.kg.walks import random_walks
+
+    pairs = kg_cooccur(sf_dir)
+    edges = pairs.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["e1"], "dst": df["e2"]}),
+            pd.DataFrame({"src": df["e2"], "dst": df["e1"]})],
+            ignore_index=True),
+        batch_format="pandas")
+    out = random_walks(edges, length=3, num_buckets=8).to_pandas()
+    out["step"] = out["step"].astype("int64")
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
 
 
 def kg_pagerank_personalized(sf_dir: str):
@@ -1399,6 +1497,9 @@ QUERIES = {
     "kg_communities": kg_communities,
     "kg_reachable": kg_reachable,
     "kg_shortest_paths": kg_shortest_paths,
+    "kg_scc": kg_scc,
+    "kg_pagerank_weighted": kg_pagerank_weighted,
+    "kg_random_walks": kg_random_walks,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

@@ -172,6 +172,55 @@ def _pagerank_cte(iters: int = 3, d: float = 0.85) -> tuple[str, str]:
 _PR_ITERS, _PR_LAST = _pagerank_cte()
 
 
+def _pagerank_weighted_cte(iters: int = 3, d: float = 0.85) \
+        -> tuple[str, str]:
+    """Unrolled WEIGHTED PageRank matching kg.pagerank(weight=...):
+    contrib(e) = r(src) * e.w / deg.outd with deg.outd = sum of source
+    weights; expects CTEs `e(src, dst, w)`, `deg(src, outd)`, `nodes`,
+    `nn` and `r0`."""
+    parts = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        d{i} as (select coalesce(sum(r.r), 0) as dm from {prev} r
+                 left join deg on r.node = deg.src where deg.src is null),
+        c{i} as (select e.dst as node, sum({prev}.r * e.w / deg.outd) as s
+                 from e join {prev} on e.src = {prev}.node
+                        join deg on e.src = deg.src group by 1),
+        r{i} as (select nodes.node,
+                        (1 - {d}) / nn.n
+                        + {d} * (coalesce(c{i}.s, 0)
+                                 + (select dm from d{i}) / nn.n) as r
+                 from nodes cross join nn
+                 left join c{i} on nodes.node = c{i}.node)""")
+        prev = f"r{i}"
+    return ",".join(parts), prev
+
+
+_PRW_ITERS, _PRW_LAST = _pagerank_weighted_cte()
+
+
+def _walk_ctes(length: int = 3) -> str:
+    """Per-step walk CTEs matching kg.walks.random_walks: expects `e` and
+    `w0(walk_id, node, step)`; step t picks the out-neighbor minimizing
+    (md5_number_lower(walk_id:t:dst), dst)."""
+    parts = []
+    for t in range(1, length + 1):
+        parts.append(f"""
+        s{t} as (select w{t - 1}.walk_id, e.dst,
+                        row_number() over (partition by w{t - 1}.walk_id
+                            order by md5_number_lower(
+                                w{t - 1}.walk_id || ':{t}:' || e.dst),
+                                e.dst) as rn
+                 from w{t - 1} join e on w{t - 1}.node = e.src),
+        w{t} as (select walk_id, dst as node, {t} as step
+                 from s{t} where rn = 1)""")
+    return ",".join(parts)
+
+
+_WALK_CTES = _walk_ctes()
+
+
 def _pagerank_personalized_cte(iters: int = 3, d: float = 0.85) \
         -> tuple[str, str]:
     """Unrolled personalized PageRank (teleport by pv.p instead of 1/N):
@@ -1031,6 +1080,35 @@ ORACLES: dict[str, str] = {
             where w.dist < 8)
         select node, min(dist)::bigint as dist from walk group by node
     """,
+    "kg_scc": """
+        with recursive
+        k as (select least(count(*), 1250) as k from documents),
+        nodes as (select doc_id as node from documents, k
+                  where doc_id < k.k),
+        m as (select (k.k // 8) * 8 as m from k),
+        base as (select node, node // 8 as blk, node % 8 as pos
+                 from nodes, m where node < m.m),
+        e_all as (
+            select node as src, blk * 8 + (pos + 1) % 8 as dst
+            from base where blk % 2 = 0 or pos < 7
+            union
+            select node as src, (node // 8 + 1) * 8 as dst
+            from base, m where node % 5 = 0 and node + 8 < m.m),
+        edges as (select src, dst from e_all where src <> dst),
+        r(src, dst) as (
+            select src, dst from edges
+            union
+            select r.src, e.dst from r join edges e on r.dst = e.src),
+        mutual as (
+            select r1.src as a, r1.dst as b
+            from r r1 join r r2 on r1.src = r2.dst and r1.dst = r2.src),
+        scc as (
+            select n.node,
+                   least(n.node, coalesce(min(m.b), n.node)) as scc
+            from nodes n left join mutual m on m.a = n.node
+            group by n.node)
+        select node, scc from scc order by node
+    """,
     "kg_triangles": f"""
         with {_KG_TRIPLES_CTE},
         e as (select distinct a.tok as e1, b.tok as e2
@@ -1579,6 +1657,41 @@ ORACLES: dict[str, str] = {
         r0 as (select node, 1.0 / nn.n as r from nodes cross join nn),
         {_PR_ITERS}
         select node, round(r, 8) as rank from {_PR_LAST}
+    """,
+    "kg_pagerank_weighted": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2,
+                   count(*)::double as w
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        e as (select e1 as src, e2 as dst, w from cooc
+              union all select e2, e1, w from cooc),
+        nodes as (select distinct node from
+                  (select src as node from e union all select dst from e)),
+        nn as (select count(*)::double as n from nodes),
+        deg as (select src, sum(w)::double as outd from e group by 1),
+        r0 as (select node, 1.0 / nn.n as r from nodes cross join nn),
+        {_PRW_ITERS}
+        select node, round(r, 8) as rank from {_PRW_LAST}
+    """,
+    "kg_random_walks": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        e as (select e1 as src, e2 as dst from cooc
+              union all select e2, e1 from cooc),
+        w0 as (select distinct src as walk_id, src as node, 0 as step
+               from e),
+        {_WALK_CTES}
+        select walk_id, step::bigint as step, node
+        from (select * from w0 union all select * from w1
+              union all select * from w2 union all select * from w3)
+        order by walk_id, step
     """,
     "kg_pagerank_personalized": f"""
         with {_KG_TRIPLES_CTE},
@@ -2507,6 +2620,38 @@ ORACLES: dict[str, str] = {
         join c2 using (w2)
         cross join tot
         group by doc_id
+    """,
+    # CCNet head/middle/tail buckets: same bigram-LM CTE as
+    # doc_bigram_logprob, then an NTILE(3) window in
+    # (avg_logprob DESC, doc_id) order
+    "doc_ppl_buckets": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        prs as (select doc_id, toks[i] as w1, toks[i+1] as w2
+                from (select doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) as i
+                      from t)),
+        c12 as (select w1, w2, count(*)::double as c12 from prs group by 1, 2),
+        c1 as (select w1, count(*)::double as c1 from prs group by 1),
+        c2 as (select w2, count(*)::double as c2 from prs group by 1),
+        tot as (select count(*)::double as t from prs),
+        scores as (
+            select doc_id,
+                   round(avg(ln(0.7 * c12.c12 / c1.c1
+                                + 0.3 * c2.c2 / tot.t)), 4) as avg_logprob
+            from prs
+            join c12 using (w1, w2)
+            join c1 using (w1)
+            join c2 using (w2)
+            cross join tot
+            group by doc_id),
+        b as (select doc_id,
+                     ntile(3) over (order by avg_logprob desc, doc_id) as t3
+              from scores)
+        select doc_id,
+               case t3 when 1 then 'head' when 2 then 'middle'
+                       else 'tail' end as bucket
+        from b order by doc_id
     """,
     "doc_sample_per_lang": """
         select lang, doc_id from documents

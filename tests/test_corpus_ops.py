@@ -32,6 +32,7 @@ CASES = {
     "doc_bm25": corpus.doc_bm25,
     "emb_semdedup": corpus.emb_semdedup,
     "doc_bigram_logprob": corpus.doc_bigram_logprob,
+    "doc_ppl_buckets": corpus.doc_ppl_buckets,
     "doc_bpe_encode": corpus.doc_bpe_encode,
     "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
     "doc_winnowing": corpus.doc_winnowing,
@@ -336,3 +337,34 @@ def test_substring_dedup_within_doc_and_long_runs(ray_session):
         .to_pandas().set_index("doc_id")["text"].to_dict()
     assert out[1] == f"{run} mid"
     assert out[2] == "pre post"
+
+
+def test_global_row_number_and_ntile(ray_session):
+    """global_row_number == pandas rank on a multi-block dataset with
+    duplicate sort values (unique composite key); ntile_of == SQL NTILE."""
+    import duckdb
+    import numpy as np
+
+    from nexus_forge_ray.ops.agg import global_row_number, ntile_of
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"score": rng.randint(0, 20, size=257) / 4.0,
+                       "id": np.arange(257)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = global_row_number(ds, ["score", "id"],
+                            descending=[True, False],
+                            rank_col="r").to_pandas()
+    want = df.sort_values(["score", "id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    got = out.sort_values("r").reset_index(drop=True)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["r"].tolist() == list(range(257))
+
+    for n, tiles in ((257, 3), (9, 4), (2, 5), (12, 3)):
+        ranks = np.arange(n)
+        got_t = ntile_of(ranks, n, tiles)
+        want_t = duckdb.sql(
+            f"select ntile({tiles}) over (order by r) from "
+            f"(select unnest(generate_series(0, {n - 1})) as r)"
+        ).df().iloc[:, 0].to_numpy()
+        assert (got_t == want_t).all(), (n, tiles)
