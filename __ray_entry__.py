@@ -56,11 +56,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
         "kg_bgp_subquery", "kg_update",
         "kg_pagerank", "kg_pagerank_personalized", "kg_hits",
-        "kg_degree_dist", "kg_cooccur", "kg_entity_jaccard", "kg_inlinks",
-        "kg_triangles", "kg_kcore", "kg_communities", "kg_reachable",
-        # round-3 additions: named graphs + incremental maintenance
+        "kg_entity_jaccard",
+        "kg_kcore", "kg_communities", "kg_reachable",
+        # round-3 additions: new graph algorithms (SCC, weighted PR,
+        # deterministic walks, weighted SSSP), named graphs + incremental
+        # maintenance. kg_degree_dist / kg_cooccur / kg_inlinks /
+        # kg_triangles rotate OUT of the window (simple rollups, green in
+        # the round-2-era in-repo record) to slots 51+.
+        "kg_scc", "kg_pagerank_weighted", "kg_random_walks", "kg_sssp",
         "kg_quads", "kg_graph_named", "kg_graph_var", "kg_graph_mixed",
         "kg_upsert_recrawl",
+        "kg_degree_dist", "kg_cooccur", "kg_inlinks", "kg_triangles",
     ]
     q: dict[str, Callable[[str], Any]] = {
         name: kg_queries.QUERIES[name] for name in KG_WINDOW}
@@ -168,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": corpus.doc_unigram_logprob,
         "doc_bigram_logprob": corpus.doc_bigram_logprob,
         "doc_ppl_buckets": corpus.doc_ppl_buckets,
+        "doc_chunk_windows": corpus.doc_chunk_windows,
         "doc_bpe_encode": corpus.doc_bpe_encode,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,

@@ -546,3 +546,31 @@ def normalize_url_series(u: pd.Series) -> pd.Series:
     u = u.str.replace(r"^(https://[^/?#]*):443($|[/?#])", r"\1\2",
                       regex=True)
     return u.str.replace(r"/+$", "", regex=True)            # 4 trailing /
+
+
+def chunk_windows(ds: ray.data.Dataset, *, window: int = 32,
+                  stride: int = 24, text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Overlapping token-window chunking — the RAG/embedding-prep splitter:
+    one chunk per (doc, start) with start stepping by `stride`, each chunk
+    `window` tokens (the last one shorter). Map-side only (no shuffle);
+    tokenization is split-on-single-space so chunk boundaries reproduce in
+    SQL (string_split semantics: empty text yields one empty token).
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens)."""
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, texts, ns = [], [], [], []
+        for i, t in zip(df[id_col], df[text_col].astype(str)):
+            toks = t.split(" ")
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                seg = toks[start:start + window]
+                ids.append(i)
+                cids.append(ci)
+                texts.append(" ".join(seg))
+                ns.append(len(seg))
+        return pd.DataFrame({id_col: ids,
+                             "chunk_id": pd.array(cids, dtype="int64"),
+                             "chunk_text": pd.array(texts, dtype=object),
+                             "n_tokens": pd.array(ns, dtype="int64")})
+
+    return ds.map_batches(chunks, batch_format="pandas")

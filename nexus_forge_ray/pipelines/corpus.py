@@ -568,6 +568,17 @@ def minhash_near_dup(sf_dir: str):
                                    threshold=0.5)
 
 
+def doc_chunk_windows(sf_dir: str):
+    """Overlapping token-window chunking (32-token windows, stride 24) —
+    the RAG/embedding-prep splitter (`ops.text.chunk_windows`, map-side
+    only). Oracle: string_split + generate_series + array slices."""
+    from nexus_forge_ray.ops.text import chunk_windows
+
+    out = chunk_windows(_docs(sf_dir, ["doc_id", "text"]),
+                        window=32, stride=24).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def doc_gopher_rules(sf_dir: str):
     """Gopher document-quality rules (Rae et al. 2021 A1.1) at the published
     thresholds — per-rule signals + 0/1 verdict, one vectorized RE2 pass."""

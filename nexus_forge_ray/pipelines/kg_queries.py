@@ -1254,6 +1254,31 @@ def kg_random_walks(sf_dir: str):
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
 
 
+def kg_sssp(sf_dir: str):
+    """Hop-bounded weighted shortest paths from the 'spark' entity over
+    undirected co-occurrence edges (edge cost = n_docs — generic positive
+    integer weights): cheapest total cost within 4 hops, the bounded
+    neighborhood search a KG serves interactively. `kg.sssp` Bellman-Ford
+    frontier relaxation, one bucketed join + min-groupby + outer-merge per
+    round; 4 rounds = paths of ≤4 edges (frontier invariant). Oracle: a
+    4-hop-bounded recursive-CTE walk with min-total-weight aggregation."""
+    from nexus_forge_ray.kg.sssp import sssp
+
+    pairs = kg_cooccur(sf_dir)
+    edges = pairs.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["e1"], "dst": df["e2"],
+                          "w": df["n_docs"].astype("int64")}),
+            pd.DataFrame({"src": df["e2"], "dst": df["e1"],
+                          "w": df["n_docs"].astype("int64")})],
+            ignore_index=True),
+        batch_format="pandas")
+    out = sssp(edges, ["http://example.org/entity/spark"],
+               max_rounds=4, exact=False, num_buckets=4).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def kg_pagerank_personalized(sf_dir: str):
     """Personalized PageRank seeded on the 'spark' entity: the teleport
     (and dangling) mass returns to the seed instead of spreading uniformly
@@ -1500,6 +1525,7 @@ QUERIES = {
     "kg_scc": kg_scc,
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_random_walks": kg_random_walks,
+    "kg_sssp": kg_sssp,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

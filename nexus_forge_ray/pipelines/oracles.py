@@ -1693,6 +1693,26 @@ ORACLES: dict[str, str] = {
               union all select * from w2 union all select * from w3)
         order by walk_id, step
     """,
+    "kg_sssp": f"""
+        with recursive {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2,
+                   count(*)::bigint as w
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        e as (select e1 as src, e2 as dst, w from cooc
+              union all select e2, e1, w from cooc),
+        walk(node, dist, hops) as (
+            select 'http://example.org/entity/spark', 0::bigint, 0
+            union
+            select e.dst, wk.dist + e.w, wk.hops + 1
+            from e join walk wk on e.src = wk.node
+            where wk.hops < 4),
+        best as (select node, min(dist)::bigint as dist
+                 from walk group by node)
+        select node, dist from best order by node
+    """,
     "kg_pagerank_personalized": f"""
         with {_KG_TRIPLES_CTE},
         e as (select subj as src, obj as dst from t
@@ -2652,6 +2672,22 @@ ORACLES: dict[str, str] = {
                case t3 when 1 then 'head' when 2 then 'middle'
                        else 'tail' end as bucket
         from b order by doc_id
+    """,
+    # 32-token windows at stride 24; toks[a:b] is inclusive, chunk_id is
+    # the 0-based window index
+    "doc_chunk_windows": """
+        with t as (select doc_id, string_split(text, ' ') as toks
+                   from documents),
+        s as (select doc_id, toks, len(toks) as n from t),
+        c as (select doc_id, toks, n,
+                     unnest(generate_series(1, n::bigint, 24)) as start
+              from s)
+        select doc_id,
+               ((start - 1) / 24)::bigint as chunk_id,
+               array_to_string(toks[start:least(start + 31, n)], ' ')
+                   as chunk_text,
+               (least(start + 31, n) - start + 1)::bigint as n_tokens
+        from c order by doc_id, chunk_id
     """,
     "doc_sample_per_lang": """
         select lang, doc_id from documents

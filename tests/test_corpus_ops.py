@@ -33,6 +33,7 @@ CASES = {
     "emb_semdedup": corpus.emb_semdedup,
     "doc_bigram_logprob": corpus.doc_bigram_logprob,
     "doc_ppl_buckets": corpus.doc_ppl_buckets,
+    "doc_chunk_windows": corpus.doc_chunk_windows,
     "doc_bpe_encode": corpus.doc_bpe_encode,
     "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
     "doc_winnowing": corpus.doc_winnowing,
