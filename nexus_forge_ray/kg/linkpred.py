@@ -1,0 +1,89 @@
+"""Link prediction over an undirected edge Dataset: Adamic-Adar scoring.
+
+The classic KG-completion baseline (Adamic & Adar 2003; Liben-Nowell &
+Kleinberg 2007): candidate pair (a, b) scores sum_z 1/ln(deg(z)) over
+common neighbors z in the TRAINING graph. Distributed shape mirrors the
+triangle counter: degrees attach to the adjacency via one bucketed window
+(no driver degree map), wedges (a-z-b) generate inside per-z bucket groups
+via a vectorized self-merge, pair scores pre-aggregate map-side before one
+bucketed sum, and known training edges drop via a bucketed anti-join. The
+only rows that shuffle are (pair, partial-score) — never the adjacency
+matrix.
+
+Degree note: a common neighbor z always has deg(z) >= 2 (it touches both
+a and b), so 1/ln(deg) is finite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.ops.agg import attach_group_stat, hash_groupby_agg
+from nexus_forge_ray.ops.joins import partitioned_anti_join
+from nexus_forge_ray.utils import stable_hash_u64
+
+
+def adamic_adar_pairs(edges: ray.data.Dataset, *,
+                      a: str = "e1", b: str = "e2",
+                      num_buckets: int = 16) -> ray.data.Dataset:
+    """(e1, e2, aa_score, n_common) for every non-edge pair with at least
+    one common neighbor; `edges` is undirected with one row per pair
+    (e1 < e2). Scores are Adamic-Adar; n_common is the common-neighbor
+    count (the simpler baseline, carried for free)."""
+    edges = edges.map_batches(
+        lambda df, x=a, y=b: pd.DataFrame({"e1": df[x], "e2": df[y]}),
+        batch_format="pandas").materialize()
+    adj = edges.map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"u": df["e1"], "z": df["e2"]}),
+            pd.DataFrame({"u": df["e2"], "z": df["e1"]})],
+            ignore_index=True),
+        batch_format="pandas")
+    # per-neighbor weight 1/ln(deg z), attached with one bucketed window
+    wadj = attach_group_stat(adj, "z", "u", "size", "__deg",
+                             num_buckets=num_buckets) \
+        .map_batches(
+            lambda df: df.assign(
+                __w=1.0 / np.log(df["__deg"].astype("float64")))
+            [["u", "z", "__w"]],
+            batch_format="pandas")
+
+    def bucket_by_z(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bkt"] = (stable_hash_u64(df["z"])
+                       % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["u", "z", "__w"]]
+        m = g.merge(g[["u", "z"]], on="z")
+        m = m[m["u_x"] < m["u_y"]]
+        out = m.groupby(["u_x", "u_y"], as_index=False) \
+            .agg(aa_score=("__w", "sum"), n_common=("__w", "size")) \
+            .rename(columns={"u_x": "e1", "u_y": "e2"})
+        return out
+
+    partial = wadj.map_batches(bucket_by_z, batch_format="pandas") \
+        .groupby("__bkt").map_groups(wedges, batch_format="pandas")
+    scored = hash_groupby_agg(
+        partial, ["e1", "e2"],
+        {"aa_score": ("aa_score", "sum"), "n_common": ("n_common", "sum")},
+        num_buckets=num_buckets)
+    known = edges.map_batches(
+        lambda df: df.assign(__k=df["e1"].astype(str) + "\x00"
+                             + df["e2"].astype(str))[["__k"]],
+        batch_format="pandas")
+    cand = scored.map_batches(
+        lambda df: df.assign(__k=df["e1"].astype(str) + "\x00"
+                             + df["e2"].astype(str)),
+        batch_format="pandas")
+    out = partitioned_anti_join(cand, known, on="__k",
+                                num_buckets=num_buckets)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "e1": df["e1"], "e2": df["e2"],
+            "aa_score": df["aa_score"].astype("float64"),
+            "n_common": df["n_common"].astype("int64")}),
+        batch_format="pandas")

@@ -138,21 +138,16 @@ def pagerank(edges: ray.data.Dataset, *, src: str = "src", dst: str = "dst",
                                    rcols=[src, "rank"])
         # per-edge contribution + map-side combine, so the second shuffle
         # moves one row per (batch, node)
-        if weight is None:
-            def edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame({
-                    "node": df[dst],
-                    "s": df["rank"].astype("float64")
-                    / df["outd"].astype("float64")}) \
-                    .groupby("node", as_index=False)["s"].sum()
-        else:
-            def edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame({
-                    "node": df[dst],
-                    "s": df["rank"].astype("float64")
-                    * df[weight].astype("float64")
-                    / df["outd"].astype("float64")}) \
-                    .groupby("node", as_index=False)["s"].sum()
+        def edge_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            r = df["rank"].astype("float64")
+            if weight is not None:
+                # (r * w) / outd — same association order as the SQL
+                # oracle, keeping the floats bit-identical
+                r = r * df[weight].astype("float64")
+            return pd.DataFrame({"node": df[dst],
+                                 "s": r / df["outd"].astype("float64")}) \
+                .groupby("node", as_index=False)["s"].sum()
+
         contrib = contrib.map_batches(edge_contrib, batch_format="pandas")
         # aggregate contributions AND re-attach every node (keeping
         # zero-in-degree nodes + the dangling flag) in ONE bucketed shuffle

@@ -144,9 +144,11 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         fwd = min_reach_labels(nodes, edges, num_buckets=num_buckets,
                                max_iters=max_iters)
+        # materialize: the backward fixpoint consumes `rev` once per
+        # iteration — left lazy, the O(E) swap would re-execute every time
         rev = edges.map_batches(
             lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
-            batch_format="pandas")
+            batch_format="pandas").materialize()
         bwd = min_reach_labels(nodes, rev, num_buckets=num_buckets,
                                max_iters=max_iters)
         pair = partitioned_join(

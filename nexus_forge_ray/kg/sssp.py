@@ -99,7 +99,14 @@ def sssp(edges: ray.data.Dataset, sources: list, *,
             raise RuntimeError(
                 f"sssp did not converge in {max_rounds} rounds "
                 "(longest shortest path exceeds the round budget)")
-    return dist.map_batches(
-        lambda df, t=dist_dtype: df.assign(
-            dist=pd.to_numeric(df["dist"]).astype(t)),
-        batch_format="pandas")
+    def cast(df: pd.DataFrame, t: str = dist_dtype) -> pd.DataFrame:
+        d = pd.to_numeric(df["dist"])
+        if np.issubdtype(np.dtype(t), np.integer) \
+                and not np.equal(np.mod(d.to_numpy(dtype="float64"), 1),
+                                 0).all():
+            raise ValueError(
+                "sssp: non-integral distances with an integer dist_dtype "
+                "(float edge weights?) — pass dist_dtype='float64'")
+        return df.assign(dist=d.astype(t))
+
+    return dist.map_batches(cast, batch_format="pandas")

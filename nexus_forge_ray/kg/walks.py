@@ -27,12 +27,6 @@ from nexus_forge_ray.ops.agg import distinct_rows, min_by_rows
 from nexus_forge_ray.utils import md5_u64
 
 
-def _hex16(h: np.ndarray) -> pd.Series:
-    """Zero-padded 16-hex encoding — lexicographic order == numeric order,
-    so a single string order column encodes the (hash, dst) composite."""
-    return pd.Series([format(x, "016x") for x in h], dtype=object)
-
-
 def random_walks(edges: ray.data.Dataset, *,
                  src: str = "src", dst: str = "dst",
                  length: int = 3, starts: ray.data.Dataset | None = None,
@@ -72,11 +66,16 @@ def random_walks(edges: ray.data.Dataset, *,
                 "walk_id": df["walk_id"],
                 "node": df["dst"],
                 "step": np.int64(t),
-                "__h": _hex16(md5_u64(basis)) + ":" + df["dst"].astype(str),
+                "__h": md5_u64(basis),
             })
 
+        # composite (hash, node) order: the numeric hash stays numeric
+        # (no per-row string building on the per-edge hot path); the node
+        # column breaks the astronomically unlikely hash tie, matching the
+        # oracle's ORDER BY md5, dst
         nxt = min_by_rows(cand.map_batches(pick_key, batch_format="pandas"),
-                          "walk_id", "__h", num_buckets=num_buckets)
+                          "walk_id", ["__h", "node"],
+                          num_buckets=num_buckets)
         frontier = nxt.map_batches(
             lambda df: df[["walk_id", "node", "step"]],
             batch_format="pandas").repartition(num_buckets).materialize()

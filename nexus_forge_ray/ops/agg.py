@@ -146,10 +146,14 @@ def global_topk(ds: ray.data.Dataset, by: list[str], k: int, *,
         .head(k).reset_index(drop=True)
 
 
-def min_by_rows(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
+def min_by_rows(ds: ray.data.Dataset, keys: str | list[str],
+                order_col: str | list[str],
                 num_buckets: int = 32) -> ray.data.Dataset:
-    """Keep the row with minimal order_col per key group (deterministic)."""
+    """Keep the row with minimal order_col per key group (deterministic;
+    pass a list for a composite order — later columns break ties)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    order_col = ([order_col] if isinstance(order_col, str)
+                 else list(order_col))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.sort_values(order_col, kind="mergesort") \
@@ -355,6 +359,11 @@ def global_row_number(ds: ray.data.Dataset, keys: list[str], *,
     offs = summ["__n"].cumsum().shift(fill_value=0).astype("int64")
     table = {tuple(row): int(o) for row, o in
              zip(summ[kcols].itertuples(index=False, name=None), offs)}
+    if len(table) != len(summ):
+        raise ValueError(
+            "global_row_number: duplicate key tuples straddle block "
+            "boundaries — the key columns must be unique per row (append "
+            "an id column as the last key)")
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

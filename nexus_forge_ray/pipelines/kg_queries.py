@@ -1279,6 +1279,53 @@ def kg_sssp(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_link_prediction(sf_dir: str):
+    """Adamic-Adar link prediction over the co-occurrence graph with a
+    deterministic 1-in-5 held-out split (md5(e1 || ' ' || e2) % 5 == 0):
+    candidates = non-edges of the TRAINING graph with >=1 common neighbor,
+    scored sum_z 1/ln(deg z) (`kg.linkpred.adamic_adar_pairs` — bucketed
+    wedge self-join, no adjacency broadcast); is_heldout marks pairs the
+    split hid, i.e. the rows a hits@k eval would count. Oracle: SQL wedge
+    join + ANTI JOIN + the same md5 split."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.kg.linkpred import adamic_adar_pairs
+    from nexus_forge_ray.ops.joins import partitioned_join
+    from nexus_forge_ray.utils import md5_u64
+
+    pairs = kg_cooccur(sf_dir)
+
+    def split(df: pd.DataFrame, held: bool) -> pd.DataFrame:
+        h = md5_u64(df["e1"].astype(str) + " " + df["e2"].astype(str)) \
+            % np.uint64(5) == 0
+        return df.loc[h == held, ["e1", "e2"]]
+
+    train = pairs.map_batches(lambda df: split(df, False),
+                              batch_format="pandas")
+    test = pairs.map_batches(lambda df: split(df, True),
+                             batch_format="pandas")
+    cand = adamic_adar_pairs(train, num_buckets=4)
+    ck = cand.map_batches(
+        lambda df: df.assign(__k=df["e1"] + " " + df["e2"]),
+        batch_format="pandas")
+    tk = test.map_batches(
+        lambda df: pd.DataFrame({"__k": df["e1"] + " " + df["e2"],
+                                 "__t": np.int8(1)}),
+        batch_format="pandas")
+    j = partitioned_join(ck, tk, on="__k", how="left", num_buckets=4,
+                         lcols=["e1", "e2", "aa_score", "n_common", "__k"],
+                         rcols=["__k", "__t"]).to_pandas()
+    out = pd.DataFrame({
+        "e1": j["e1"], "e2": j["e2"],
+        "aa_score": pc.round(pa.array(j["aa_score"], type=pa.float64()),
+                             ndigits=6,
+                             round_mode="half_towards_infinity").to_pandas(),
+        "n_common": j["n_common"].astype("int64"),
+        "is_heldout": j["__t"].notna()})
+    return out.sort_values(["e1", "e2"]).reset_index(drop=True)
+
+
 def kg_pagerank_personalized(sf_dir: str):
     """Personalized PageRank seeded on the 'spark' entity: the teleport
     (and dangling) mass returns to the seed instead of spreading uniformly
@@ -1526,6 +1573,7 @@ QUERIES = {
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_random_walks": kg_random_walks,
     "kg_sssp": kg_sssp,
+    "kg_link_prediction": kg_link_prediction,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

@@ -1713,6 +1713,33 @@ ORACLES: dict[str, str] = {
                  from walk group by node)
         select node, dist from best order by node
     """,
+    "kg_link_prediction": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        split as (select e1, e2,
+                         md5_number_lower(e1 || ' ' || e2) % 5 = 0 as held
+                  from cooc),
+        train as (select e1, e2 from split where not held),
+        test as (select e1, e2 from split where held),
+        adj as (select e1 as u, e2 as z from train
+                union all select e2, e1 from train),
+        deg as (select z, count(*)::double as d from adj group by 1),
+        w as (select u, z, 1.0 / ln(deg.d) as w from adj
+              join deg using (z)),
+        wedge as (select x.u as e1, y.u as e2, x.w
+                  from w x join w y on x.z = y.z and x.u < y.u),
+        sc as (select e1, e2, sum(w) as aa, count(*)::bigint as n_common
+               from wedge group by 1, 2),
+        cand as (select sc.* from sc anti join train using (e1, e2))
+        select c.e1, c.e2, round(c.aa, 6) as aa_score, c.n_common,
+               (t.e1 is not null) as is_heldout
+        from cand c left join test t on c.e1 = t.e1 and c.e2 = t.e2
+        order by c.e1, c.e2
+    """,
     "kg_pagerank_personalized": f"""
         with {_KG_TRIPLES_CTE},
         e as (select subj as src, obj as dst from t

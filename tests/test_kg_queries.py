@@ -25,6 +25,7 @@ ORACLE_CASES = [
                 "kg_shortest_paths", "kg_bgp_filter_logic",
                 "kg_bgp_optional_filter", "kg_pagerank_personalized",
                 "kg_pagerank_weighted", "kg_random_walks",
+                "kg_link_prediction",
                 "kg_validate_sparql", "kg_hits", "kg_entity_jaccard",
                 "kg_sameas_rewrite", "kg_infer_types",
                 "kg_negative_samples"]
