@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": corpus.doc_bigram_logprob,
         "doc_ppl_buckets": corpus.doc_ppl_buckets,
         "doc_chunk_windows": corpus.doc_chunk_windows,
+        "doc_temperature_mixture": corpus.doc_temperature_mixture,
         "doc_bpe_encode": corpus.doc_bpe_encode,
         "doc_sample_per_lang": corpus.doc_sample_per_lang,
         "doc_bigrams": corpus.doc_bigrams,

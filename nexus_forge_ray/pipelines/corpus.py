@@ -430,6 +430,40 @@ def doc_mixture(sf_dir: str):
                           batch_format="pandas")
 
 
+def doc_temperature_mixture(sf_dir: str):
+    """Temperature-flattened language mixture (the XLM/mT5 multilingual
+    rebalancing, Conneau & Lample 2019): target share per language
+    q_l = p_l^tau / sum p^tau with tau=0.5, target corpus = half the
+    input; per-doc accept rate a_l = min(1, q_l * T / n_l) applied by a
+    deterministic md5 threshold (md5(doc_id)/2^64 < a_l) — reproducible
+    across engines and reruns, no RNG state. Distributed shape: language
+    counts are one tiny bucketed groupby (bounded by #languages) broadcast
+    back in task closures; the accept pass is map-side. Oracle: the same
+    formula in SQL window functions over md5_number_lower."""
+    from nexus_forge_ray.ops.agg import hash_groupby_agg
+    from nexus_forge_ray.utils import md5_u64
+
+    TAU, TARGET_FRAC = 0.5, 0.5
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    counts = hash_groupby_agg(docs, "lang", {"n": ("doc_id", "count")},
+                              num_buckets=2).to_pandas()
+    n_total = float(counts["n"].sum())
+    p = counts["n"].astype("float64") / n_total
+    q = p**TAU / (p**TAU).sum()
+    rate = dict(zip(
+        counts["lang"],
+        np.minimum(1.0, q * (TARGET_FRAC * n_total)
+                   / counts["n"].astype("float64"))))
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        u = md5_u64(df["doc_id"].astype(str)).astype("float64") / 2.0**64
+        a = df["lang"].map(rate).astype("float64")
+        return df.loc[u < a, ["doc_id", "lang"]]
+
+    out = docs.map_batches(accept, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_pack_sequences(sf_dir: str):
     """Greedy sequence packing for training (2048-token budget). Rows-only:
     packing is stateful per block (no SQL equivalent); invariants are

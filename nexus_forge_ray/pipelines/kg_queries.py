@@ -1279,6 +1279,24 @@ def kg_sssp(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def kg_mis(sf_dir: str):
+    """Maximal independent set over the co-occurrence graph — Luby's
+    algorithm with deterministic md5 priorities (`kg.mis`), the building
+    block for scheduling conflict-free KG merge batches. Returns each MIS
+    member with the round that selected it. Oracle: unrolled Luby rounds
+    over the same md5 basis."""
+    from nexus_forge_ray.kg.mis import maximal_independent_set
+
+    pairs = kg_cooccur(sf_dir)
+    out = maximal_independent_set(
+        pairs.map_batches(
+            lambda df: df.rename(columns={"e1": "src", "e2": "dst"})
+            [["src", "dst"]], batch_format="pandas"),
+        num_buckets=4).to_pandas()
+    out["round"] = out["round"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def kg_link_prediction(sf_dir: str):
     """Adamic-Adar link prediction over the co-occurrence graph with a
     deterministic 1-in-5 held-out split (md5(e1 || ' ' || e2) % 5 == 0):
@@ -1574,6 +1592,7 @@ QUERIES = {
     "kg_random_walks": kg_random_walks,
     "kg_sssp": kg_sssp,
     "kg_link_prediction": kg_link_prediction,
+    "kg_mis": kg_mis,
     "kg_host_rank": kg_host_rank,
     "kg_flagship": kg_flagship,
 }

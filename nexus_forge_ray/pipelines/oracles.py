@@ -200,6 +200,45 @@ def _pagerank_weighted_cte(iters: int = 3, d: float = 0.85) \
 _PRW_ITERS, _PRW_LAST = _pagerank_weighted_cte()
 
 
+def _mis_ctes(rounds: int = 6) -> str:
+    """Unrolled Luby rounds matching kg.mis.maximal_independent_set:
+    expects `alive0(node)` and `ae0(src, dst)` (both edge orientations);
+    round r priority = md5_number_lower(node || ':r'), select when
+    strictly below every alive neighbor's priority (or no alive
+    neighbor), then remove selected + neighbors."""
+    parts = []
+    for r in range(1, rounds + 1):
+        # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+        # round references the previous one several times — inlined, the
+        # recomputation tree grows exponentially with the unroll depth
+        parts.append(f"""
+        p{r} as materialized (select node,
+                        md5_number_lower(node || ':{r}') as p
+                 from alive{r - 1}),
+        nb{r} as materialized (select e.src as node, min(p.p) as np
+                  from ae{r - 1} e join p{r} p on e.dst = p.node
+                  group by 1),
+        sel{r} as materialized (select a.node from alive{r - 1} a
+                   join p{r} p using (node)
+                   left join nb{r} n using (node)
+                   where n.np is null or p.p < n.np),
+        dead{r} as materialized (select node from sel{r}
+                    union
+                    select e.dst from ae{r - 1} e
+                    join sel{r} s on e.src = s.node),
+        alive{r} as materialized (select node from alive{r - 1}
+                     where node not in (select node from dead{r})),
+        ae{r} as materialized (select e.src, e.dst from ae{r - 1} e
+                  where e.src not in (select node from dead{r})
+                    and e.dst not in (select node from dead{r}))""")
+    return ",".join(parts)
+
+
+_MIS_CTES = _mis_ctes()
+_MIS_UNION = " union all ".join(
+    f"select node, {r} as round from sel{r}" for r in range(1, 7))
+
+
 def _walk_ctes(length: int = 3) -> str:
     """Per-step walk CTEs matching kg.walks.random_walks: expects `e` and
     `w0(walk_id, node, step)`; step t picks the out-neighbor minimizing
@@ -1713,6 +1752,20 @@ ORACLES: dict[str, str] = {
                  from walk group by node)
         select node, dist from best order by node
     """,
+    "kg_mis": f"""
+        with {_KG_TRIPLES_CTE},
+        cooc as materialized (
+            select 'http://example.org/entity/' || a.tok as e1,
+                   'http://example.org/entity/' || b.tok as e2
+            from m a join m b on a.doc_id = b.doc_id and a.tok < b.tok
+            group by 1, 2),
+        ae0 as (select e1 as src, e2 as dst from cooc
+                union all select e2, e1 from cooc),
+        alive0 as (select distinct src as node from ae0),
+        {_MIS_CTES}
+        select node, round::bigint as round from ({_MIS_UNION})
+        order by node
+    """,
     "kg_link_prediction": f"""
         with {_KG_TRIPLES_CTE},
         cooc as materialized (
@@ -2715,6 +2768,24 @@ ORACLES: dict[str, str] = {
                    as chunk_text,
                (least(start + 31, n) - start + 1)::bigint as n_tokens
         from c order by doc_id, chunk_id
+    """,
+    # temperature-flattened language mixture: tau=0.5, target half the
+    # corpus; accept iff md5(doc_id)/2^64 < min(1, q_l * T / n_l)
+    "doc_temperature_mixture": """
+        with c as (select lang, count(*)::double as n
+                   from documents group by 1),
+        t as (select sum(n) as nt,
+                     sum(pow(n / (select sum(n) from c), 0.5)) as qsum
+              from c),
+        r as (select c.lang,
+                     least(1.0, (pow(c.n / t.nt, 0.5) / t.qsum)
+                                * (0.5 * t.nt) / c.n) as a
+              from c cross join t)
+        select d.doc_id, d.lang
+        from documents d join r on d.lang = r.lang
+        where md5_number_lower(cast(d.doc_id as varchar))
+              / 18446744073709551616.0 < r.a
+        order by d.doc_id
     """,
     "doc_sample_per_lang": """
         select lang, doc_id from documents

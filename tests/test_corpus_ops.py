@@ -34,6 +34,7 @@ CASES = {
     "doc_bigram_logprob": corpus.doc_bigram_logprob,
     "doc_ppl_buckets": corpus.doc_ppl_buckets,
     "doc_chunk_windows": corpus.doc_chunk_windows,
+    "doc_temperature_mixture": corpus.doc_temperature_mixture,
     "doc_bpe_encode": corpus.doc_bpe_encode,
     "similarity_topk_ivf_full": corpus.similarity_topk_ivf_full,
     "doc_winnowing": corpus.doc_winnowing,
