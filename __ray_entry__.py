@@ -37,52 +37,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nexus_forge_ray.pipelines import corpus, kg_queries, relational
 
     # --- slots 1-50: the driver's oracle window (it checks the FIRST 50
-    # entries). Round 2 recorded the relational + base-corpus suite green,
-    # so round 3 rotates the KG core (the engine's actual domain) and the
-    # dedup/similarity family into the window. Every entry below has an
+    # entries). Round-4 rotation (VERDICT r3 "Next round" #2): 17 sentinel
+    # queries that stay from prior green windows (kg core: triples,
+    # components, resolve, validate, bgp, update, pagerank/scc — plus
+    # kg_reachable, re-pointed at the Dataset-resident BFS this round), and
+    # 33 queries with NO prior driver row: the round-3 additions
+    # (named graphs, incremental upsert, degree/cooccur/inlinks/triangles,
+    # MIS, link prediction, sameAs rewrite, type inference), the dedup/
+    # similarity/corpus families last checked in r2 or never (simhash,
+    # bm25, semdedup, winnowing, gopher, substring/span/incremental dedup,
+    # dsir, perplexity buckets, bpe), multimodal (image stats/formats,
+    # audio spectral), the ES relevance family incl. the NEW _score
+    # queries, and the NEW grouped-property-path query. Every entry has an
     # ORACLES row; rows-only queries live at the very end of the dict.
-    KG_WINDOW = [
-        "kg_triples", "kg_mentions", "kg_components", "kg_assemble",
-        "kg_triples_typed", "kg_entity_popularity", "kg_resolve_exact",
-        "kg_resolve_fuzzy", "kg_resolve_ontology", "kg_validate_customers",
-        "kg_validate_nested", "kg_validate_logical", "kg_validate_pairs",
-        "kg_validate_closed", "kg_validate_strings", "kg_validate_sparql",
-        "kg_actions_summary",
-        "kg_bgp", "kg_bgp_filter", "kg_bgp_filter_logic",
-        "kg_bgp_optional", "kg_bgp_optional_filter", "kg_bgp_union",
-        "kg_bgp_union_scoped", "kg_bgp_groupby", "kg_bgp_values",
-        "kg_bgp_bind", "kg_bgp_having", "kg_bgp_count_distinct",
-        "kg_bgp_groupconcat", "kg_bgp_exists", "kg_bgp_notexists",
-        "kg_bgp_construct", "kg_bgp_describe", "kg_bgp_star", "kg_bgp_alt",
-        "kg_bgp_subquery", "kg_update",
-        "kg_pagerank", "kg_pagerank_personalized", "kg_hits",
-        "kg_entity_jaccard",
-        "kg_kcore", "kg_communities", "kg_reachable",
-        # round-3 additions: new graph algorithms (SCC, weighted PR,
-        # deterministic walks, weighted SSSP), named graphs + incremental
-        # maintenance. kg_degree_dist / kg_cooccur / kg_inlinks /
-        # kg_triangles rotate OUT of the window (simple rollups, green in
-        # the round-2-era in-repo record) to slots 51+.
-        "kg_scc", "kg_pagerank_weighted", "kg_random_walks", "kg_sssp",
-        "kg_quads", "kg_graph_named", "kg_graph_var", "kg_graph_mixed",
-        "kg_upsert_recrawl",
-        "kg_degree_dist", "kg_cooccur", "kg_inlinks", "kg_triangles",
+    WINDOW: list[tuple[str, Callable[[str], Any]]] = [
+        # — sentinels (17, all green in r2/r3 driver windows) —
+        ("kg_triples", kg_queries.QUERIES["kg_triples"]),
+        ("kg_mentions", kg_queries.QUERIES["kg_mentions"]),
+        ("kg_components", kg_queries.QUERIES["kg_components"]),
+        ("kg_assemble", kg_queries.QUERIES["kg_assemble"]),
+        ("kg_resolve_exact", kg_queries.QUERIES["kg_resolve_exact"]),
+        ("kg_resolve_fuzzy", kg_queries.QUERIES["kg_resolve_fuzzy"]),
+        ("kg_resolve_ontology", kg_queries.QUERIES["kg_resolve_ontology"]),
+        ("kg_validate_logical", kg_queries.QUERIES["kg_validate_logical"]),
+        ("kg_validate_closed", kg_queries.QUERIES["kg_validate_closed"]),
+        ("kg_bgp", kg_queries.QUERIES["kg_bgp"]),
+        ("kg_bgp_optional_filter",
+         kg_queries.QUERIES["kg_bgp_optional_filter"]),
+        ("kg_bgp_groupconcat", kg_queries.QUERIES["kg_bgp_groupconcat"]),
+        ("kg_update", kg_queries.QUERIES["kg_update"]),
+        ("kg_quads", kg_queries.QUERIES["kg_quads"]),
+        ("kg_pagerank", kg_queries.QUERIES["kg_pagerank"]),
+        ("kg_scc", kg_queries.QUERIES["kg_scc"]),
+        ("kg_reachable", kg_queries.QUERIES["kg_reachable"]),
+        # — no prior driver row (33) —
+        ("kg_graph_named", kg_queries.QUERIES["kg_graph_named"]),
+        ("kg_graph_var", kg_queries.QUERIES["kg_graph_var"]),
+        ("kg_graph_mixed", kg_queries.QUERIES["kg_graph_mixed"]),
+        ("kg_upsert_recrawl", kg_queries.QUERIES["kg_upsert_recrawl"]),
+        ("kg_degree_dist", kg_queries.QUERIES["kg_degree_dist"]),
+        ("kg_cooccur", kg_queries.QUERIES["kg_cooccur"]),
+        ("kg_inlinks", kg_queries.QUERIES["kg_inlinks"]),
+        ("kg_triangles", kg_queries.QUERIES["kg_triangles"]),
+        ("kg_shortest_paths", kg_queries.QUERIES["kg_shortest_paths"]),
+        ("kg_mis", kg_queries.QUERIES["kg_mis"]),
+        ("kg_link_prediction", kg_queries.QUERIES["kg_link_prediction"]),
+        ("kg_sameas_rewrite", kg_queries.QUERIES["kg_sameas_rewrite"]),
+        ("kg_infer_types", kg_queries.QUERIES["kg_infer_types"]),
+        ("kg_bgp_path_group", kg_queries.QUERIES["kg_bgp_path_group"]),
+        ("simhash_near_dup", corpus.simhash_near_dup),
+        ("doc_bm25", corpus.doc_bm25),
+        ("emb_semdedup", corpus.emb_semdedup),
+        ("doc_winnowing", corpus.doc_winnowing),
+        ("doc_ngram_jaccard", corpus.doc_ngram_jaccard),
+        ("doc_gopher_rules", corpus.doc_gopher_rules),
+        ("doc_span_dedup", corpus.doc_span_dedup),
+        ("doc_dedup_incremental", corpus.doc_dedup_incremental),
+        ("doc_substring_dedup", corpus.doc_substring_dedup),
+        ("dsir_weights", corpus.dsir_weights),
+        ("doc_ppl_buckets", corpus.doc_ppl_buckets),
+        ("doc_bpe_encode", corpus.doc_bpe_encode),
+        ("mm_image_stats", corpus.mm_image_stats),
+        ("mm_image_formats", corpus.mm_image_formats),
+        ("mm_audio_spectral", corpus.mm_audio_spectral),
+        ("q_es_match", corpus.q_es_match),
+        ("q_es_should", corpus.q_es_should),
+        ("q_es_score", corpus.q_es_score),
+        ("q_es_vector_score", corpus.q_es_vector_score),
     ]
-    q: dict[str, Callable[[str], Any]] = {
-        name: kg_queries.QUERIES[name] for name in KG_WINDOW}
+    assert len(WINDOW) == 50, f"window must fill slots 1-50, got {len(WINDOW)}"
+    q: dict[str, Callable[[str], Any]] = dict(WINDOW)
+    assert list(q) == [n for n, _ in WINDOW]   # no dup names
     q.update({
-        # dedup / similarity / text family not yet inside a driver window
+        # rotated out of the window this round (green driver rows in r2/r3)
+        "kg_triples_typed": kg_queries.QUERIES["kg_triples_typed"],
+        "kg_entity_popularity": kg_queries.QUERIES["kg_entity_popularity"],
+        "kg_validate_customers": kg_queries.QUERIES["kg_validate_customers"],
+        "kg_validate_nested": kg_queries.QUERIES["kg_validate_nested"],
+        "kg_validate_pairs": kg_queries.QUERIES["kg_validate_pairs"],
+        "kg_validate_strings": kg_queries.QUERIES["kg_validate_strings"],
+        "kg_validate_sparql": kg_queries.QUERIES["kg_validate_sparql"],
+        "kg_actions_summary": kg_queries.QUERIES["kg_actions_summary"],
+        "kg_bgp_filter": kg_queries.QUERIES["kg_bgp_filter"],
+        "kg_bgp_filter_logic": kg_queries.QUERIES["kg_bgp_filter_logic"],
+        "kg_bgp_optional": kg_queries.QUERIES["kg_bgp_optional"],
+        "kg_bgp_union": kg_queries.QUERIES["kg_bgp_union"],
+        "kg_bgp_union_scoped": kg_queries.QUERIES["kg_bgp_union_scoped"],
+        "kg_bgp_groupby": kg_queries.QUERIES["kg_bgp_groupby"],
+        "kg_bgp_values": kg_queries.QUERIES["kg_bgp_values"],
+        "kg_bgp_bind": kg_queries.QUERIES["kg_bgp_bind"],
+        "kg_bgp_having": kg_queries.QUERIES["kg_bgp_having"],
+        "kg_bgp_count_distinct": kg_queries.QUERIES["kg_bgp_count_distinct"],
+        "kg_bgp_exists": kg_queries.QUERIES["kg_bgp_exists"],
+        "kg_bgp_notexists": kg_queries.QUERIES["kg_bgp_notexists"],
+        "kg_bgp_construct": kg_queries.QUERIES["kg_bgp_construct"],
+        "kg_bgp_describe": kg_queries.QUERIES["kg_bgp_describe"],
+        "kg_bgp_star": kg_queries.QUERIES["kg_bgp_star"],
+        "kg_bgp_alt": kg_queries.QUERIES["kg_bgp_alt"],
+        "kg_bgp_subquery": kg_queries.QUERIES["kg_bgp_subquery"],
+        "kg_pagerank_personalized":
+            kg_queries.QUERIES["kg_pagerank_personalized"],
+        "kg_hits": kg_queries.QUERIES["kg_hits"],
+        "kg_entity_jaccard": kg_queries.QUERIES["kg_entity_jaccard"],
+        "kg_kcore": kg_queries.QUERIES["kg_kcore"],
+        "kg_communities": kg_queries.QUERIES["kg_communities"],
+        "kg_pagerank_weighted": kg_queries.QUERIES["kg_pagerank_weighted"],
+        "kg_random_walks": kg_queries.QUERIES["kg_random_walks"],
+        "kg_sssp": kg_queries.QUERIES["kg_sssp"],
+        # dedup / similarity / text family outside this round's window
         "minhash_near_dup": corpus.minhash_near_dup,
-        "doc_ngram_jaccard": corpus.doc_ngram_jaccard,
-        "doc_gopher_rules": corpus.doc_gopher_rules,
         "embedding_near_dup": corpus.embedding_near_dup,
         "simhash_signatures": corpus.simhash_signatures,
-        "simhash_near_dup": corpus.simhash_near_dup,
-        "doc_span_dedup": corpus.doc_span_dedup,
-        "doc_winnowing": corpus.doc_winnowing,
-        "doc_dedup_incremental": corpus.doc_dedup_incremental,
         "doc_tfidf": corpus.doc_tfidf,
-        "doc_bm25": corpus.doc_bm25,
         "doc_inverted_index": corpus.doc_inverted_index,
         "doc_heavy_tokens": corpus.doc_heavy_tokens,
         "doc_quality_classifier": corpus.doc_quality_classifier,

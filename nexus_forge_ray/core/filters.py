@@ -253,6 +253,178 @@ def elastic_search_page(ds: ray.data.Dataset, body: dict,
     return page.iloc[frm:frm + size].reset_index(drop=True)
 
 
+def _is_score_sort(sort_list) -> bool:
+    """True when the body's first sort entry is the _score pseudo-field
+    (ES accepts both the bare string and the object form)."""
+    if not sort_list:
+        return False
+    first = sort_list[0]
+    return first == "_score" or (isinstance(first, dict)
+                                 and "_score" in first)
+
+
+def elastic_score_page(ds: ray.data.Dataset, body: dict,
+                       **search_kw) -> pd.DataFrame:
+    """ES `_score`-ranked hits: `sort: ["_score", ...]` (or the object
+    form) returns the top `size` documents by relevance score.
+
+    Scoring model (constant-score-per-clause — deliberately the
+    SQL-expressible subset, so every score is oracle-checkable):
+    - each `bool.should` clause contributes its `boost` (default 1.0)
+      when it matches — `constant_score` clauses likewise;
+    - an analyzed `match` clause contributes boost × (number of its query
+      terms present with token boundaries) — per-term constant scoring;
+    - `script_score` with a `cosineSimilarity(params.<p>, '<field>')
+      [+ c]` script scores by actual dense-vector cosine (numpy per
+      batch against the broadcast query vector) — the reference builds
+      exactly this script for vector similarity search
+      (kgforge/core/commons/es_query_builder.py:78-84,171-179);
+    - `must` / `filter` clauses filter without scoring (filter context);
+      with no must/filter present, at least one should clause must match
+      (ES bool semantics).
+
+    Distributed shape: masks and cosines are vectorized per batch, the
+    page comes from a per-block partial top-k + driver merge of
+    <= k × blocks rows (`ops.agg.global_topk`) — never a global sort.
+    Secondary sort entries after `_score` are the tiebreak (pass one for
+    deterministic pages, as real ES setups do with _id).
+    """
+    import re as _re
+
+    import numpy as np
+
+    from nexus_forge_ray.ops.agg import global_topk
+
+    q = body.get("query") or {}
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+
+    # tiebreak columns after the leading _score entry
+    tie_cols, tie_asc = [], []
+    for entry in (body.get("sort") or [])[1:]:
+        if isinstance(entry, str):
+            tie_cols.append(entry)
+            tie_asc.append(True)
+        else:
+            (col, spec), = entry.items()
+            order = spec.get("order") if isinstance(spec, dict) else spec
+            tie_cols.append(col)
+            tie_asc.append((order or "asc").lower() == "asc")
+
+    def _prune(out: pd.DataFrame) -> pd.DataFrame:
+        """Per-block partial top-k in the SAME total order as the global
+        merge (score desc, then the tiebreak columns) — nlargest on score
+        alone could cut boundary ties that win on tiebreak."""
+        if len(out) <= frm + size:
+            return out
+        return out.sort_values(["_score"] + tie_cols,
+                               ascending=[False] + tie_asc,
+                               kind="mergesort").head(frm + size)
+
+    if "script_score" in q:
+        spec = q["script_score"]
+        inner = spec.get("query") or {"match_all": {}}
+        script = spec.get("script") or {}
+        m = _re.search(
+            r"cosineSimilarity\(\s*params\.(\w+)\s*,\s*'(\w+)'\s*\)"
+            r"(?:\s*\+\s*([0-9.]+))?", str(script.get("source", "")))
+        if not m:
+            raise ValueError("only cosineSimilarity script_score scripts "
+                             "are supported")
+        pname, field, const = m.group(1), m.group(2), m.group(3)
+        qv = np.asarray((script.get("params") or {})[pname],
+                        dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        add = float(const) if const else 0.0
+        filts = filters_from_elastic({"query": inner})
+
+        def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+            out = apply_filters_frame(df, filts)
+            if not len(out):
+                return out.assign(_score=np.float64())
+            mat = np.stack(out[field].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            out = out.assign(_score=(mat @ qn) / norms + add)
+            return _prune(out)
+    else:
+        b = q.get("bool") or {}
+        must: list = []
+        for sub in list(b.get("must", [])) + list(b.get("filter", [])):
+            must.extend(filters_from_elastic({"query": sub}))
+        for sub in b.get("must_not", []):
+            must.extend(filters_from_elastic(
+                {"query": {"bool": {"must_not": [sub]}}}))
+        should = b.get("should") or []
+        need_should = not (b.get("must") or b.get("filter"))
+
+        def compile_should(c: dict):
+            """-> (boost, token_patterns|None, filters) — a match clause
+            scores per matched token, everything else per clause."""
+            kind, cbody = next(iter(c.items()))
+            if kind == "constant_score":
+                boost = float(cbody.get("boost", 1.0))
+                return (boost, None,
+                        filters_from_elastic({"query": cbody["filter"]}))
+            if kind == "match":
+                (field, v), = cbody.items()
+                if isinstance(v, dict) and "query" in v:
+                    boost = float(v.get("boost", 1.0))
+                    toks = str(v["query"]).split()
+                    pats = [r"(?:^|\s)" + _re.escape(t) + r"(?:\s|$)"
+                            for t in toks]
+                    return (boost, (field, pats), [])
+            boost = 1.0
+            (field, v), = cbody.items() if kind != "match_all" \
+                else ((None, None),)
+            if isinstance(v, dict) and "boost" in v:
+                boost = float(v["boost"])
+            return (boost, None, filters_from_elastic({"query": c}))
+
+        scorers = [compile_should(c) for c in should]
+
+        def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+            out = apply_filters_frame(df, must)
+            if not len(out):
+                return out.assign(_score=np.float64())
+            score = np.zeros(len(out))
+            matched = np.zeros(len(out), dtype=bool)
+            for boost, match_spec, filts in scorers:
+                if match_spec is not None:
+                    field, pats = match_spec
+                    col = out[field].astype("string")
+                    hits = np.zeros(len(out))
+                    for pat in pats:
+                        tm = col.str.contains(pat, regex=True, na=False) \
+                            .to_numpy()
+                        hits += tm
+                    score += boost * hits
+                    matched |= hits > 0
+                else:
+                    m = pd.Series(True, index=out.index)
+                    for f in filts:
+                        m &= _mask_of(out, f)
+                    mv = m.fillna(False).to_numpy()
+                    score += boost * mv
+                    matched |= mv
+            out = out.assign(_score=score)
+            if need_should:
+                out = out[matched]
+            return _prune(out)
+
+    scored = ds.map_batches(score_batch, batch_format="pandas")
+    page = global_topk(scored, ["_score"] + tie_cols, frm + size,
+                       ascending=[False] + tie_asc)
+    page = page.iloc[frm:frm + size].reset_index(drop=True)
+    src = body.get("_source")
+    if src:
+        cols = ([src] if isinstance(src, str)
+                else list(src.get("includes") or []) if isinstance(src, dict)
+                else list(src))
+        page = page[[c for c in cols + ["_score"] if c in page.columns]]
+    return page
+
+
 def elastic_terms_agg(ds: ray.data.Dataset, body: dict) -> pd.DataFrame:
     """Run the ES-DSL `aggs` subset natively: one named `terms` or
     `date_histogram` bucket aggregation (with optional avg/sum/min/max/

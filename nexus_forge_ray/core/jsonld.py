@@ -19,9 +19,14 @@ node refs and datatype wrapping), containers @list/@set/@language/@index,
 @reverse (both the term flag and the @reverse block), term removal via
 null, and list-of-contexts merge with later-wins order.
 
-Not implemented (documented gaps, all require semantics this sandbox cannot
-exercise): remote http(s) context fetching (no network), @propagate /
-@protected / @import / @direction, @nest, and @json literals.
+Also implemented (round 4): @nest — nested-property flattening on
+expansion, incl. keyword-alias terms and @nest-targeted term definitions;
+compaction emits the flat form (information-preserving) — and @json
+literals (verbatim-JSON @value objects, round-tripped through compaction).
+
+Not implemented (documented gaps — network-only or processor-directive
+semantics a no-network sandbox cannot exercise): remote http(s) context
+fetching, @propagate / @protected / @import / @direction.
 """
 
 from __future__ import annotations
@@ -83,6 +88,8 @@ class TermDef:
     has_language: bool = False
     local_ctx: Any = None              # property-scoped context (raw)
     prefix_ok: bool = True             # usable as a curie prefix
+    nest: Optional[str] = None         # "@nest" target term (1.1 §4.3;
+    # guides re-nesting on compaction — expansion flattens regardless)
 
 
 @dataclass
@@ -181,6 +188,8 @@ class Context:
             d.local_ctx = spec["@context"]
         if "@prefix" in spec:
             d.prefix_ok = bool(spec["@prefix"])
+        if "@nest" in spec:
+            d.nest = spec["@nest"]
         self.terms[term] = d
 
     # ---------------------------------------------------------- IRI helpers
@@ -439,6 +448,30 @@ def _expand_element(el: Any, ctx: Context, active_property: Optional[str]):
             v = _expand_element(value, item_ctx, key)
             result["@graph"] = v if isinstance(v, list) else \
                 ([] if v is None else [v])
+        elif expanded_key == "@nest":
+            # JSON-LD 1.1 §4.3 nested properties: the nest object's members
+            # expand as if they were the node's own (flattening); a value
+            # object directly under @nest is an error per the spec
+            for nv in (value if isinstance(value, list) else [value]):
+                if not isinstance(nv, dict):
+                    raise ValueError("@nest value must be a node object")
+                ex = _expand_element(nv, item_ctx, active_property)
+                if ex is None:
+                    continue
+                if isinstance(ex, dict) and "@value" in ex:
+                    raise ValueError("@nest must not contain value objects")
+                for k2, v2 in (ex or {}).items():
+                    if k2 == "@reverse":
+                        rev = result.setdefault("@reverse", {})
+                        for rk, rv in v2.items():
+                            rev.setdefault(rk, []).extend(rv)
+                    elif k2 in ("@id", "@index"):
+                        result[k2] = v2
+                    elif k2 == "@type":
+                        result.setdefault("@type", []).extend(v2)
+                    else:
+                        result.setdefault(k2, []).extend(
+                            v2 if isinstance(v2, list) else [v2])
         elif expanded_key == "@reverse":
             if not isinstance(value, dict):
                 raise ValueError("@reverse value must be a node object")
@@ -467,12 +500,20 @@ def _expand_element(el: Any, ctx: Context, active_property: Optional[str]):
     if "@value" in result:
         clean = {k: v for k, v in result.items()
                  if k in ("@value", "@type", "@language", "@index")}
+        # a value object carries a SINGLE @type string (spec 4.2.1) — undo
+        # the node-object @type listing so re-expansion is idempotent
+        if isinstance(clean.get("@type"), list) and len(clean["@type"]) == 1:
+            clean["@type"] = clean["@type"][0]
         return clean if result["@value"] is not None else None
     return result
 
 
 def _expand_prop_value(value: Any, ctx: Context, prop: str,
                        td: Optional[TermDef]):
+    if td and td.type == "@json":
+        # JSON literal (1.1 §4.2.2): the value is copied VERBATIM — maps,
+        # lists, scalars all stay raw JSON, never interpreted as JSON-LD
+        return [{"@value": value, "@type": "@json"}]
     if td and td.container == "@language" and isinstance(value, dict):
         out = []
         for lang in sorted(value):

@@ -249,7 +249,9 @@ class KnowledgeGraphForge:
         Bodies with an `aggs` section run the terms-aggregation subset
         natively (`core.filters.elastic_terms_agg`) and return the bucket
         table as a DataFrame."""
-        from nexus_forge_ray.core.filters import (elastic_search_page,
+        from nexus_forge_ray.core.filters import (_is_score_sort,
+                                                  elastic_score_page,
+                                                  elastic_search_page,
                                                   elastic_terms_agg,
                                                   filters_from_elastic,
                                                   search as _search)
@@ -266,6 +268,10 @@ class KnowledgeGraphForge:
                 return list(src.get("includes") or [])
             return list(src)
 
+        if data is not None and _is_score_sort(query.get("sort")):
+            # _score-ranked relevance page (boosted should / constant_score
+            # / dense_vector script_score) — core.filters.elastic_score_page
+            return elastic_score_page(data, query, **kw)
         if data is not None and "sort" in query:
             page = elastic_search_page(data, query, **kw)
             src = query.get("_source")

@@ -55,6 +55,224 @@ def match_pattern(triples: ray.data.Dataset,
     return triples.map_batches(project, batch_format="pandas")
 
 
+# --- grouped property paths (SPARQL 9.1 full grammar subset) -----------
+#
+# Simple paths (a bare predicate with ^ / | / + / * / ? / ! sugar, or a
+# top-level sequence of such steps) are expanded at parse time into chained
+# triple patterns (`expand_path`) — no extra machinery. A GROUPED sub-path
+# — a modifier applying to a parenthesized sequence like `(p1/p2)+`, or an
+# alternation of sequences like `(p1/p2)|p3` — cannot be expressed as a
+# pattern chain, so it is compiled here: a recursive-descent parse into an
+# AST, then a bottom-up evaluation where every node yields a distributed
+# (src, dst) edge Dataset. Composition is a bucketed hash join on the
+# midpoint, alternation a union, closure the iterated-doubling
+# `kg.closure.transitive_closure` — so a grouped path costs exactly the
+# joins its structure implies and never materializes on the driver.
+# Partitioning assumption (document per closure caller): `+`/`*` close the
+# edge set of the INNER expression, so the inner slice must be bounded
+# (class hierarchies, bounded chains) — same contract as plain `p+`.
+
+_PATH_MARK = "\x00path\x00"
+
+
+def is_complex_path(p: str) -> bool:
+    """True when the predicate token needs the grouped-path compiler:
+    a '/' inside a paren group (a sequence under a modifier / alternation)
+    or '|' and '/' both at top level (alternation of sequences)."""
+    if not isinstance(p, str) or p.startswith(("?", '"')) or "/" not in p:
+        return False
+    depth, in_iri = 0, False
+    paren_seq = top_alt = top_seq = False
+    for ch in p:
+        if in_iri:
+            in_iri = ch != ">"
+            continue
+        if ch == "<":
+            in_iri = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "/":
+            if depth > 0:
+                paren_seq = True
+            else:
+                top_seq = True
+        elif ch == "|" and depth == 0:
+            top_alt = True
+    return paren_seq or (top_alt and top_seq)
+
+
+def resolve_path_atoms(expr: str, term) -> str:
+    """Rewrite every prefixed-name / `a` atom in a path expression to a
+    bracketed full IRI via the caller's term() resolver, leaving existing
+    `<iri>` tokens and operators untouched — so the execution-time parser
+    never needs the prefix map."""
+    def sub(seg: str) -> str:
+        return re.sub(
+            r"[A-Za-z_][\w.-]*:[\w.-]+|\ba\b",
+            lambda m: "<" + term(m.group(0)) + ">", seg)
+    out, i = [], 0
+    for m in re.finditer(r"<[^>]*>", expr):
+        out.append(sub(expr[i:m.start()]))
+        out.append(m.group(0))
+        i = m.end()
+    out.append(sub(expr[i:]))
+    return "".join(out)
+
+
+def parse_path(expr: str):
+    """Path grammar over resolved tokens:
+    path := seq ('|' seq)* ; seq := unit ('/' unit)* ;
+    unit := '^'? primary ('+'|'*'|'?')* ;
+    primary := '(' path ')' | '!' atomset | <iri>.
+    AST nodes: (atom iri) (neg [iris]) (inv n) (seq [n]) (alt [n])
+    (plus n) (star n) (opt n)."""
+    toks = re.findall(r"<[^>]*>|[()/|^+*?!]", expr)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat():
+        tok = toks[pos[0]]
+        pos[0] += 1
+        return tok
+
+    def parse_alt():
+        parts = [parse_seq()]
+        while peek() == "|":
+            eat()
+            parts.append(parse_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def parse_seq():
+        parts = [parse_unit()]
+        while peek() == "/":
+            eat()
+            parts.append(parse_unit())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def parse_unit():
+        inv = peek() == "^"
+        if inv:
+            eat()
+        node = parse_primary()
+        while peek() in ("+", "*", "?"):
+            node = ({"+": "plus", "*": "star", "?": "opt"}[eat()], node)
+        return ("inv", node) if inv else node
+
+    def parse_primary():
+        if peek() == "(":
+            eat()
+            node = parse_alt()
+            if eat() != ")":
+                raise ValueError(f"unbalanced parens in path: {expr!r}")
+            return node
+        if peek() == "!":
+            eat()
+            atoms = []
+            if peek() == "(":
+                eat()
+                atoms.append(eat()[1:-1])
+                while peek() == "|":
+                    eat()
+                    atoms.append(eat()[1:-1])
+                if eat() != ")":
+                    raise ValueError(f"unbalanced !() in path: {expr!r}")
+            else:
+                atoms.append(eat()[1:-1])
+            return ("neg", atoms)
+        tok = eat()
+        if not tok.startswith("<"):
+            raise ValueError(f"unexpected token {tok!r} in path {expr!r}")
+        return ("atom", tok[1:-1])
+
+    node = parse_alt()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens in path: {expr!r}")
+    return node
+
+
+def compile_path_edges(triples: ray.data.Dataset, expr: str, *,
+                       num_buckets: int = 16) -> ray.data.Dataset:
+    """Evaluate a grouped path expression to its (src, dst) edge Dataset."""
+    from nexus_forge_ray.kg.closure import transitive_closure
+    from nexus_forge_ray.ops.agg import distinct_rows
+    from nexus_forge_ray.ops.joins import partitioned_join
+
+    def identity_edges() -> ray.data.Dataset:
+        nodes = distinct_rows(triples.map_batches(
+            lambda df: pd.DataFrame({"n": pd.concat(
+                [df["subj"], df["obj"]], ignore_index=True)}),
+            batch_format="pandas"), ["n"],
+            num_buckets=num_buckets, keep_cols=[])
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"src": df["n"], "dst": df["n"]}),
+            batch_format="pandas")
+
+    def ev(node) -> ray.data.Dataset:
+        kind = node[0]
+        if kind == "atom":
+            return triples.map_batches(
+                lambda df, p=node[1]: df.loc[
+                    df["pred"] == p, ["subj", "obj"]].rename(
+                    columns={"subj": "src", "obj": "dst"}),
+                batch_format="pandas")
+        if kind == "neg":
+            return triples.map_batches(
+                lambda df, ps=frozenset(node[1]): df.loc[
+                    ~df["pred"].isin(ps), ["subj", "obj"]].rename(
+                    columns={"subj": "src", "obj": "dst"}),
+                batch_format="pandas")
+        if kind == "inv":
+            return ev(node[1]).map_batches(
+                lambda df: pd.DataFrame(
+                    {"src": df["dst"], "dst": df["src"]}),
+                batch_format="pandas")
+        if kind == "seq":
+            cur = ev(node[1][0])
+            for part in node[1][1:]:
+                lhs = cur.map_batches(
+                    lambda df: df.rename(
+                        columns={"src": "__a", "dst": "__m"}),
+                    batch_format="pandas")
+                rhs = ev(part).map_batches(
+                    lambda df: df.rename(
+                        columns={"src": "__m", "dst": "__b"}),
+                    batch_format="pandas")
+                cur = partitioned_join(
+                    lhs, rhs, on="__m", num_buckets=num_buckets,
+                    lcols=["__a", "__m"], rcols=["__m", "__b"]
+                ).map_batches(
+                    lambda df: df.rename(
+                        columns={"__a": "src", "__b": "dst"})
+                    [["src", "dst"]],
+                    batch_format="pandas")
+            return cur
+        if kind == "alt":
+            cur = ev(node[1][0])
+            for part in node[1][1:]:
+                cur = cur.union(ev(part))
+            return cur
+        if kind == "plus":
+            return transitive_closure(ev(node[1]),
+                                      num_buckets=num_buckets)
+        if kind == "star":
+            closed = transitive_closure(ev(node[1]),
+                                        num_buckets=num_buckets)
+            return distinct_rows(closed.union(identity_edges()),
+                                 ["src", "dst"],
+                                 num_buckets=num_buckets, keep_cols=[])
+        if kind == "opt":
+            return distinct_rows(ev(node[1]).union(identity_edges()),
+                                 ["src", "dst"],
+                                 num_buckets=num_buckets, keep_cols=[])
+        raise AssertionError(f"unknown path node {kind!r}")
+
+    return ev(parse_path(expr))
+
+
 def plan_patterns(patterns: list[tuple[str, str, str]]) \
         -> list[tuple[str, str, str]]:
     """Greedy join-order planner: start from the most selective pattern
@@ -113,6 +331,34 @@ def bgp_select(triples: ray.data.Dataset,
     for pat in patterns:
         pat_vars = [t[1:] for t in pat if _is_var(t)]
         pred = pat[1]
+        if (not _is_var(pred)) and pred.startswith(_PATH_MARK):
+            # grouped property path: compile to a (src, dst) edge Dataset
+            # and bind like a plain pattern whose predicate is the marker
+            edges = compile_path_edges(triples,
+                                       pred[len(_PATH_MARK):],
+                                       num_buckets=num_buckets)
+            nxt = match_pattern(
+                edges.map_batches(
+                    lambda df, p=pred: pd.DataFrame(
+                        {"subj": df["src"], "pred": p,
+                         "obj": df["dst"]}),
+                    batch_format="pandas"),
+                pat)
+            if cur is None:
+                cur, bound = nxt, list(dict.fromkeys(pat_vars))
+                continue
+            shared = [v for v in bound if v in pat_vars]
+            if not shared:
+                raise ValueError(f"pattern {pat} shares no variable with "
+                                 f"{bound}; reorder patterns (cross joins "
+                                 "are not supported)")
+            cur = partitioned_join(cur, nxt, on=shared[0],
+                                   extra_keys=shared[1:],
+                                   num_buckets=num_buckets,
+                                   lcols=bound,
+                                   rcols=list(dict.fromkeys(pat_vars)))
+            bound = list(dict.fromkeys(bound + pat_vars))
+            continue
         neg = (not _is_var(pred)) and pred.startswith("!")
         if neg:
             pred = pred[1:]
@@ -630,6 +876,12 @@ def parse_sparql(query: str) -> ParsedQuery:
         bracketed-IRI sequence chains (`<a>/<b>`) are supported because the
         tokenizer keeps IRIs opaque."""
         s, p, o = cur
+        if is_complex_path(p):
+            # grouped sub-path ((p1/p2)+, (p1/p2)|p3, ...): keep it as ONE
+            # pattern whose predicate carries the resolved expression for
+            # the execution-time compiler
+            return [(term(s), _PATH_MARK + resolve_path_atoms(p, term),
+                     term(o))]
         if p.startswith(("<", "?", '"')):
             steps = [p] if not re.search(r">\s*/", p) else \
                 re.split(r"/(?=[<^])", p)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from nexus_forge_ray.kg import kb as KB
 from nexus_forge_ray.kg.triples import explode_record
@@ -29,6 +30,18 @@ from nexus_forge_ray.resolving.dictionary import DictionaryResolver
 FEATURE_COLUMNS = ["kind", "page_nid", "sig_hash",
                    "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
                    "subj", "pred", "obj", "obj_is_iri", "obj_datatype"]
+
+# Arrow schema of the feature union: numeric columns are fixed-width
+# (zero-copy from the numpy kernels), strings are large_string so a block
+# never risks 32-bit offset overflow at web scale.
+FEATURE_SCHEMA = pa.schema([
+    ("kind", pa.int8()), ("page_nid", pa.int64()),
+    ("sig_hash", pa.uint64()),
+    *[(f"b{i}", pa.uint64()) for i in range(8)],
+    ("subj", pa.large_string()), ("pred", pa.large_string()),
+    ("obj", pa.large_string()), ("obj_is_iri", pa.bool_()),
+    ("obj_datatype", pa.large_string()),
+])
 
 
 def _empty_features() -> pd.DataFrame:
@@ -199,10 +212,36 @@ class PageFeatures:
             df[f"b{i}"] = np.zeros(n, dtype=np.uint64)
         return df[FEATURE_COLUMNS]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: "pd.DataFrame | pa.Table"):
+        if isinstance(batch, pa.Table):
+            return self._call_arrow(batch)
         if not len(batch):
             return _empty_features()
         tok_lists = batch["text"].str.split()  # tokenize ONCE per batch
         return pd.concat([self._signature_rows(batch, tok_lists),
                           self._triple_rows(batch, tok_lists)],
                          ignore_index=True)
+
+    def _call_arrow(self, batch: pa.Table) -> pa.Table:
+        """Arrow I/O wrapper: the feature rows leave the task as ONE Arrow
+        table (fixed-width numerics zero-copy from numpy, strings packed
+        into large_string buffers), so the materialized feature checkpoint
+        is Arrow blocks — not pickled pandas object columns — in the
+        object store. Internals stay the vectorized pandas/numpy kernels:
+        tokenization + SipHash need Python strings exactly once either
+        way, and that conversion happens here, on just the columns the
+        fused pass reads."""
+        if not len(batch):
+            return FEATURE_SCHEMA.empty_table()
+        df = pd.DataFrame({
+            "page_nid": batch.column("page_nid").to_numpy(
+                zero_copy_only=False)})
+        for c in batch.column_names:
+            if c != "page_nid":
+                df[c] = batch.column(c).to_pandas()
+        tok_lists = df["text"].str.split()
+        out = pd.concat([self._signature_rows(df, tok_lists),
+                         self._triple_rows(df, tok_lists)],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, schema=FEATURE_SCHEMA,
+                                    preserve_index=False)

@@ -42,11 +42,13 @@ def adamic_adar_pairs(edges: ray.data.Dataset, *,
             ignore_index=True),
         batch_format="pandas")
     # per-neighbor weight 1/ln(deg z), attached with one bucketed window
+    # deg-1 neighbors form no wedges (a wedge's center touches both ends)
+    # — drop them BEFORE the weight, which also keeps 1/ln(deg) finite
     wadj = attach_group_stat(adj, "z", "u", "size", "__deg",
                              num_buckets=num_buckets) \
         .map_batches(
-            lambda df: df.assign(
-                __w=1.0 / np.log(df["__deg"].astype("float64")))
+            lambda df: df.loc[df["__deg"] >= 2].assign(
+                __w=lambda d: 1.0 / np.log(d["__deg"].astype("float64")))
             [["u", "z", "__w"]],
             batch_format="pandas")
 
@@ -79,8 +81,12 @@ def adamic_adar_pairs(edges: ray.data.Dataset, *,
         lambda df: df.assign(__k=df["e1"].astype(str) + "\x00"
                              + df["e2"].astype(str)),
         batch_format="pandas")
-    out = partitioned_anti_join(cand, known, on="__k",
-                                num_buckets=num_buckets)
+    # explicit lcols: without them the anti-join probes left.schema(),
+    # which would execute the lazy scored-aggregate pipeline once just for
+    # the schema and then a second time for the data
+    out = partitioned_anti_join(
+        cand, known, on="__k", num_buckets=num_buckets,
+        lcols=["e1", "e2", "aa_score", "n_common", "__k"])
     return out.map_batches(
         lambda df: pd.DataFrame({
             "e1": df["e1"], "e2": df["e2"],

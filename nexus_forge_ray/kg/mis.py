@@ -34,6 +34,15 @@ def _prio(nodes: pd.Series, rnd: int) -> np.ndarray:
     return md5_u64(nodes.astype(str) + f":{rnd}")
 
 
+def _prio_hex(nodes: pd.Series, rnd: int) -> np.ndarray:
+    """Priority as a fixed-width (16-char) lowercase hex string: lexicographic
+    order on the string equals numeric order on the uint64, AND the value
+    survives a null-padded left join exactly (a uint64 column with nulls
+    converts to float64 in pandas, collapsing values above 2^53 — the hex
+    string carries all 64 bits through the shuffle)."""
+    return np.char.mod("%016x", _prio(nodes, rnd))
+
+
 def maximal_independent_set(edges: ray.data.Dataset, *,
                             src: str = "src", dst: str = "dst",
                             max_rounds: int = 20,
@@ -75,7 +84,7 @@ def maximal_independent_set(edges: ray.data.Dataset, *,
             alive_edges.map_batches(
                 lambda df, r=rnd: pd.DataFrame({
                     "node": df["src"],
-                    "__np": _prio(df["dst"], r)}),
+                    "__np": _prio_hex(df["dst"], r)}),
                 batch_format="pandas"),
             "node", {"__np": ("__np", "min")},
             num_buckets=num_buckets)
@@ -85,13 +94,14 @@ def maximal_independent_set(edges: ray.data.Dataset, *,
             lcols=["node"], rcols=["node", "__np"])
 
         def select(df: pd.DataFrame, r: int = rnd) -> pd.DataFrame:
-            p = _prio(df["node"], r)
-            # compare in uint64 — a float64 cast would collapse values
-            # above 2^53 and misorder close priorities
+            p = _prio_hex(df["node"], r)
+            # priorities travel as fixed-width hex strings: lexicographic
+            # < on them is exact uint64 <, and the left join's null padding
+            # (object dtype) never routes them through float64
             isna = df["__np"].isna().to_numpy()
             win = isna.copy()
             if (~isna).any():
-                nb = df.loc[~isna, "__np"].to_numpy().astype(np.uint64)
+                nb = df.loc[~isna, "__np"].to_numpy().astype("U16")
                 win[~isna] = p[~isna] < nb
             return pd.DataFrame({"node": df.loc[win, "node"],
                                  "round": np.int64(r)})
@@ -139,6 +149,11 @@ def maximal_independent_set(edges: ray.data.Dataset, *,
             raise RuntimeError(
                 f"maximal_independent_set did not finish in {max_rounds} "
                 "rounds")
+    if not chosen:
+        # empty edge set / self-loops only: no alive nodes, empty MIS
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "round": pd.Series([], dtype=np.int64)}))
     out = chosen[0]
     for part in chosen[1:]:
         out = out.union(part)

@@ -1157,6 +1157,55 @@ def q_es_match(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_es_score(sf_dir: str):
+    """ES `_score`-ranked relevance page (the round-3 "missing" #1): boosted
+    bool.should — a term clause (boost 2), a range clause (boost 1.5) and an
+    analyzed match scoring 0.5 per matched query term — ranked by
+    `sort: ["_score", ...]` through the facade. Constant-score-per-clause
+    semantics keep every score SQL-expressible; the page is a per-block
+    partial top-k + driver merge (never a global sort). Reference builds
+    boosted/should scoring queries in es_query_builder.py:78-84."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"bool": {"should": [
+        {"term": {"source": {"value": "src1", "boost": 2.0}}},
+        {"range": {"n_chars": {"gte": 400, "boost": 1.5}}},
+        {"match": {"text": {"query": "vector stream spark", "boost": 0.5}}},
+    ]}},
+        "sort": ["_score", {"doc_id": "asc"}],
+        "size": 50}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "source", "n_chars", "text"]))
+    return out[["doc_id", "_score"]]
+
+
+def q_es_vector_score(sf_dir: str):
+    """ES dense_vector script_score (cosineSimilarity + 1.0) through the
+    facade — the reference's vector-similarity script query
+    (es_query_builder.py:171-179): query vector broadcast once, cosine
+    vectorized per batch (numpy matmul), top-20 via partial top-k merge.
+    Scores rounded to 4 decimals for the oracle compare (same convention
+    as similarity_topk)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 1)]).to_pandas()
+    qv = qdf["embedding"].iloc[0]
+    body = {"query": {"script_score": {
+        "query": {"range": {"vec_id": {"gte": 1}}},
+        "script": {
+            "source": "cosineSimilarity(params.query_vector, 'embedding')"
+                      " + 1.0",
+            "params": {"query_vector": [float(x) for x in qv]}}}},
+        "sort": ["_score", {"vec_id": "asc"}],
+        "size": 20}
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = KnowledgeGraphForge().elastic(body, data=emb)
+    out = out[["vec_id", "_score"]].copy()
+    out["_score"] = out["_score"].round(4)
+    return out
+
+
 # ------------------------------------------------ deterministic sampling
 
 def doc_sample(sf_dir: str):

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -25,8 +27,7 @@ from nexus_forge_ray.kg import kb as KB
 from nexus_forge_ray.kg.triples import sort_and_write
 from nexus_forge_ray.sources.pages import extract_text, synth_pages
 from nexus_forge_ray.utils import stable_hash_u64
-from nexus_forge_ray.validation.shapes import (PropertyConstraint, Shape,
-                                               validate_dataset)
+from nexus_forge_ray.validation.shapes import PropertyConstraint, Shape
 
 PAGE_SHAPE = Shape(target_type="Document", constraints=[
     PropertyConstraint(path="url", min_count=1, datatype="string",
@@ -57,6 +58,43 @@ def _add_page_keys(batch: pd.DataFrame) -> pd.DataFrame:
     batch["page_iri"] = KB.DOC_BASE + pd.Series(nid, index=batch.index).astype(str)
     batch["rtype"] = "Document"
     return batch
+
+
+def _add_page_keys_arrow(batch: pa.Table) -> pa.Table:
+    """Arrow twin of `_add_page_keys`: the url SipHash still runs through
+    pandas (the one deliberate conversion — it must equal the pandas path
+    bit-for-bit), everything else is pc kernels; html/text columns pass
+    through zero-copy."""
+    nid = (stable_hash_u64(batch.column("url").to_pandas())
+           >> np.uint64(1)).astype("int64")
+    nid_arr = pa.array(nid)
+    iri = pc.binary_join_element_wise(
+        pa.scalar(KB.DOC_BASE, type=pa.large_string()),
+        pc.cast(nid_arr, pa.large_string()),
+        pa.scalar("", type=pa.large_string()))
+    return (batch.append_column("page_nid", nid_arr)
+                 .append_column("page_iri", iri))
+
+
+_LANG_SET = pa.array(["en", "es", "fr", "de", "zh", "und"])
+
+
+def _validate_pages_arrow(batch: pa.Table) -> pa.Table:
+    """PAGE_SHAPE as one vectorized Arrow mask (same verdicts as
+    `validate_dataset(..., [PAGE_SHAPE])`, asserted in tests): url present
+    + matches ^https?://, text present, lang present + in the enum. Emits
+    the surviving rows directly (the flagship drops invalid rows anyway),
+    with html/warc_ts already projected away."""
+    url, text, lang = (batch.column("url"), batch.column("text"),
+                       batch.column("lang"))
+    ok = pc.and_(
+        pc.and_(pc.is_valid(url),
+                pc.match_substring_regex(url, "^(?:https?://)")),
+        pc.and_(pc.is_valid(text),
+                pc.and_(pc.is_valid(lang), pc.is_in(lang,
+                                                    value_set=_LANG_SET))))
+    cols = [c for c in batch.column_names if c not in ("html", "warc_ts")]
+    return batch.select(cols).filter(pc.fill_null(ok, False))
 
 
 def _dup_key_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -98,13 +136,13 @@ def drop_dup_triples(triples: ray.data.Dataset, dup_keys: ray.data.Dataset,
     dup_nids = np.sort(dup_keys.to_pandas()["page_nid"].to_numpy())
     dup_ref = ray.put(dup_nids)
 
-    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
+    def drop_dups(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)  # sorted; membership via searchsorted
-        v = batch["page_nid"].to_numpy()
+        v = batch.column("page_nid").to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(dups, v), len(dups) - 1)
-        return batch[dups[pos] != v]
+        return batch.filter(pa.array(dups[pos] != v))
 
-    return triples.map_batches(drop_dups, batch_format="pandas")
+    return triples.map_batches(drop_dups, batch_format="pyarrow")
 
 
 def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
@@ -120,14 +158,13 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
     unit of resumable execution (pipelines.sharded).
     """
     pages = extract_text(synth_pages(sf_dir, replicate=replicate, shard=shard))
-    pages = pages.map_batches(_add_page_keys, batch_format="pandas")
+    pages = pages.map_batches(_add_page_keys_arrow, batch_format="pyarrow")
 
-    validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype",
-                                 concurrency=concurrency)
-    valid_pages = validated.map_batches(
-        lambda df: df[df["valid"]].drop(
-            columns=["html", "warc_ts", "valid", "violation"]),
-        batch_format="pandas")
+    # PAGE_SHAPE as a vectorized Arrow mask (same verdicts as the generic
+    # ShapeValidator — asserted in tests/test_pages.py); the generic pandas
+    # validator remains the path for arbitrary shapes
+    valid_pages = pages.map_batches(_validate_pages_arrow,
+                                    batch_format="pyarrow")
 
     # ONE fused pass: synth -> extract -> validate -> mention-detect ->
     # resolve -> map -> triple-explode -> MinHash banding, all inside a single
@@ -140,24 +177,27 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
     feats = valid_pages.map_batches(
         PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
                      num_perm=64, num_bands=8),
-        batch_format="pandas", batch_size=None)
+        batch_format="pyarrow", batch_size=None)
     feats = feats.materialize()
 
+    TRIPLE_COLS = ["page_nid", "subj", "pred", "obj", "obj_is_iri",
+                   "obj_datatype"]
+    SIG_COLS = ["page_nid", "sig_hash"] + [f"b{i}" for i in range(8)]
+
+    # kind-splits are zero-copy Arrow filter+project — no pandas frames
     triples = feats.map_batches(
-        lambda df: df.loc[df["kind"] == 1,
-                          ["page_nid", "subj", "pred", "obj", "obj_is_iri",
-                           "obj_datatype"]],
-        batch_format="pandas")
+        lambda t: t.filter(pc.equal(t.column("kind"), 1))
+                   .select(TRIPLE_COLS),
+        batch_format="pyarrow")
 
     if write_sigs and out_dir:
         # persist compact signature rows alongside the shard output so a
         # later GLOBAL canonicalization phase can merge near-dups that cross
         # shard boundaries (pipelines.sharded.global_canonicalize)
         feats.map_batches(
-            lambda df: df.loc[df["kind"] == 0,
-                              ["page_nid", "sig_hash"]
-                              + [f"b{i}" for i in range(8)]],
-            batch_format="pandas").write_parquet(f"{out_dir}/_sigs")
+            lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                       .select(SIG_COLS),
+            batch_format="pyarrow").write_parquet(f"{out_dir}/_sigs")
 
     # --- canonicalization: near-dup pages collapse to one representative
     # (dedup-then-process): two-tier components over the compact signature
@@ -167,10 +207,9 @@ def flagship(sf_dir: str, *, replicate: int = 1, out_dir: str | None = None,
     if canonicalize:
         from nexus_forge_ray.kg.canonicalize import components_from_compact
         sig_rows = feats.map_batches(
-            lambda df: df.loc[df["kind"] == 0,
-                              ["page_nid", "sig_hash"]
-                              + [f"b{i}" for i in range(8)]],
-            batch_format="pandas")
+            lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                       .select(SIG_COLS),
+            batch_format="pyarrow")
         # bound the block count entering the tier exchanges: feats carries
         # one-plus blocks per fused task (a 100-task run feeds 100+ tiny
         # sig blocks) and the exchange cost grows with block count, not

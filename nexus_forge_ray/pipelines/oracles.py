@@ -1429,6 +1429,21 @@ ORACLES: dict[str, str] = {
                  select src as a, dst as b from closure)
         select distinct a, b from star
     """,
+    # grouped property path (v:next/v:next)+: closure of the SQUARED chain
+    # edges (two-hop composition first, then recursive closure)
+    "kg_bgp_path_group": """
+        with recursive
+        e as (select doc_id as src, doc_id + 1 as dst
+              from documents where doc_id % 20 != 19),
+        e2 as (select a.src, b.dst from e a join e b on a.dst = b.src),
+        closure as (select src, dst from e2
+                    union
+                    select c.src, e2.dst from closure c
+                    join e2 on c.dst = e2.src)
+        select distinct 'http://example.org/doc/' || src as a,
+                        'http://example.org/doc/' || dst as b
+        from closure
+    """,
     "kg_bgp_alt": f"""
         with {_KG_TRIPLES_CTE}
         select subj as d, obj as x from t
@@ -1861,6 +1876,43 @@ ORACLES: dict[str, str] = {
     "q_es_match_phrase": r"""
         select doc_id from documents
         where regexp_matches(text, '(^|\s)spark\s+join(\s|$)')
+    """,
+    # _score ranking: constant-score-per-clause should (term boost 2,
+    # range boost 1.5, match 0.5/term), ES bool rule (>=1 should matches),
+    # top-50 by (_score desc, doc_id asc)
+    "q_es_score": r"""
+        with s as (
+          select doc_id,
+            2.0 * (case when source = 'src1' then 1 else 0 end)
+            + 1.5 * (case when n_chars >= 400 then 1 else 0 end)
+            + 0.5 * ((case when regexp_matches(text, '(^|\s)vector(\s|$)')
+                      then 1 else 0 end)
+                   + (case when regexp_matches(text, '(^|\s)stream(\s|$)')
+                      then 1 else 0 end)
+                   + (case when regexp_matches(text, '(^|\s)spark(\s|$)')
+                      then 1 else 0 end)) as score,
+            (source = 'src1' or n_chars >= 400
+             or regexp_matches(text,
+                               '(^|\s)(vector|stream|spark)(\s|$)'))
+              as matched
+          from documents)
+        select doc_id, score as "_score" from s where matched
+        order by score desc, doc_id asc limit 50
+    """,
+    # dense_vector script_score: cosine(query_vec, embedding) + 1.0,
+    # top-20 by (_score desc, vec_id asc); rounded like similarity_topk
+    "q_es_vector_score": """
+        with q as (select embedding from embeddings where vec_id = 0)
+        select e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[])
+                     + 1.0, 4) as "_score"
+        from embeddings e cross join q
+        where e.vec_id >= 1
+        order by list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]) desc,
+                 e.vec_id asc
+        limit 20
     """,
     "q_es_match": r"""
         select doc_id from documents

@@ -91,7 +91,10 @@ def global_canonicalize(out_root: str, out_dir: str) -> str:
                 errors="coerce").fillna(-1).astype("int64")
             return batch
 
-        triples = rd.read_parquet(triple_files) \
+        # columns=: also keeps Ray from inferring a hive `shard` partition
+        # column out of the shard=NNN directory names
+        tcols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype"]
+        triples = rd.read_parquet(triple_files, columns=tcols) \
             .map_batches(add_nid, batch_format="pandas")
         triples = drop_dup_triples(triples, dup_keys) \
             .map_batches(lambda df: df.drop(columns="page_nid"),

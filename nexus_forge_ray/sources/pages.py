@@ -23,6 +23,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from nexus_forge_ray.utils import stable_hash_u64
@@ -69,6 +71,48 @@ def synth_pages_batch(batch: pd.DataFrame, replica: int = 0) -> pd.DataFrame:
         "text": texts,
         "lang": batch["lang"].astype(str),
     })
+
+
+_EPOCH_US = int(_EPOCH.value // 1_000)      # microseconds since epoch
+
+
+def synth_pages_batch_arrow(batch: pa.Table, replica: int = 0) -> pa.Table:
+    """Arrow-native synthesis: every string column (url, html) is built with
+    `pc.binary_join_element_wise` — C-speed concatenation, no Python
+    per-row f-strings, no pandas object columns. Output uses large_string /
+    large_binary so a block of 10^5 pages never risks 32-bit offset
+    overflow. Values are byte-identical to `synth_pages_batch` (tested)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    host_idx = _host_of(doc_id, replica)
+    LS = pa.large_string()
+
+    def s(arr) -> pa.Array:
+        return pc.cast(pa.array(arr), LS)
+
+    def lit(x: str):
+        return pa.scalar(x, type=LS)
+
+    doc_s, host_s = s(doc_id), s(host_idx)
+    url = pc.binary_join_element_wise(
+        lit("https://host"), host_s, lit(".example.com/doc/"), doc_s,
+        lit(f"r{replica}"), lit(""))
+    text = pc.cast(batch.column("text"), LS)
+    tgt_arrays = link_targets(doc_id)
+    tgt_hosts = [_host_of(t) for t in tgt_arrays]
+    pieces: list = [lit("<html><head><title>doc "), doc_s,
+                    lit("</title></head><body><p>"), text, lit("</p>")]
+    for j in range(N_LINKS):
+        pieces += [lit('<a href="https://host'), s(tgt_hosts[j]),
+                   lit(".example.com/doc/"), s(tgt_arrays[j]),
+                   lit('r0">l</a>')]
+    pieces.append(lit("</body></html>"))
+    html = pc.cast(pc.binary_join_element_wise(*pieces, lit("")),
+                   pa.large_binary())
+    warc = pa.array(_EPOCH_US + (doc_id + replica) * 1_000_000,
+                    type=pa.timestamp("us"))
+    return pa.table({
+        "url": url, "warc_ts": warc, "html": html, "text": text,
+        "lang": pc.cast(batch.column("lang"), LS)})
 
 
 def synth_pages(sf_dir: str, replicate: int = 1,
@@ -131,29 +175,31 @@ def synth_pages(sf_dir: str, replicate: int = 1,
     if replicate > 1 and expand_blocks > 0:
         docs = docs.repartition(expand_blocks)
 
-    def expand(batch: pd.DataFrame):
+    def expand(batch: pa.Table):
         # stream the replication in ~32k-row chunks: one giant concat per
         # task stalls workers on frame assembly + GC (measured at 10M
         # pages), while per-replica yields of a few dozen rows make every
         # fused downstream stage pay its per-batch overhead hundreds of
         # times — mid-sized yields keep the expansion streaming AND the
-        # vectorized kernels amortized
+        # vectorized kernels amortized. Arrow-native end-to-end: synthesis
+        # emits large_string/large_binary buffers that pass to the fused
+        # chain zero-copy (no pandas object columns ever exist here).
         target_rows = 32768
-        acc: list[pd.DataFrame] = []
+        acc: list[pa.Table] = []
         acc_rows = 0
         for r in range(replicate):
-            out = synth_pages_batch(batch, r)
+            out = synth_pages_batch_arrow(batch, r)
             if drop_text:
-                out = out.drop(columns=["text"])
+                out = out.drop_columns(["text"])
             acc.append(out)
             acc_rows += len(out)
             if acc_rows >= target_rows:
-                yield pd.concat(acc, ignore_index=True)
+                yield pa.concat_tables(acc)
                 acc, acc_rows = [], 0
         if acc:
-            yield pd.concat(acc, ignore_index=True)
+            yield pa.concat_tables(acc)
 
-    return docs.map_batches(expand, batch_format="pandas")
+    return docs.map_batches(expand, batch_format="pyarrow")
 
 
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
@@ -174,8 +220,41 @@ def extract_text_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def extract_text_batch_arrow(batch: pa.Table) -> pa.Table:
+    """Arrow-native extract: one RE2 `pc.extract_regex` over the html
+    column (zero-copy in, large_string out) — the page text never becomes
+    a Python object. Byte-identical to `extract_text_batch`: pages with
+    more than one <p> block (impossible for synthesized pages, possible
+    for arbitrary html) and non-utf8 html fall back to the per-row
+    findall+join path for exactly those rows."""
+    html = batch.column("html")
+    try:
+        hs = pc.cast(html, pa.large_string())
+    except pa.ArrowInvalid:          # non-utf8 html: per-row general path
+        texts = [b"".join(_P_RE.findall(h)).decode("utf-8")
+                 for h in html.to_pylist()]
+        return batch.append_column(
+            "text", pa.array(texts, type=pa.large_string()))
+    m = pc.extract_regex(hs, pattern="(?s)<p>(?P<t>.*?)</p>")
+    first = pc.struct_field(m, "t")
+    # rows with 0 or 2+ <p> blocks need the general concat-all semantics
+    n_p = pc.count_substring(hs, "<p>")
+    simple = pc.equal(n_p, 1)
+    if pc.all(simple).as_py() and first.null_count == 0:
+        text = first
+    else:
+        texts = first.to_pylist()
+        mask = pc.invert(simple).to_pylist()
+        raw = html.to_pylist()
+        for i, odd in enumerate(mask):
+            if odd or texts[i] is None:
+                texts[i] = b"".join(_P_RE.findall(raw[i])).decode("utf-8")
+        text = pa.array(texts, type=pa.large_string())
+    return batch.append_column("text", text)
+
+
 def extract_text(pages: ray.data.Dataset) -> ray.data.Dataset:
-    return pages.map_batches(extract_text_batch, batch_format="pandas")
+    return pages.map_batches(extract_text_batch_arrow, batch_format="pyarrow")
 
 
 _HREF_RE = re.compile(rb'href="([^"]+)"')

@@ -1063,3 +1063,72 @@ def test_filter_inside_optional_rejects_outer_vars(ray_session):
            OPTIONAL { ?s <http://v/m> ?m . FILTER(?l = "en") } }"""
     with pytest.raises(ValueError, match="group's own variables"):
         parse_sparql(q)
+
+
+# --------------------------------------------- grouped property paths
+
+
+GROUP_TRIPLES = pd.DataFrame({
+    "subj": ["a", "b", "c", "d", "x"],
+    "pred": ["http://v/p1", "http://v/p2", "http://v/p1", "http://v/p2",
+             "http://v/p3"],
+    "obj":  ["b", "c", "d", "e", "y"],
+})
+
+
+def _sparql(q):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    return KnowledgeGraphForge().sparql(
+        q, ray.data.from_pandas(GROUP_TRIPLES)).to_pandas()
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.to_numpy()))
+
+
+def test_grouped_sequence_plus(ray_session):
+    # (p1/p2)+ over the chain a-p1->b-p2->c-p1->d-p2->e
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE { ?s (v:p1/v:p2)+ ?o }""")
+    assert _pairs(out) == [("a", "c"), ("a", "e"), ("c", "e")]
+
+
+def test_grouped_alt_of_sequences(ray_session):
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE { ?s (v:p1/v:p2)|v:p3 ?o }""")
+    assert _pairs(out) == [("a", "c"), ("c", "e"), ("x", "y")]
+
+
+def test_grouped_inverse_sequence_plus(ray_session):
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE { ?s (^v:p2/^v:p1)+ ?o }""")
+    assert _pairs(out) == [("c", "a"), ("e", "a"), ("e", "c")]
+
+
+def test_grouped_path_joins_plain_pattern(ray_session):
+    # grouped path composes with an ordinary pattern through a shared var
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o ?n WHERE { ?s (v:p1/v:p2)+ ?o . ?o v:p1 ?n }""")
+    assert _pairs(out) == [("a", "c", "d")]
+
+
+def test_grouped_alt_inside_sequence(ray_session):
+    # p1/(p2|p3): b reachable from a via p1 then p2 -> c
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE { ?s v:p1/(v:p2|v:p3) ?o }""")
+    assert _pairs(out) == [("a", "c"), ("c", "e")]
+
+
+def test_path_parser_units():
+    from nexus_forge_ray.kg.bgp import is_complex_path, parse_path
+    assert is_complex_path("(<p1>/<p2>)+")
+    assert is_complex_path("(<p1>/<p2>)|<p3>")
+    assert not is_complex_path("<p1>/<p2>")        # plain seq: old path
+    assert not is_complex_path("(<p1>|<p2>)*")     # flat alt: old path
+    assert not is_complex_path("?v")
+    ast = parse_path("(<p1>/<p2>)+")
+    assert ast == ("plus", ("seq", [("atom", "p1"), ("atom", "p2")]))
+    ast2 = parse_path("^<p1>*")
+    assert ast2 == ("inv", ("star", ("atom", "p1")))
+    ast3 = parse_path("!(<p1>|<p2>)/<p3>")
+    assert ast3 == ("seq", [("neg", ["p1", "p2"]), ("atom", "p3")])

@@ -1,0 +1,83 @@
+"""ES `_score` relevance ranking (core/filters.py elastic_score_page)."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from nexus_forge_ray.forge import KnowledgeGraphForge
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4, 5],
+    "source": ["src1", "src2", "src1", "src2", "src2"],
+    "n_chars": [500, 450, 100, 100, 90],
+    "text": ["alpha vector stream", "vector", "plain words",
+             "stream stream", "nothing here"],
+})
+
+
+def _score_page(body):
+    return KnowledgeGraphForge().elastic(
+        body, data=ray.data.from_pandas(DOCS).repartition(2))
+
+
+def test_boosted_should_scores(ray_session):
+    body = {"query": {"bool": {"should": [
+        {"term": {"source": {"value": "src1", "boost": 2.0}}},
+        {"range": {"n_chars": {"gte": 400, "boost": 1.5}}},
+        {"match": {"text": {"query": "vector stream", "boost": 0.5}}},
+    ]}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    # doc1: 2 + 1.5 + 0.5*2 = 4.5 ; doc2: 1.5 + 0.5 = 2.0 ; doc3: 2.0 ;
+    # doc4: 0.5 ; doc5: no should matches -> excluded
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["_score"].tolist() == [4.5, 2.0, 2.0, 0.5]
+
+
+def test_must_filters_without_scoring(ray_session):
+    body = {"query": {"bool": {
+        "must": [{"range": {"n_chars": {"gte": 400}}}],
+        "should": [{"term": {"source": {"value": "src1", "boost": 3.0}}}],
+    }},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    # must keeps docs 1,2; doc2 scores 0 but stays (filter context)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["_score"].tolist() == [3.0, 0.0]
+
+
+def test_size_cut_respects_tiebreak(ray_session):
+    body = {"query": {"bool": {"should": [
+        {"range": {"n_chars": {"gte": 0, "boost": 1.0}}}]}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 3}
+    out = _score_page(body)
+    # all five tie at 1.0 — the page takes the three smallest doc_ids
+    assert out["doc_id"].tolist() == [1, 2, 3]
+
+
+def test_script_score_cosine(ray_session):
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.6, 0.8], [1.0, 0.0], [-1.0, 0.0]],
+    })
+    body = {"query": {"script_score": {
+        "query": {"range": {"vec_id": {"gte": 1}}},
+        "script": {
+            "source": "cosineSimilarity(params.qv, 'embedding') + 1.0",
+            "params": {"qv": [1.0, 0.0]}}}},
+        "sort": ["_score", {"vec_id": "asc"}], "size": 3}
+    out = KnowledgeGraphForge().elastic(
+        body, data=ray.data.from_pandas(emb).repartition(2))
+    assert out["vec_id"].tolist() == [2, 1, 3]
+    np.testing.assert_allclose(out["_score"].to_numpy(), [2.0, 1.6, 0.0])
+
+
+def test_constant_score_clause(ray_session):
+    body = {"query": {"bool": {"should": [
+        {"constant_score": {
+            "filter": {"term": {"source": "src1"}}, "boost": 7.0}},
+    ]}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["_score"].tolist() == [7.0, 7.0]

@@ -301,3 +301,68 @@ def test_jsonld_normalize_dataset(ray_session):
     recs = {r["id"]: r for r in out["record"]}
     assert recs["p1"]["knows"] == "p2"       # foreign term -> model term
     assert recs["p3"]["born"] == "1990-01-01"
+
+
+# ------------------------------------------------- @nest + @json (round 4)
+
+
+def test_nest_flattens_properties():
+    from nexus_forge_ray.core.jsonld import expand
+    doc = {
+        "@context": {"@vocab": "http://v/", "meta": "@nest"},
+        "@id": "http://x/1",
+        "name": "top",
+        "meta": {"score": 5, "tag": "a"},
+    }
+    out = expand(doc)[0]
+    assert out["http://v/score"] == [{"@value": 5}]
+    assert out["http://v/tag"] == [{"@value": "a"}]
+    assert "meta" not in out and "@nest" not in out
+
+
+def test_nest_literal_keyword_and_list():
+    from nexus_forge_ray.core.jsonld import expand
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@nest": [{"a": 1}, {"a": 2, "b": "x"}],
+    }
+    out = expand(doc)[0]
+    assert out["http://v/a"] == [{"@value": 1}, {"@value": 2}]
+    assert out["http://v/b"] == [{"@value": "x"}]
+
+
+def test_nest_rejects_value_objects():
+    import pytest as _pytest
+
+    from nexus_forge_ray.core.jsonld import expand
+    doc = {"@context": {"@vocab": "http://v/"},
+           "@nest": {"@value": 3}}
+    with _pytest.raises(ValueError):
+        expand(doc)
+
+
+def test_json_literal_roundtrip():
+    from nexus_forge_ray.core.jsonld import compact, expand
+    ctx = {"@vocab": "http://v/",
+           "blob": {"@id": "http://v/blob", "@type": "@json"}}
+    raw = {"k": [1, {"deep": True}], "s": "txt"}
+    doc = {"@context": ctx, "blob": raw}
+    out = expand(doc)[0]
+    assert out["http://v/blob"] == [{"@value": raw, "@type": "@json"}]
+    # compaction restores the raw JSON verbatim under the typed term
+    back = compact(out, ctx)
+    assert back["blob"] == raw
+
+
+def test_nest_roundtrip_flat():
+    # expand(compact(expand(doc))) is stable: compaction emits the FLAT
+    # form, whose re-expansion equals the nested doc's expansion
+    from nexus_forge_ray.core.jsonld import compact, expand
+    ctx = {"@vocab": "http://v/", "meta": "@nest"}
+    doc = {"@context": ctx, "@id": "http://x/1",
+           "meta": {"score": 5}, "name": "n"}
+    exp1 = expand(doc)
+    flat = compact(exp1, ctx)
+    assert flat["score"] == 5 and flat["name"] == "n"
+    exp2 = expand(flat)
+    assert exp1 == exp2

@@ -64,3 +64,28 @@ def test_kg_mis_matches_oracle(duck, sf_dir):
     want = duck.sql(ORACLES["kg_mis"]).df()
     want["round"] = want["round"].astype("int64")
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_mis_empty_and_selfloop_only(ray_session):
+    # empty edge set and self-loops-only both yield an EMPTY MIS (not an
+    # IndexError): no alive nodes means nothing to choose
+    for pairs in ([("q", "q")], [("q", "q"), ("r", "r")]):
+        out = run(pairs)
+        assert len(out) == 0
+        # Ray may drop column names on a fully-empty block roundtrip; the
+        # contract is "empty result, no IndexError" + the schema when kept
+        assert list(out.columns) in ([], ["node", "round"])
+
+
+def test_mis_priority_exact_above_2_53(ray_session):
+    # priorities travel as fixed-width hex strings: lexicographic order on
+    # them must equal numeric uint64 order (incl. values above 2^53 that a
+    # float64 roundtrip would collapse)
+    from nexus_forge_ray.kg.mis import _prio, _prio_hex
+    s = pd.Series([f"n{i}" for i in range(2000)])
+    nums = _prio(s, 3)
+    hexes = _prio_hex(s, 3)
+    order_n = np.argsort(nums, kind="stable")
+    order_h = np.argsort(hexes, kind="stable")
+    assert (order_n == order_h).all()
+    assert all(len(h) == 16 for h in hexes)

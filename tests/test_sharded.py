@@ -105,3 +105,51 @@ def test_global_canonicalize_merges_cross_shard_dups(tmp_path):
     m = PartitionManifest.load(os.path.join(str(tmp_path / "canonical"),
                                             "_manifests"), "global")
     assert m.committed and m.counters["cross_shard_dups"] >= 1
+
+
+def test_sharded_plus_global_equals_unsharded(tmp_path):
+    """Byte-identical triples: sharded run + global canonicalization ==
+    one unsharded run, on a corpus whose near-dup pairs STRADDLE shard
+    boundaries (doc_ids of each dup pair land in different doc_id%2
+    shards). The 1M-page version of this check runs in
+    tools/bench_sharded.py and is recorded in BASELINE.md."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from nexus_forge_ray.pipelines.kg_pipeline import flagship
+    from nexus_forge_ray.pipelines.sharded import (flagship_sharded,
+                                                   global_canonicalize)
+
+    base = ["spark table join sort merge filter window customer",
+            "vector stream query hash spark table unique one",
+            "alpha beta gamma delta epsilon zeta eta theta"]
+    docs = pd.DataFrame({
+        # pairs (0,1), (2,3), (4,5): identical text, opposite parity shards
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+        "text": [base[0], base[0], base[1], base[1], base[2], base[2],
+                 "totally different content that stands alone here",
+                 "another unique page with its own words entirely"],
+        "lang": ["en"] * 8,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet", index=False)
+
+    def read_sorted(d):
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        df = pd.concat([pd.read_parquet(f) for f in files],
+                       ignore_index=True)
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols, kind="mergesort") \
+            .reset_index(drop=True)
+
+    un_dir = str(tmp_path / "unsharded")
+    flagship(str(sf), replicate=2, out_dir=un_dir)
+
+    out = str(tmp_path / "run")
+    flagship_sharded(str(sf), out, num_shards=2, replicate=2)
+    final_dir = global_canonicalize(out, str(tmp_path / "canonical"))
+
+    want, got = read_sorted(un_dir), read_sorted(final_dir)
+    pd.testing.assert_frame_equal(got, want)
