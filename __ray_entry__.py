@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_pass": corpus.doc_filter_pass,
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
+        "q_es_multi_match": corpus.q_es_multi_match,
         "q_es_should": corpus.q_es_should,
         "q_es_match_phrase": corpus.q_es_match_phrase,
         "q_es_match": corpus.q_es_match,

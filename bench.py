@@ -147,26 +147,58 @@ def run_stages() -> dict:
         stages[name] = round(time.time() - t, 3)
         t = time.time()
 
+    # GRAFT_STAGES_PANDAS=1 drives the LEGACY pandas-batch chain — kept
+    # for A/B-measuring the round-4 Arrow-native conversion (same stages,
+    # same session config, only the batch format + kernels differ)
+    legacy = os.environ.get("GRAFT_STAGES_PANDAS") == "1"
     pages = extract_text(synth_pages(SF_DIR, replicate=REPLICATE))
-    pages = pages.map_batches(_add_page_keys, batch_format="pandas")
-    validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype")
-    valid_pages = validated.map_batches(
-        lambda df: df[df["valid"]].drop(
-            columns=["html", "warc_ts", "valid", "violation"]),
-        batch_format="pandas")
-    feats = valid_pages.map_batches(
-        PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
-                     num_perm=64, num_bands=8),
-        batch_format="pandas", batch_size=None).materialize()
+    if legacy:
+        from nexus_forge_ray.sources.pages import extract_text_batch
+        pages = synth_pages(SF_DIR, replicate=REPLICATE).map_batches(
+            extract_text_batch, batch_format="pandas")
+        pages = pages.map_batches(_add_page_keys, batch_format="pandas")
+        validated = validate_dataset(pages, [PAGE_SHAPE], type_col="rtype")
+        valid_pages = validated.map_batches(
+            lambda df: df[df["valid"]].drop(
+                columns=["html", "warc_ts", "valid", "violation"]),
+            batch_format="pandas")
+        feats = valid_pages.map_batches(
+            PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
+                         num_perm=64, num_bands=8),
+            batch_format="pandas", batch_size=None).materialize()
+    else:
+        from nexus_forge_ray.pipelines.kg_pipeline import (
+            _add_page_keys_arrow, _validate_pages_arrow)
+        pages = pages.map_batches(_add_page_keys_arrow,
+                                  batch_format="pyarrow")
+        valid_pages = pages.map_batches(_validate_pages_arrow,
+                                        batch_format="pyarrow")
+        feats = valid_pages.map_batches(
+            PageFeatures(PAGE_MAPPING, CONTEXT, KB.DEFAULT_KB, KB.KB_TERMS,
+                         num_perm=64, num_bands=8),
+            batch_format="pyarrow", batch_size=None).materialize()
     mark("extract_validate_map_link_sign")  # the fused per-page pass
-    triples = feats.map_batches(
-        lambda df: df.loc[df["kind"] == 1,
-                          ["page_nid", "subj", "pred", "obj", "obj_is_iri",
-                           "obj_datatype"]], batch_format="pandas")
-    sig_rows = feats.map_batches(
-        lambda df: df.loc[df["kind"] == 0, ["page_nid", "sig_hash"]
-                          + [f"b{i}" for i in range(8)]],
-        batch_format="pandas")
+    if legacy:
+        triples = feats.map_batches(
+            lambda df: df.loc[df["kind"] == 1,
+                              ["page_nid", "subj", "pred", "obj",
+                               "obj_is_iri", "obj_datatype"]],
+            batch_format="pandas")
+        sig_rows = feats.map_batches(
+            lambda df: df.loc[df["kind"] == 0, ["page_nid", "sig_hash"]
+                              + [f"b{i}" for i in range(8)]],
+            batch_format="pandas")
+    else:
+        import pyarrow.compute as pc
+        TCOLS = ["page_nid", "subj", "pred", "obj", "obj_is_iri",
+                 "obj_datatype"]
+        SCOLS = ["page_nid", "sig_hash"] + [f"b{i}" for i in range(8)]
+        triples = feats.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 1))
+                       .select(TCOLS), batch_format="pyarrow")
+        sig_rows = feats.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                       .select(SCOLS), batch_format="pyarrow")
     comp = components_from_compact(sig_rows, id_col="page_nid", num_bands=8)
     dup_keys = comp.map_batches(_dup_key_rows,
                                 batch_format="pandas").materialize()

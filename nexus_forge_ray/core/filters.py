@@ -348,7 +348,9 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             out = out.assign(_score=(mat @ qn) / norms + add)
             return _prune(out)
     else:
-        b = q.get("bool") or {}
+        # a bare top-level scoring clause ranks like a one-clause should
+        b = q.get("bool") or (
+            {"should": [q]} if q and "bool" not in q else {})
         must: list = []
         for sub in list(b.get("must", [])) + list(b.get("filter", [])):
             must.extend(filters_from_elastic({"query": sub}))
@@ -360,7 +362,9 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
 
         def compile_should(c: dict):
             """-> (boost, token_patterns|None, filters) — a match clause
-            scores per matched token, everything else per clause."""
+            scores per matched token, everything else per clause.
+            multi_match expands to one scorer per field (field^boost
+            syntax, ES most_fields semantics: per-field scores add)."""
             kind, cbody = next(iter(c.items()))
             if kind == "constant_score":
                 boost = float(cbody.get("boost", 1.0))
@@ -381,7 +385,22 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
                 boost = float(v["boost"])
             return (boost, None, filters_from_elastic({"query": c}))
 
-        scorers = [compile_should(c) for c in should]
+        def expand_clause(c: dict) -> list:
+            """multi_match -> one match scorer per field (most_fields:
+            per-field scores sum; `f^2` boosts the field)."""
+            kind, cbody = next(iter(c.items()))
+            if kind != "multi_match":
+                return [compile_should(c)]
+            qtext = str(cbody.get("query", ""))
+            out = []
+            for f in cbody.get("fields", []):
+                field, _, fb = str(f).partition("^")
+                boost = float(fb) if fb else 1.0
+                out.append(compile_should(
+                    {"match": {field: {"query": qtext, "boost": boost}}}))
+            return out
+
+        scorers = [s for c in should for s in expand_clause(c)]
 
         def score_batch(df: pd.DataFrame) -> pd.DataFrame:
             out = apply_filters_frame(df, must)

@@ -71,8 +71,10 @@ class PageFeatures:
         self.num_bands = num_bands
         self.rows_per_band = max(1, num_perm // num_bands)
 
-    def _signature_rows(self, batch: pd.DataFrame,
-                        tok_lists=None) -> pd.DataFrame:
+    def _signature_arrays(self, batch: pd.DataFrame,
+                          tok_lists=None) -> dict[str, np.ndarray]:
+        """Numeric signature columns (kind/page_nid/sig_hash/b0..b7) as raw
+        numpy — shared by the pandas and Arrow output paths."""
         sigs = self.hasher.signatures(batch["text"].tolist(), tok_lists)
         n = len(batch)
         out = {"kind": np.zeros(n, dtype=np.int8),
@@ -92,7 +94,11 @@ class PageFeatures:
                 bh ^= (chunk[:, j] + np.uint64(j + 1)) \
                     * _BAND_MIX[j % len(_BAND_MIX)]
             out[f"b{b}"] = bh
-        df = pd.DataFrame(out)
+        return out
+
+    def _signature_rows(self, batch: pd.DataFrame,
+                        tok_lists=None) -> pd.DataFrame:
+        df = pd.DataFrame(self._signature_arrays(batch, tok_lists))
         # "" placeholders (not None): object columns holding None make every
         # downstream pandas concat run per-value NA checks (profiled hotspot)
         df["subj"] = ""
@@ -156,8 +162,10 @@ class PageFeatures:
                 "page_nid": nids[keep]}))
         return out
 
-    def _triple_rows(self, batch: pd.DataFrame,
-                     tok_lists=None) -> pd.DataFrame:
+    def _triple_frames(self, batch: pd.DataFrame,
+                       tok_lists=None) -> list[pd.DataFrame]:
+        """Raw triple frames (subj/pred/obj/obj_is_iri/obj_datatype/
+        page_nid) — the union-padding happens per output path."""
         subjs, preds, objs, iris, dts, nids = [], [], [], [], [], []
         plan = self.mapper.compiled.simple_plan()
         vec_frames = None
@@ -202,6 +210,11 @@ class PageFeatures:
                 "obj_is_iri": np.asarray(iris, dtype=bool),
                 "obj_datatype": dts,
                 "page_nid": np.asarray(nids, dtype=np.int64)}))
+        return frames
+
+    def _triple_rows(self, batch: pd.DataFrame,
+                     tok_lists=None) -> pd.DataFrame:
+        frames = self._triple_frames(batch, tok_lists)
         if not frames:
             return _empty_features()
         df = pd.concat(frames, ignore_index=True)
@@ -240,8 +253,43 @@ class PageFeatures:
             if c != "page_nid":
                 df[c] = batch.column(c).to_pandas()
         tok_lists = df["text"].str.split()
-        out = pd.concat([self._signature_rows(df, tok_lists),
-                         self._triple_rows(df, tok_lists)],
-                        ignore_index=True)
-        return pa.Table.from_pandas(out, schema=FEATURE_SCHEMA,
-                                    preserve_index=False)
+
+        # signature rows: numerics zero-copy from numpy, string padding as
+        # typed nulls (free — no buffers, and downstream only reads the
+        # numeric SIG_COLS of kind=0 rows)
+        sig = self._signature_arrays(df, tok_lists)
+        n_sig = len(df)
+        LS = pa.large_string()
+        sig_cols = [pa.array(sig["kind"]), pa.array(sig["page_nid"]),
+                    pa.array(sig["sig_hash"])] \
+            + [pa.array(sig[f"b{i}"]) for i in range(8)] \
+            + [pa.nulls(n_sig, LS), pa.nulls(n_sig, LS),
+               pa.nulls(n_sig, LS),
+               pa.array(np.zeros(n_sig, dtype=bool)),
+               pa.nulls(n_sig, LS)]
+        sig_t = pa.Table.from_arrays(sig_cols, schema=FEATURE_SCHEMA)
+
+        # triple rows: per-column concatenation straight into Arrow arrays
+        # (skips the pandas union concat and its per-value NA checks —
+        # profiled at ~20% of the stage)
+        frames = self._triple_frames(df, tok_lists)
+        if frames:
+            def col(name, dtype=None):
+                parts = [f[name].to_numpy(dtype=dtype) if dtype is not None
+                         else f[name].to_numpy() for f in frames]
+                return np.concatenate(parts) if len(parts) > 1 else parts[0]
+            n_tri = sum(len(f) for f in frames)
+            tri_cols = [
+                pa.array(np.ones(n_tri, dtype=np.int8)),
+                pa.array(col("page_nid", np.int64)),
+                pa.array(np.zeros(n_tri, dtype=np.uint64))] \
+                + [pa.array(np.zeros(n_tri, dtype=np.uint64))
+                   for _ in range(8)] \
+                + [pa.array(col("subj"), type=LS),
+                   pa.array(col("pred"), type=LS),
+                   pa.array(col("obj"), type=LS),
+                   pa.array(col("obj_is_iri", bool)),
+                   pa.array(col("obj_datatype"), type=LS)]
+            tri_t = pa.Table.from_arrays(tri_cols, schema=FEATURE_SCHEMA)
+            return pa.concat_tables([sig_t, tri_t])
+        return sig_t

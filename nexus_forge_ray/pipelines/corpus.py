@@ -1206,6 +1206,23 @@ def q_es_vector_score(sf_dir: str):
     return out
 
 
+def q_es_multi_match(sf_dir: str):
+    """ES multi_match (most_fields) through the _score surface: one query
+    string scored across two fields with a per-field `^boost` — expands to
+    one constant-score-per-term match scorer per field, scores add
+    (es_query_builder builds multi-field queries for text+keyword pairs).
+    Top-40 by (_score desc, doc_id asc)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"multi_match": {
+        "query": "spark src1",
+        "fields": ["text^2", "source"]}},
+        "sort": ["_score", {"doc_id": "asc"}],
+        "size": 40}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "source", "text"]))
+    return out[["doc_id", "_score"]]
+
+
 # ------------------------------------------------ deterministic sampling
 
 def doc_sample(sf_dir: str):

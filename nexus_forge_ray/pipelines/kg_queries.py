@@ -723,6 +723,18 @@ def kg_bgp_path_group(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, _next_triples(sf_dir))
 
 
+def kg_bgp_path_nested(sf_dir: str):
+    """Nested grouped path `((v:next/v:next)|v:next)+`: alternation of a
+    sequence with an atom, under a closure — exercises the full AST
+    (alt(seq, atom) inside plus). Over the bounded 20-chains the closed
+    edge set {1,2}-step-sums reaches every strictly-forward pair inside a
+    chain, so the oracle is pure arithmetic (no recursion needed)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?a ?b WHERE { ?a ((v:next/v:next)|v:next)+ ?b }"""
+    return KnowledgeGraphForge().sparql(q, _next_triples(sf_dir))
+
+
 def kg_bgp_alt(sf_dir: str):
     """SPARQL alternative property path (`v:mentions|v:lang`): one
     vectorized predicate-isin scan instead of a two-branch union."""
@@ -1593,6 +1605,7 @@ QUERIES = {
     "kg_bgp_count_distinct": kg_bgp_count_distinct,
     "kg_bgp_star": kg_bgp_star,
     "kg_bgp_path_group": kg_bgp_path_group,
+    "kg_bgp_path_nested": kg_bgp_path_nested,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
     "kg_update": kg_update,

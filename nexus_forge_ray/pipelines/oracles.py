@@ -1444,6 +1444,14 @@ ORACLES: dict[str, str] = {
                         'http://example.org/doc/' || dst as b
         from closure
     """,
+    # ((next/next)|next)+ over 20-chains: step sums over {1,2} reach every
+    # strictly-forward pair within a chain — arithmetic, no recursion
+    "kg_bgp_path_nested": """
+        select 'http://example.org/doc/' || a.doc_id as a,
+               'http://example.org/doc/' || b.doc_id as b
+        from documents a join documents b
+          on a.doc_id // 20 = b.doc_id // 20 and b.doc_id > a.doc_id
+    """,
     "kg_bgp_alt": f"""
         with {_KG_TRIPLES_CTE}
         select subj as d, obj as x from t
@@ -1913,6 +1921,23 @@ ORACLES: dict[str, str] = {
                                         q.embedding::DOUBLE[]) desc,
                  e.vec_id asc
         limit 20
+    """,
+    # multi_match most_fields: per-field per-term constant scores add;
+    # text^2, source^1; ES bool rule (at least one field-term matches)
+    "q_es_multi_match": r"""
+        with s as (
+          select doc_id,
+            2.0 * ((case when regexp_matches(text, '(^|\s)spark(\s|$)')
+                    then 1 else 0 end)
+                 + (case when regexp_matches(text, '(^|\s)src1(\s|$)')
+                    then 1 else 0 end))
+            + 1.0 * ((case when regexp_matches(source, '(^|\s)spark(\s|$)')
+                      then 1 else 0 end)
+                   + (case when regexp_matches(source, '(^|\s)src1(\s|$)')
+                      then 1 else 0 end)) as score
+          from documents)
+        select doc_id, score as "_score" from s where score > 0
+        order by score desc, doc_id asc limit 40
     """,
     "q_es_match": r"""
         select doc_id from documents
