@@ -1132,3 +1132,22 @@ def test_path_parser_units():
     assert ast2 == ("inv", ("star", ("atom", "p1")))
     ast3 = parse_path("!(<p1>|<p2>)/<p3>")
     assert ast3 == ("seq", [("neg", ["p1", "p2"]), ("atom", "p3")])
+
+
+def test_grouped_path_inside_optional(ray_session):
+    # grouped path in an OPTIONAL group: base rows survive with unbound ?o
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE {
+          ?s v:p3 ?y . OPTIONAL { ?s (v:p1/v:p2)+ ?o } }""")
+    # only x has p3; x has no (p1/p2)+ successor -> one row, o unbound
+    assert len(out) == 1
+    assert out.iloc[0]["s"] == "x"
+    assert pd.isna(out.iloc[0]["o"])
+
+
+def test_grouped_path_inside_exists(ray_session):
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s WHERE {
+          ?s v:p1 ?m . FILTER EXISTS { ?s (v:p1/v:p2)+ ?e } }""")
+    # a and c have p1 edges; both reach something via (p1/p2)+
+    assert sorted(out["s"]) == ["a", "c"]
