@@ -937,13 +937,21 @@ def parse_sparql(query: str) -> ParsedQuery:
             extract_clauses(global_text)
         if re.search(r"(?is)\b(optional|minus|exists)\b", gbody) \
                 or "{" in gbody:
-            raise ValueError("OPTIONAL/EXISTS/NOT EXISTS/MINUS combined "
-                             "with UNION is unsupported")
+            raise ValueError("OPTIONAL/EXISTS/NOT EXISTS/MINUS at GLOBAL "
+                             "scope combined with UNION is unsupported "
+                             "(write them inside the branches)")
         leftover = re.sub(r"(?i)\bunion\b", " ", gbody).strip(" \t\r\n.")
         if leftover:
             raise ValueError(f"unparsed text around UNION branches: "
                              f"{leftover!r}")
         for bt in branch_texts:
+            # branch-scoped OPTIONAL groups pull out first (SPARQL group
+            # scoping: the left join happens inside the branch, before the
+            # union) — same extraction as the non-union path
+            b_opts_raw: list[str] = []
+            bt = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
+                        lambda mm: (b_opts_raw.append(mm.group(1)),
+                                    " ")[1], bt)
             btext, bf, brf, bv, bb_raw = extract_clauses(bt)
             if "{" in btext:
                 raise ValueError("nested groups inside UNION branches are "
@@ -951,8 +959,19 @@ def parse_sparql(query: str) -> ParsedQuery:
             pats = patterns_of(btext)
             if not pats:
                 raise ValueError("empty UNION branch")
+            b_opts = []
+            for g in b_opts_raw:
+                gclean, gf, grf, gvc, gb = extract_clauses(g)
+                if gvc or gb:
+                    raise ValueError("VALUES/BIND inside OPTIONAL "
+                                     "unsupported")
+                gp = patterns_of(gclean)
+                if not gp:
+                    raise ValueError("empty OPTIONAL block")
+                b_opts.append((gp, (gf, grf)))
             union_groups.append(pats)
-            union_clauses.append((bf, brf, bv, _parse_binds(bb_raw)))
+            union_clauses.append((bf, brf, bv, _parse_binds(bb_raw),
+                                  b_opts))
         patterns: list[tuple[str, str, str]] = []
         optionals: list[list[tuple[str, str, str]]] = []
         optional_filters = []
@@ -1501,20 +1520,26 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         if v not in aliases))
     if q.union_groups:
         branches = []
-        clauses = q.union_clauses or [([], [], [], [])] * len(q.union_groups)
-        # a var that is ANY branch's BIND alias is allowed to stay unbound
-        # (null) in the branches that don't bind it
-        any_alias = {a for _, _, _, bb in clauses for _, _, a in bb}
-        for g, (bf, brf, bv, bb) in zip(q.union_groups, clauses):
+        clauses = q.union_clauses or \
+            [([], [], [], [], [])] * len(q.union_groups)
+        clauses = [c if len(c) == 5 else (*c, []) for c in clauses]
+        # a var that is ANY branch's BIND alias or optional-group binding
+        # is allowed to stay unbound (null) in the branches lacking it
+        any_alias = {a for _, _, _, bb, _ in clauses for _, _, a in bb}
+        any_opt = {t[1:] for *_, bo in clauses
+                   for gp, _ in bo for pat in gp
+                   for t in pat if _is_var(t)}
+        for g, (bf, brf, bv, bb, bo) in zip(q.union_groups, clauses):
             gvars = {t[1:] for pat in g for t in pat if _is_var(t)}
             b_aliases = {a for _, _, a in bb}
             # branch-local working set: globally wanted vars the branch must
             # bind, plus vars its own clauses touch
             b_want = list(dict.fromkeys(
-                [v for v in wanted if v not in any_alias]
-                + [f[0] for f in bf]
-                + [f[2] for f in bf if f[3]]
-                + [r[0] for r in brf]
+                [v for v in wanted if v in gvars
+                 or (v not in any_alias and v not in any_opt)]
+                + [f[0] for f in bf if f[0] in gvars]
+                + [f[2] for f in bf if f[3] and f[2] in gvars]
+                + [r[0] for r in brf if r[0] in gvars]
                 + [v for v, _ in bv]
                 + [a[1:] for _, args, _ in bb for a in args
                    if isinstance(a, str) and a.startswith("?")]))
@@ -1524,6 +1549,25 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                  " — branches must bind the selected/"
                                  "filtered variables")
             b = bgp_select(triples, g, b_want, **kw)
+            b_cols = list(b_want)
+            # branch-scoped OPTIONAL groups: left-join inside the branch
+            # BEFORE clause application, so branch FILTERs see the
+            # optional bindings (SPARQL group join semantics)
+            for gp, (gf, grf) in bo:
+                gv = list(dict.fromkeys(t[1:] for pat in gp
+                                        for t in pat if _is_var(t)))
+                shared = [v for v in gv if v in b_cols]
+                if not shared:
+                    raise ValueError(f"OPTIONAL {gp} inside a UNION branch "
+                                     "shares no variable with the branch "
+                                     "patterns")
+                opt_ds = bgp_select(triples, gp, gv, **kw)
+                if gf or grf:
+                    opt_ds = _apply_filters(opt_ds, list(gf), list(grf), [])
+                b = partitioned_join(b, opt_ds, on=shared[0],
+                                     extra_keys=shared[1:], how="left",
+                                     lcols=b_cols, rcols=gv)
+                b_cols = list(dict.fromkeys(b_cols + gv))
             if bb:
                 b = _apply_binds(b, bb)
             if bf or brf or bv:

@@ -643,6 +643,29 @@ def kg_bgp_optional_filter(sf_dir: str):
     return out
 
 
+def kg_bgp_union_optional(sf_dir: str):
+    """OPTIONAL inside UNION branches (branch-scoped left join, new r4):
+    French docs vs docs mentioning 'query', each branch OPTIONALLY pulling
+    the doc's 'spark' mention flag — the left join happens inside the
+    branch BEFORE the union, and the branch FILTER sees the optional
+    binding. Bag semantics (UNION ALL in the oracle)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?e WHERE {
+      { ?d v:lang "fr" .
+        OPTIONAL { ?d v:mentions ?e .
+                   FILTER(?e = <http://example.org/entity/spark>) } }
+      UNION
+      { ?d v:mentions <http://example.org/entity/query> .
+        OPTIONAL { ?d v:lang ?e } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, kg_triples(sf_dir)).to_pandas()
+    # unbound -> "" on BOTH sides (oracle coalesces): the compare layer's
+    # NaN/None string forms differ between pandas and DuckDB
+    out["e"] = out["e"].fillna("")
+    return out
+
+
 def kg_bgp_union(sf_dir: str):
     """SPARQL UNION surface (bag semantics — no implicit dedup, matching
     UNION ALL in the oracle): French documents plus documents mentioning
@@ -1606,6 +1629,7 @@ QUERIES = {
     "kg_bgp_star": kg_bgp_star,
     "kg_bgp_path_group": kg_bgp_path_group,
     "kg_bgp_path_nested": kg_bgp_path_nested,
+    "kg_bgp_union_optional": kg_bgp_union_optional,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
     "kg_update": kg_update,

@@ -1699,6 +1699,26 @@ ORACLES: dict[str, str] = {
                       and mm.obj > 'http://example.org/entity/s'
         where la.pred = 'http://example.org/vocab/lang'
     """,
+    # OPTIONAL inside UNION branches: per-branch left joins, then UNION ALL
+    "kg_bgp_union_optional": f"""
+        with {_KG_TRIPLES_CTE}
+        select b.subj as d, coalesce(m.obj, '') as e
+        from (select subj from t
+              where pred = 'http://example.org/vocab/lang'
+                and obj = 'fr') b
+        left join (select subj, obj from t
+                   where pred = 'http://example.org/vocab/mentions'
+                     and obj = 'http://example.org/entity/spark') m
+          on m.subj = b.subj
+        union all
+        select b.subj as d, coalesce(l.obj, '') as e
+        from (select subj from t
+              where pred = 'http://example.org/vocab/mentions'
+                and obj = 'http://example.org/entity/query') b
+        left join (select subj, obj from t
+                   where pred = 'http://example.org/vocab/lang') l
+          on l.subj = b.subj
+    """,
     "kg_bgp_union": f"""
         with {_KG_TRIPLES_CTE}
         select subj as d from t

@@ -1151,3 +1151,41 @@ def test_grouped_path_inside_exists(ray_session):
           ?s v:p1 ?m . FILTER EXISTS { ?s (v:p1/v:p2)+ ?e } }""")
     # a and c have p1 edges; both reach something via (p1/p2)+
     assert sorted(out["s"]) == ["a", "c"]
+
+
+def test_optional_inside_union_branch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d3", "d3"],
+        "pred": ["lang", "lang", "mentions", "cites", "mentions"],
+        "obj":  ["en",  "fr",  "e1",       "d1",     "e3"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      { ?d lang ?l . OPTIONAL { ?d mentions ?e } }
+      UNION
+      { ?d cites ?x . OPTIONAL { ?d mentions ?e } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.e) else r.e) for r in out.itertuples()}
+    # branch 1: d1 (mentions e1), d2 (unbound); branch 2: d3 (mentions e3)
+    assert rows == {("d1", "e1"), ("d2", None), ("d3", "e3")}
+
+
+def test_optional_in_union_with_branch_filter(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d2"],
+        "pred": ["lang", "lang", "score", "score"],
+        "obj":  ["en",  "fr",  "5",     "50"],
+    })
+    q = """SELECT ?d ?s WHERE {
+      { ?d lang "en" . OPTIONAL { ?d score ?s } FILTER(?s >= 1) }
+      UNION
+      { ?d lang "fr" . OPTIONAL { ?d score ?s } FILTER(?s >= 10) }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = sorted(map(tuple, out.to_numpy()))
+    # branch filters SEE the optional binding (applied after the join)
+    assert rows == [("d1", "5"), ("d2", "50")]
