@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_es_agg": corpus.q_es_agg,
         "q_es_multi_match": corpus.q_es_multi_match,
         "kg_bgp_union_optional": kg_queries.QUERIES["kg_bgp_union_optional"],
+        "kg_bgp_union_minus": kg_queries.QUERIES["kg_bgp_union_minus"],
         "q_es_should": corpus.q_es_should,
         "q_es_match_phrase": corpus.q_es_match_phrase,
         "q_es_match": corpus.q_es_match,

@@ -945,9 +945,21 @@ def parse_sparql(query: str) -> ParsedQuery:
             raise ValueError(f"unparsed text around UNION branches: "
                              f"{leftover!r}")
         for bt in branch_texts:
-            # branch-scoped OPTIONAL groups pull out first (SPARQL group
-            # scoping: the left join happens inside the branch, before the
-            # union) — same extraction as the non-union path
+            # branch-scoped OPTIONAL / NOT EXISTS / MINUS / EXISTS groups
+            # pull out first (SPARQL group scoping: the joins happen inside
+            # the branch, before the union) — same extraction as the
+            # non-union path
+            b_anti_raw: list[str] = []
+            bt = re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
+                        lambda mm: (b_anti_raw.append(mm.group(1)),
+                                    " ")[1], bt)
+            bt = re.sub(r"(?is)\bminus\s*\{([^{}]*)\}",
+                        lambda mm: (b_anti_raw.append(mm.group(1)),
+                                    " ")[1], bt)
+            b_semi_raw: list[str] = []
+            bt = re.sub(r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
+                        lambda mm: (b_semi_raw.append(mm.group(1)),
+                                    " ")[1], bt)
             b_opts_raw: list[str] = []
             bt = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
                         lambda mm: (b_opts_raw.append(mm.group(1)),
@@ -969,9 +981,13 @@ def parse_sparql(query: str) -> ParsedQuery:
                 if not gp:
                     raise ValueError("empty OPTIONAL block")
                 b_opts.append((gp, (gf, grf)))
+            b_anti = [patterns_of(g) for g in b_anti_raw]
+            b_semi = [patterns_of(g) for g in b_semi_raw]
+            if any(not g for g in b_anti + b_semi):
+                raise ValueError("empty EXISTS / NOT EXISTS / MINUS block")
             union_groups.append(pats)
             union_clauses.append((bf, brf, bv, _parse_binds(bb_raw),
-                                  b_opts))
+                                  b_opts, b_anti, b_semi))
         patterns: list[tuple[str, str, str]] = []
         optionals: list[list[tuple[str, str, str]]] = []
         optional_filters = []
@@ -1521,15 +1537,16 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     if q.union_groups:
         branches = []
         clauses = q.union_clauses or \
-            [([], [], [], [], [])] * len(q.union_groups)
-        clauses = [c if len(c) == 5 else (*c, []) for c in clauses]
+            [([], [], [], [], [], [], [])] * len(q.union_groups)
+        clauses = [(*c, *([[]] * (7 - len(c)))) for c in clauses]
         # a var that is ANY branch's BIND alias or optional-group binding
         # is allowed to stay unbound (null) in the branches lacking it
-        any_alias = {a for _, _, _, bb, _ in clauses for _, _, a in bb}
-        any_opt = {t[1:] for *_, bo in clauses
+        any_alias = {a for _, _, _, bb, *_ in clauses for _, _, a in bb}
+        any_opt = {t[1:] for _, _, _, _, bo, _, _ in clauses
                    for gp, _ in bo for pat in gp
                    for t in pat if _is_var(t)}
-        for g, (bf, brf, bv, bb, bo) in zip(q.union_groups, clauses):
+        for g, (bf, brf, bv, bb, bo, banti, bsemi) in zip(q.union_groups,
+                                                          clauses):
             gvars = {t[1:] for pat in g for t in pat if _is_var(t)}
             b_aliases = {a for _, _, a in bb}
             # branch-local working set: globally wanted vars the branch must
@@ -1550,6 +1567,43 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                  "filtered variables")
             b = bgp_select(triples, g, b_want, **kw)
             b_cols = list(b_want)
+            # branch-scoped NOT EXISTS/MINUS (anti) and EXISTS (semi)
+            # groups: bucketed joins inside the branch, before the union
+            if banti or bsemi:
+                from nexus_forge_ray.ops.joins import (partitioned_anti_join,
+                                                       partitioned_semi_join)
+
+                def bkey_of(shared):
+                    def fn(df: pd.DataFrame) -> pd.DataFrame:
+                        df = df.copy()
+                        key = df[shared[0]].astype(str)
+                        for svv in shared[1:]:
+                            key = key + "\x00" + df[svv].astype(str)
+                        df["__nk"] = key
+                        return df
+                    return fn
+
+                for sub_groups, joiner in ((banti, partitioned_anti_join),
+                                           (bsemi, partitioned_semi_join)):
+                    for gpats in sub_groups:
+                        gv = {t[1:] for pat in gpats
+                              for t in pat if _is_var(t)}
+                        shared = [v for v in b_cols if v in gv]
+                        if not shared:
+                            raise ValueError(
+                                f"EXISTS/NOT EXISTS/MINUS {gpats} inside a "
+                                "UNION branch shares no variable with the "
+                                "branch patterns")
+                        sub = bgp_select(triples, gpats, shared, **kw)
+                        b = joiner(
+                            b.map_batches(bkey_of(shared),
+                                          batch_format="pandas"),
+                            sub.map_batches(bkey_of(shared),
+                                            batch_format="pandas"),
+                            on="__nk", lcols=b_cols + ["__nk"]) \
+                            .map_batches(
+                                lambda df: df.drop(columns="__nk"),
+                                batch_format="pandas")
             # branch-scoped OPTIONAL groups: left-join inside the branch
             # BEFORE clause application, so branch FILTERs see the
             # optional bindings (SPARQL group join semantics)

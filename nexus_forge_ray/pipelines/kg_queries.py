@@ -666,6 +666,23 @@ def kg_bgp_union_optional(sf_dir: str):
     return out
 
 
+def kg_bgp_union_minus(sf_dir: str):
+    """NOT EXISTS / EXISTS inside UNION branches (branch-scoped anti/semi
+    joins, new r4): French docs NOT mentioning 'spark', plus
+    'query'-mentioners that ARE English. Bag semantics (UNION ALL)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d WHERE {
+      { ?d v:lang "fr" .
+        FILTER NOT EXISTS {
+            ?d v:mentions <http://example.org/entity/spark> } }
+      UNION
+      { ?d v:mentions <http://example.org/entity/query> .
+        FILTER EXISTS { ?d v:lang "en" } }
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_bgp_union(sf_dir: str):
     """SPARQL UNION surface (bag semantics — no implicit dedup, matching
     UNION ALL in the oracle): French documents plus documents mentioning
@@ -1630,6 +1647,7 @@ QUERIES = {
     "kg_bgp_path_group": kg_bgp_path_group,
     "kg_bgp_path_nested": kg_bgp_path_nested,
     "kg_bgp_union_optional": kg_bgp_union_optional,
+    "kg_bgp_union_minus": kg_bgp_union_minus,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
     "kg_update": kg_update,

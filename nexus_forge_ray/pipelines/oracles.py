@@ -1699,6 +1699,23 @@ ORACLES: dict[str, str] = {
                       and mm.obj > 'http://example.org/entity/s'
         where la.pred = 'http://example.org/vocab/lang'
     """,
+    # NOT EXISTS / EXISTS inside UNION branches: anti/semi joins per branch
+    "kg_bgp_union_minus": f"""
+        with {_KG_TRIPLES_CTE}
+        select subj as d from t
+        where pred = 'http://example.org/vocab/lang' and obj = 'fr'
+          and subj not in (
+            select subj from t
+            where pred = 'http://example.org/vocab/mentions'
+              and obj = 'http://example.org/entity/spark')
+        union all
+        select subj as d from t
+        where pred = 'http://example.org/vocab/mentions'
+          and obj = 'http://example.org/entity/query'
+          and subj in (
+            select subj from t
+            where pred = 'http://example.org/vocab/lang' and obj = 'en')
+    """,
     # OPTIONAL inside UNION branches: per-branch left joins, then UNION ALL
     "kg_bgp_union_optional": f"""
         with {_KG_TRIPLES_CTE}

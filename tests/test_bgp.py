@@ -1189,3 +1189,39 @@ def test_optional_in_union_with_branch_filter(ray_session):
     rows = sorted(map(tuple, out.to_numpy()))
     # branch filters SEE the optional binding (applied after the join)
     assert rows == [("d1", "5"), ("d2", "50")]
+
+
+def test_not_exists_inside_union_branch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d3", "d3"],
+        "pred": ["lang", "lang", "mentions", "cites", "mentions"],
+        "obj":  ["en",  "fr",  "e1",       "d1",     "e3"],
+    })
+    q = """SELECT ?d WHERE {
+      { ?d lang ?l . FILTER NOT EXISTS { ?d mentions ?e } }
+      UNION
+      { ?d cites ?x . FILTER EXISTS { ?d mentions ?e } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    # branch 1: langs minus mentioners -> d2; branch 2: citers with
+    # mentions -> d3
+    assert sorted(out["d"]) == ["d2", "d3"]
+
+
+def test_minus_inside_union_branch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d1"],
+        "pred": ["lang", "lang", "lang", "mentions"],
+        "obj":  ["en",  "fr",  "en",   "e1"],
+    })
+    q = """SELECT ?d WHERE {
+      { ?d lang "en" . MINUS { ?d mentions ?e } }
+      UNION
+      { ?d lang "fr" }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(out["d"]) == ["d2", "d3"]
