@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": corpus.doc_vocab,
         "q_es_agg": corpus.q_es_agg,
         "q_es_multi_match": corpus.q_es_multi_match,
+        "q_es_terms": corpus.q_es_terms,
         "kg_bgp_union_optional": kg_queries.QUERIES["kg_bgp_union_optional"],
         "kg_bgp_union_minus": kg_queries.QUERIES["kg_bgp_union_minus"],
         "q_es_should": corpus.q_es_should,

@@ -26,6 +26,9 @@ OPERATORS = {
     "__eq__": operator.eq, "__ne__": operator.ne,
     "__lt__": operator.lt, "__le__": operator.le,
     "__gt__": operator.gt, "__ge__": operator.ge,
+    # multi-value membership (ES terms clause): one vectorized isin
+    "__in__": lambda col, v: col.isin(v),
+    "__not_in__": lambda col, v: ~col.isin(v),
     # string/presence predicates (ES exists / prefix / wildcard / regexp)
     "__exists__": lambda col, _v: col.notna(),
     "__missing__": lambda col, _v: col.isna(),
@@ -118,7 +121,8 @@ def filters_from_elastic(query: dict) -> list[Filter]:
 
     Supported: {"query": ...} wrapper; bool.must / bool.filter (AND);
     bool.must_not over term clauses (__ne__); term {"f": v} or
-    {"f": {"value": v}}; range gt/gte/lt/lte; match (scalar short form =
+    {"f": {"value": v}}; terms {"f": [v1, v2, ...]} (vectorized isin,
+    negatable); range gt/gte/lt/lte; match (scalar short form =
     term equality, the keyword-field behavior; object form with a
     multi-token query or an explicit `operator` = analyzed any/all-token
     matching); match_phrase (consecutive analyzed tokens); match_all;
@@ -167,6 +171,12 @@ def filters_from_elastic(query: dict) -> list[Filter]:
             pat = (r"(?:^|\s)" + r"\s+".join(_re.escape(t) for t in toks)
                    + r"(?:\s|$)")
             return [Filter(field, "__regex__", pat)]
+        if kind == "terms":
+            # multi-value membership: {"terms": {"f": [v1, v2, ...]}} —
+            # one vectorized isin mask; negatable under must_not
+            (field, vals), = body.items()
+            return [Filter(field, "__not_in__" if negate else "__in__",
+                           tuple(vals))]
         if kind in ("term", "match"):
             (field, v), = body.items()
             if kind == "match" and isinstance(v, dict) and (

@@ -1206,6 +1206,18 @@ def q_es_vector_score(sf_dir: str):
     return out
 
 
+def q_es_terms(sf_dir: str):
+    """ES terms clause (multi-value membership, the DSL's most common
+    filter): one vectorized isin mask, negatable under must_not."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"bool": {
+        "must": [{"terms": {"lang": ["fr", "de"]}}],
+        "must_not": [{"terms": {"source": ["src3", "src4"]}}]}}}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "lang", "source"]))
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
 def q_es_multi_match(sf_dir: str):
     """ES multi_match (most_fields) through the _score surface: one query
     string scored across two fields with a per-field `^boost` — expands to

@@ -1959,6 +1959,10 @@ ORACLES: dict[str, str] = {
                  e.vec_id asc
         limit 20
     """,
+    "q_es_terms": """
+        select doc_id, lang, source from documents
+        where lang in ('fr', 'de') and source not in ('src3', 'src4')
+    """,
     # multi_match most_fields: per-field per-term constant scores add;
     # text^2, source^1; ES bool rule (at least one field-term matches)
     "q_es_multi_match": r"""

@@ -81,3 +81,30 @@ def test_constant_score_clause(ray_session):
     out = _score_page(body)
     assert out["doc_id"].tolist() == [1, 3]
     assert out["_score"].tolist() == [7.0, 7.0]
+
+
+def test_terms_clause_membership(ray_session):
+    from nexus_forge_ray.core.filters import filters_from_elastic, search
+    ds = ray.data.from_pandas(DOCS)
+    f = filters_from_elastic({"query": {"terms": {"source": ["src1"]}}})
+    assert sorted(search(ds, *f).to_pandas()["doc_id"]) == [1, 3]
+    f = filters_from_elastic({"query": {"bool": {"must_not": [
+        {"terms": {"source": ["src1"]}}]}}})
+    assert sorted(search(ds, *f).to_pandas()["doc_id"]) == [2, 4, 5]
+    # terms as a scored should clause: constant score per clause
+    body = {"query": {"bool": {"should": [
+        {"terms": {"source": ["src1", "nope"]}}]}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["_score"].tolist() == [1.0, 1.0]
+
+
+def test_score_sort_object_form(ray_session):
+    # ES object form {"_score": {"order": "desc"}} routes to the scorer too
+    body = {"query": {"bool": {"should": [
+        {"term": {"source": {"value": "src1", "boost": 2.0}}}]}},
+        "sort": [{"_score": {"order": "desc"}}, {"doc_id": "asc"}],
+        "size": 10}
+    out = _score_page(body)
+    assert out["doc_id"].tolist() == [1, 3]
