@@ -173,8 +173,13 @@ def filters_from_elastic(query: dict) -> list[Filter]:
             return [Filter(field, "__regex__", pat)]
         if kind == "terms":
             # multi-value membership: {"terms": {"f": [v1, v2, ...]}} —
-            # one vectorized isin mask; negatable under must_not
-            (field, vals), = body.items()
+            # one vectorized isin mask; negatable under must_not. ES allows
+            # sibling option keys (boost, _name) next to the field entry.
+            entries = [(f, v) for f, v in body.items()
+                       if f not in ("boost", "_name")]
+            if len(entries) != 1:
+                raise ValueError(f"terms clause needs one field: {body}")
+            field, vals = entries[0]
             return [Filter(field, "__not_in__" if negate else "__in__",
                            tuple(vals))]
         if kind in ("term", "match"):
@@ -411,6 +416,11 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             return out
 
         scorers = [s for c in should for s in expand_clause(c)]
+        if need_should and not scorers:
+            # ES semantics: an empty/absent query is match_all — every doc
+            # matches with _score 1.0, no should-gate
+            need_should = False
+            scorers = [(1.0, None, [])]
 
         def score_batch(df: pd.DataFrame) -> pd.DataFrame:
             out = apply_filters_frame(df, must)

@@ -77,12 +77,14 @@ _PATH_MARK = "\x00path\x00"
 
 def is_complex_path(p: str) -> bool:
     """True when the predicate token needs the grouped-path compiler:
-    a '/' inside a paren group (a sequence under a modifier / alternation)
-    or '|' and '/' both at top level (alternation of sequences)."""
+    a '/' inside a paren group (a sequence under a modifier / alternation),
+    '|' and '/' both at top level (alternation of sequences), or a paren
+    alternation composed into a top-level sequence like ``(<a>|<b>)/<c>``
+    (the simple expander would split the '/' inside the group's IRIs)."""
     if not isinstance(p, str) or p.startswith(("?", '"')) or "/" not in p:
         return False
     depth, in_iri = 0, False
-    paren_seq = top_alt = top_seq = False
+    paren_seq = paren_alt = top_alt = top_seq = False
     for ch in p:
         if in_iri:
             in_iri = ch != ">"
@@ -98,9 +100,12 @@ def is_complex_path(p: str) -> bool:
                 paren_seq = True
             else:
                 top_seq = True
-        elif ch == "|" and depth == 0:
-            top_alt = True
-    return paren_seq or (top_alt and top_seq)
+        elif ch == "|":
+            if depth > 0:
+                paren_alt = True
+            else:
+                top_alt = True
+    return paren_seq or ((top_alt or paren_alt) and top_seq)
 
 
 def resolve_path_atoms(expr: str, term) -> str:

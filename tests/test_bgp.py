@@ -1112,6 +1112,14 @@ def test_grouped_path_joins_plain_pattern(ray_session):
     assert _pairs(out) == [("a", "c", "d")]
 
 
+def test_paren_alt_then_sequence(ray_session):
+    # (p1|p3)/p2 — a paren alternation composed into a top-level sequence
+    # must route to the grouped-path compiler (ADVICE r4 false-negative)
+    out = _sparql("""PREFIX v: <http://v/>
+        SELECT ?s ?o WHERE { ?s (v:p1|v:p3)/v:p2 ?o }""")
+    assert _pairs(out) == [("a", "c"), ("c", "e")]
+
+
 def test_grouped_alt_inside_sequence(ray_session):
     # p1/(p2|p3): b reachable from a via p1 then p2 -> c
     out = _sparql("""PREFIX v: <http://v/>
@@ -1126,6 +1134,10 @@ def test_path_parser_units():
     assert not is_complex_path("<p1>/<p2>")        # plain seq: old path
     assert not is_complex_path("(<p1>|<p2>)*")     # flat alt: old path
     assert not is_complex_path("?v")
+    # paren alternation composed into a top-level sequence needs the
+    # grouped compiler (ADVICE r4: the simple expander split IRIs on '/')
+    assert is_complex_path("(<http://v/p1>|<http://v/p3>)/<http://v/p2>")
+    assert is_complex_path("<http://v/p1>/(<http://v/p2>|<http://v/p3>)")
     ast = parse_path("(<p1>/<p2>)+")
     assert ast == ("plus", ("seq", [("atom", "p1"), ("atom", "p2")]))
     ast2 = parse_path("^<p1>*")

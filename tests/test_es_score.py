@@ -108,3 +108,25 @@ def test_score_sort_object_form(ray_session):
         "size": 10}
     out = _score_page(body)
     assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_terms_clause_tolerates_boost_keys(ray_session):
+    # ES allows sibling option keys next to the field entry (ADVICE r4)
+    from nexus_forge_ray.core.filters import filters_from_elastic, search
+    ds = ray.data.from_pandas(DOCS)
+    f = filters_from_elastic({"query": {"terms": {
+        "source": ["src1"], "boost": 1.0, "_name": "named"}}})
+    assert sorted(search(ds, *f).to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_empty_query_is_match_all(ray_session):
+    # ES: a missing/empty query is match_all with _score 1.0 (ADVICE r4)
+    for body in (
+        {"sort": ["_score", {"doc_id": "asc"}], "size": 10},
+        {"query": {}, "sort": ["_score", {"doc_id": "asc"}], "size": 10},
+        {"query": {"match_all": {}}, "sort": ["_score", {"doc_id": "asc"}],
+         "size": 10},
+    ):
+        out = _score_page(body)
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+        assert out["_score"].tolist() == [1.0] * 5
