@@ -45,12 +45,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # simhash_signatures by simhash_near_dup ★r4). Every slot has an
     # ORACLES row. Names registered exactly once (see _register).
     WINDOW: list[tuple[str, Callable[[str], Any]]] = [
-        # — sentinels (5, green in r2-r4 driver windows) —
+        # — sentinels (2, green in r2-r4 driver windows) —
         ("kg_triples", kg_queries.QUERIES["kg_triples"]),
         ("kg_components", kg_queries.QUERIES["kg_components"]),
-        ("kg_assemble", kg_queries.QUERIES["kg_assemble"]),
-        ("kg_bgp", kg_queries.QUERIES["kg_bgp"]),
-        ("kg_pagerank", kg_queries.QUERIES["kg_pagerank"]),
+        # — brand-new this round (3): UNION + global-scope groups,
+        # subqueries inside UNION branches, BM25 ES match scoring —
+        ("kg_bgp_union_global", kg_queries.QUERIES["kg_bgp_union_global"]),
+        ("kg_bgp_union_subquery",
+         kg_queries.QUERIES["kg_bgp_union_subquery"]),
+        ("q_es_bm25", corpus.q_es_bm25),
         # — no prior green driver row (45) —
         # kg: named graphs / updates / sampling / SPARQL long tail
         ("kg_graph_from", kg_queries.QUERIES["kg_graph_from"]),
@@ -116,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- slots 51+: rotated out of the window (green driver rows in
     # r1-r4), then the remainder; rows-only entries dead last.
     _register([
+        ("kg_assemble", kg_queries.QUERIES["kg_assemble"]),
+        ("kg_bgp", kg_queries.QUERIES["kg_bgp"]),
+        ("kg_pagerank", kg_queries.QUERIES["kg_pagerank"]),
         ("kg_mentions", kg_queries.QUERIES["kg_mentions"]),
         ("kg_resolve_exact", kg_queries.QUERIES["kg_resolve_exact"]),
         ("kg_resolve_fuzzy", kg_queries.QUERIES["kg_resolve_fuzzy"]),

@@ -283,12 +283,16 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
     """ES `_score`-ranked hits: `sort: ["_score", ...]` (or the object
     form) returns the top `size` documents by relevance score.
 
-    Scoring model (constant-score-per-clause — deliberately the
+    Scoring model (constant-score-per-clause by default — the
     SQL-expressible subset, so every score is oracle-checkable):
     - each `bool.should` clause contributes its `boost` (default 1.0)
       when it matches — `constant_score` clauses likewise;
     - an analyzed `match` clause contributes boost × (number of its query
       terms present with token boundaries) — per-term constant scoring;
+      with `"similarity": "bm25"` in the body, match clauses instead rank
+      by true BM25 (Lucene idf, k1=1.2 b=0.75 — still SQL-expressible,
+      see the q_es_bm25 oracle) with corpus stats from one extra
+      O(terms)-rows-per-block pass;
     - `script_score` with a `cosineSimilarity(params.<p>, '<field>')
       [+ c]` script scores by actual dense-vector cosine (numpy per
       batch against the broadcast query vector) — the reference builds
@@ -390,9 +394,11 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
                 if isinstance(v, dict) and "query" in v:
                     boost = float(v.get("boost", 1.0))
                     toks = str(v["query"]).split()
-                    pats = [r"(?:^|\s)" + _re.escape(t) + r"(?:\s|$)"
+                    # lookahead boundary so adjacent occurrences ("a a a")
+                    # all count when tf matters (bm25 similarity)
+                    pats = [r"(?:^|\s)" + _re.escape(t) + r"(?=\s|$)"
                             for t in toks]
-                    return (boost, (field, pats), [])
+                    return (boost, (field, toks, pats), [])
             boost = 1.0
             (field, v), = cbody.items() if kind != "match_all" \
                 else ((None, None),)
@@ -422,6 +428,51 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             need_should = False
             scorers = [(1.0, None, [])]
 
+        # similarity "bm25": match clauses rank by true BM25 (Lucene idf,
+        # k1=1.2 b=0.75 — the formula corpus.doc_bm25 proves distributed
+        # AND SQL-expressible) instead of the constant-score-per-term
+        # default. Corpus stats come from ONE extra pass over the full
+        # dataset: per block a tiny (field, term) partial frame — df
+        # counts, doc-length sum, row count — summed on the driver
+        # (O(blocks × terms) rows, never documents). Real ES keeps these
+        # same stats in the index; the reference submits bodies to ES and
+        # gets BM25 implicitly (es_query_builder.py builds match clauses).
+        bm25: dict[tuple[str, str], float] = {}
+        bm25_avgdl: dict[str, float] = {}
+        K1, B = 1.2, 0.75
+        if str(body.get("similarity", "")).lower() == "bm25":
+            field_terms: dict[str, list[tuple[str, str]]] = {}
+            for _, ms, _ in scorers:
+                if ms is not None:
+                    f, toks, pats = ms
+                    cur = field_terms.setdefault(f, [])
+                    cur.extend((t, p) for t, p in zip(toks, pats)
+                               if (t, p) not in cur)
+
+            def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+                rows = []
+                for f, tps in field_terms.items():
+                    col = df[f].astype("string")
+                    dl = col.str.split().str.len().fillna(0)
+                    rows.append((f, "\tdl", float(dl.sum())))
+                    rows.append((f, "\tn", float(len(df))))
+                    for t, p in tps:
+                        rows.append((f, t, float(
+                            col.str.contains(p, regex=True, na=False)
+                            .sum())))
+                return pd.DataFrame(rows, columns=["f", "t", "v"])
+
+            if field_terms:
+                st = ds.map_batches(stat_partial, batch_format="pandas") \
+                    .to_pandas().groupby(["f", "t"])["v"].sum()
+                for f, tps in field_terms.items():
+                    n = float(st.get((f, "\tn"), 0.0)) or 1.0
+                    bm25_avgdl[f] = float(st.get((f, "\tdl"), 0.0)) / n
+                    for t, _ in tps:
+                        dfreq = float(st.get((f, t), 0.0))
+                        bm25[(f, t)] = float(
+                            np.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0))
+
         def score_batch(df: pd.DataFrame) -> pd.DataFrame:
             out = apply_filters_frame(df, must)
             if not len(out):
@@ -430,9 +481,24 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             matched = np.zeros(len(out), dtype=bool)
             for boost, match_spec, filts in scorers:
                 if match_spec is not None:
-                    field, pats = match_spec
+                    field, toks, pats = match_spec
                     col = out[field].astype("string")
                     hits = np.zeros(len(out))
+                    if bm25:
+                        dl = col.str.split().str.len().fillna(0) \
+                            .to_numpy(dtype=np.float64)
+                        denom = K1 * (1.0 - B
+                                      + B * dl / (bm25_avgdl[field] or 1.0))
+                        any_hit = np.zeros(len(out), dtype=bool)
+                        for t, pat in zip(toks, pats):
+                            tf = col.str.count(pat).fillna(0) \
+                                .to_numpy(dtype=np.float64)
+                            hits += bm25[(field, t)] * tf * (K1 + 1.0) \
+                                / (tf + denom)
+                            any_hit |= tf > 0
+                        score += boost * hits
+                        matched |= any_hit
+                        continue
                     for pat in pats:
                         tm = col.str.contains(pat, regex=True, na=False) \
                             .to_numpy()

@@ -707,12 +707,24 @@ def parse_sparql(query: str) -> ParsedQuery:
                 j += 1
             if depth != 0:
                 raise ValueError("unbalanced braces around subquery")
+            # leave a numbered placeholder so a subquery written INSIDE a
+            # UNION branch can be re-attached to that branch after the
+            # union split (branch scoping); the non-union path and the
+            # global text strip the placeholders back out
             subqueries.append(prefix_text + text[start + 1:j].strip())
-            out.append(text[i:start] + " ")
+            out.append(text[i:start]
+                       + f" \x00subq{len(subqueries) - 1}\x00 ")
             i = j + 1
         return "".join(out)
 
     query = _cut_subqueries(query)
+
+    def _take_subqs(text: str) -> tuple[str, list[str]]:
+        """Strip subquery placeholders from a text span, returning the
+        clean text plus the subquery strings that were embedded in it."""
+        idxs = [int(k) for k in re.findall("\x00subq(\\d+)\x00", text)]
+        return (re.sub("\x00subq\\d+\x00", " ", text),
+                [subqueries[k] for k in idxs])
     m = re.search(r"(?is)select\s+(distinct\s+)?(.*?)\s+where\s*\{(.*)\}"
                   r"\s*(?:group\s+by\s+((?:\s*\?\w+)+))?"
                   r"\s*(?:having\s*\(([^()]*)\))?"
@@ -930,26 +942,74 @@ def parse_sparql(query: str) -> ParsedQuery:
     # structural split runs BEFORE clause extraction so FILTER/VALUES/BIND
     # written inside a branch stay branch-scoped (SPARQL group scoping)
     # instead of silently hoisting to global scope
+    def _parse_optional_group(g: str) -> tuple[list, tuple]:
+        """An OPTIONAL {...} body -> (patterns, (filters, regex_filters)),
+        with the group-local FILTER restricted to the group's own vars."""
+        gclean, gf, grf, gvc, gb = extract_clauses(g)
+        if gvc or gb:
+            raise ValueError("VALUES/BIND inside OPTIONAL unsupported")
+        gp = patterns_of(gclean)
+        if not gp:
+            raise ValueError("empty OPTIONAL block")
+        gvars = {t[1:] for pat in gp for t in pat if _is_var(t)}
+        used = set(
+            [f[0] for f in gf if f[0] is not None]
+            + [f[2] for f in gf if f[3]]
+            + [a[0] for f in gf if f[1] == "__or__"
+               for br in f[2] for a in br]
+            + [a[2] for f in gf if f[1] == "__or__"
+               for br in f[2] for a in br if a[3]]
+            + [r[0] for r in grf])
+        if not used <= gvars:
+            raise ValueError("FILTER inside OPTIONAL may only use the "
+                             f"group's own variables (got {used})")
+        return gp, (gf, grf)
+
     union_groups: list[list[tuple[str, str, str]]] = []
     union_clauses: list[tuple] = []
+    global_subqs = subqueries
     union_split = _split_union(body)
-    if union_split is not None and subqueries:
-        raise ValueError("a subquery inside a UNION branch is unsupported "
-                         "(branch scoping would be lost)")
     if union_split is not None:
         branch_texts, global_text = union_split
+        # global-scope groups beside the UNION chain (SPARQL algebra: the
+        # union is one group graph pattern — OPTIONAL / EXISTS / NOT
+        # EXISTS / MINUS written alongside it join/filter the unioned
+        # solutions, exactly like they would a plain BGP)
+        g_not_exists_raw: list[str] = []
+        global_text = re.sub(
+            r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
+            lambda mm: (g_not_exists_raw.append(mm.group(1)), " ")[1],
+            global_text)
+        global_text = re.sub(
+            r"(?is)\bminus\s*\{([^{}]*)\}",
+            lambda mm: (g_not_exists_raw.append(mm.group(1)), " ")[1],
+            global_text)
+        g_exists_raw: list[str] = []
+        global_text = re.sub(
+            r"(?is)\bfilter\s+exists\s*\{([^{}]*)\}",
+            lambda mm: (g_exists_raw.append(mm.group(1)), " ")[1],
+            global_text)
+        g_opts_raw: list[str] = []
+        global_text = re.sub(
+            r"(?is)\boptional\b\s*\{([^{}]*)\}",
+            lambda mm: (g_opts_raw.append(mm.group(1)), " ")[1],
+            global_text)
+        global_text, global_subqs = _take_subqs(global_text)
         gbody, filters, regex_filters, values_clauses, binds_raw = \
             extract_clauses(global_text)
-        if re.search(r"(?is)\b(optional|minus|exists)\b", gbody) \
-                or "{" in gbody:
-            raise ValueError("OPTIONAL/EXISTS/NOT EXISTS/MINUS at GLOBAL "
-                             "scope combined with UNION is unsupported "
-                             "(write them inside the branches)")
+        if "{" in gbody:
+            raise ValueError("unparsed group at GLOBAL scope alongside "
+                             "UNION (nested groups beside a UNION chain "
+                             "are unsupported)")
         leftover = re.sub(r"(?i)\bunion\b", " ", gbody).strip(" \t\r\n.")
         if leftover:
             raise ValueError(f"unparsed text around UNION branches: "
                              f"{leftover!r}")
         for bt in branch_texts:
+            # a subquery written inside the branch re-attaches here (its
+            # placeholder survived the union split) — it joins the branch
+            # solutions BEFORE the union, preserving branch scoping
+            bt, b_subqs = _take_subqs(bt)
             # branch-scoped OPTIONAL / NOT EXISTS / MINUS / EXISTS groups
             # pull out first (SPARQL group scoping: the joins happen inside
             # the branch, before the union) — same extraction as the
@@ -976,28 +1036,26 @@ def parse_sparql(query: str) -> ParsedQuery:
             pats = patterns_of(btext)
             if not pats:
                 raise ValueError("empty UNION branch")
-            b_opts = []
-            for g in b_opts_raw:
-                gclean, gf, grf, gvc, gb = extract_clauses(g)
-                if gvc or gb:
-                    raise ValueError("VALUES/BIND inside OPTIONAL "
-                                     "unsupported")
-                gp = patterns_of(gclean)
-                if not gp:
-                    raise ValueError("empty OPTIONAL block")
-                b_opts.append((gp, (gf, grf)))
+            b_opts = [_parse_optional_group(g) for g in b_opts_raw]
             b_anti = [patterns_of(g) for g in b_anti_raw]
             b_semi = [patterns_of(g) for g in b_semi_raw]
             if any(not g for g in b_anti + b_semi):
                 raise ValueError("empty EXISTS / NOT EXISTS / MINUS block")
             union_groups.append(pats)
             union_clauses.append((bf, brf, bv, _parse_binds(bb_raw),
-                                  b_opts, b_anti, b_semi))
+                                  b_opts, b_anti, b_semi, b_subqs))
         patterns: list[tuple[str, str, str]] = []
-        optionals: list[list[tuple[str, str, str]]] = []
+        # global-scope groups parsed above apply to the unioned solutions
+        optionals = []
         optional_filters = []
-        not_exists: list[list[tuple[str, str, str]]] = []
-        exists: list[list[tuple[str, str, str]]] = []
+        for g in g_opts_raw:
+            gp, gff = _parse_optional_group(g)
+            optionals.append(gp)
+            optional_filters.append(gff)
+        not_exists = [patterns_of(g) for g in g_not_exists_raw]
+        exists = [patterns_of(g) for g in g_exists_raw]
+        if any(not g for g in not_exists + exists):
+            raise ValueError("empty EXISTS / NOT EXISTS / MINUS block")
     else:
         # pull FILTER NOT EXISTS { ... } / MINUS { ... } / FILTER EXISTS
         # { ... } / OPTIONAL { ... } groups before the clause scan (the
@@ -1019,6 +1077,7 @@ def parse_sparql(query: str) -> ParsedQuery:
         body = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
                       lambda mm: (optionals_raw.append(mm.group(1)),
                                   " ")[1], body)
+        body, global_subqs = _take_subqs(body)
         body, filters, regex_filters, values_clauses, binds_raw = \
             extract_clauses(body)
         patterns = patterns_of(body)
@@ -1027,26 +1086,9 @@ def parse_sparql(query: str) -> ParsedQuery:
         optionals = []
         optional_filters: list[tuple] = []
         for g in optionals_raw:
-            gclean, gf, grf, gvc, gb = extract_clauses(g)
-            if gvc or gb:
-                raise ValueError("VALUES/BIND inside OPTIONAL unsupported")
-            gp = patterns_of(gclean)
-            if not gp:
-                raise ValueError("empty OPTIONAL block")
-            gvars = {t[1:] for pat in gp for t in pat if _is_var(t)}
-            used = set(
-                [f[0] for f in gf if f[0] is not None]
-                + [f[2] for f in gf if f[3]]
-                + [a[0] for f in gf if f[1] == "__or__"
-                   for br in f[2] for a in br]
-                + [a[2] for f in gf if f[1] == "__or__"
-                   for br in f[2] for a in br if a[3]]
-                + [r[0] for r in grf])
-            if not used <= gvars:
-                raise ValueError("FILTER inside OPTIONAL may only use the "
-                                 f"group's own variables (got {used})")
+            gp, gff = _parse_optional_group(g)
             optionals.append(gp)
-            optional_filters.append((gf, grf))
+            optional_filters.append(gff)
         not_exists = [patterns_of(g) for g in not_exists_raw]
         if any(not g for g in not_exists):
             raise ValueError("empty NOT EXISTS / MINUS block")
@@ -1067,7 +1109,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                        regex_filters, order_by, optionals, union_groups,
                        group_by, aggregates, values_clauses, offset,
                        not_exists, exists, binds, having, union_clauses,
-                       subqueries, optional_filters)
+                       global_subqs, optional_filters)
 
 
 def _split_call_args(text: str) -> list[str]:
@@ -1542,29 +1584,59 @@ def sparql_select(triples: ray.data.Dataset, query: str,
     if q.union_groups:
         branches = []
         clauses = q.union_clauses or \
-            [([], [], [], [], [], [], [])] * len(q.union_groups)
-        clauses = [(*c, *([[]] * (7 - len(c)))) for c in clauses]
-        # a var that is ANY branch's BIND alias or optional-group binding
-        # is allowed to stay unbound (null) in the branches lacking it
+            [([], [], [], [], [], [], [], [])] * len(q.union_groups)
+        clauses = [(*c, *([[]] * (8 - len(c)))) for c in clauses]
+        # vars bound by ANY branch's patterns, and vars of the global-scope
+        # groups beside the UNION: a global group can only join on vars the
+        # branches project, so extend the union's output schema with the
+        # overlap (branches lacking such a var emit it unbound — null key
+        # rows simply never match the global join)
+        any_branch_var = {t[1:] for g in q.union_groups
+                          for pat in g for t in pat if _is_var(t)}
+        g_group_vars = {t[1:]
+                        for grp in (q.optionals + q.not_exists + q.exists)
+                        for pat in grp for t in pat if _is_var(t)}
+        g_shared = [v for v in dict.fromkeys(
+            t[1:] for grp in (q.optionals + q.not_exists + q.exists)
+            for pat in grp for t in pat if _is_var(t))
+            if v in any_branch_var and v not in wanted]
+        wanted = wanted + g_shared
+        # branch subquery projections (parsed up front so branches know
+        # which wanted vars arrive via the subquery join, not the BGP)
+        branch_subcols: list[list[list[str]]] = []
+        for c in clauses:
+            branch_subcols.append(
+                [[v.lstrip("?") for v in parse_sparql(st).select]
+                 for st in c[7]])
+        any_subq = {v for bs in branch_subcols for cols in bs for v in cols}
+        # a var that is ANY branch's BIND alias, optional-group binding or
+        # subquery projection is allowed to stay unbound (null) in the
+        # branches lacking it
         any_alias = {a for _, _, _, bb, *_ in clauses for _, _, a in bb}
-        any_opt = {t[1:] for _, _, _, _, bo, _, _ in clauses
+        any_opt = {t[1:] for _, _, _, _, bo, _, _, _ in clauses
                    for gp, _ in bo for pat in gp
-                   for t in pat if _is_var(t)}
-        for g, (bf, brf, bv, bb, bo, banti, bsemi) in zip(q.union_groups,
-                                                          clauses):
+                   for t in pat if _is_var(t)} | \
+            {v for v in g_group_vars if v not in any_branch_var}
+        for bi, (g, (bf, brf, bv, bb, bo, banti, bsemi, bsubq)) in \
+                enumerate(zip(q.union_groups, clauses)):
             gvars = {t[1:] for pat in g for t in pat if _is_var(t)}
             b_aliases = {a for _, _, a in bb}
+            b_subcols = branch_subcols[bi]
+            b_sub_all = {v for cols in b_subcols for v in cols}
             # branch-local working set: globally wanted vars the branch must
-            # bind, plus vars its own clauses touch
+            # bind, plus vars its own clauses touch, plus the join vars its
+            # subqueries share with the branch patterns
             b_want = list(dict.fromkeys(
                 [v for v in wanted if v in gvars
-                 or (v not in any_alias and v not in any_opt)]
+                 or (v not in any_alias and v not in any_opt
+                     and v not in any_subq)]
                 + [f[0] for f in bf if f[0] in gvars]
                 + [f[2] for f in bf if f[3] and f[2] in gvars]
                 + [r[0] for r in brf if r[0] in gvars]
                 + [v for v, _ in bv]
                 + [a[1:] for _, args, _ in bb for a in args
-                   if isinstance(a, str) and a.startswith("?")]))
+                   if isinstance(a, str) and a.startswith("?")]
+                + [v for v in b_sub_all if v in gvars]))
             missing = [v for v in b_want if v not in gvars]
             if missing:
                 raise ValueError(f"UNION branch {g} does not bind {missing}"
@@ -1572,6 +1644,21 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                  "filtered variables")
             b = bgp_select(triples, g, b_want, **kw)
             b_cols = list(b_want)
+            # branch-scoped subqueries: evaluate recursively, bucketed
+            # inner-join on the shared vars BEFORE the union (SPARQL
+            # 11.2.4 join semantics, branch scoping preserved)
+            for st, sub_cols in zip(bsubq, b_subcols):
+                shared = [v for v in sub_cols if v in b_cols]
+                if not shared:
+                    raise ValueError(
+                        f"subquery inside a UNION branch projects "
+                        f"{sub_cols} but shares no variable with the "
+                        "branch patterns")
+                sub = sparql_select(triples, st, **kw)
+                b = partitioned_join(b, sub, on=shared[0],
+                                     extra_keys=shared[1:], how="inner",
+                                     lcols=b_cols, rcols=sub_cols)
+                b_cols = list(dict.fromkeys(b_cols + sub_cols))
             # branch-scoped NOT EXISTS/MINUS (anti) and EXISTS (semi)
             # groups: bucketed joins inside the branch, before the union
             if banti or bsemi:
@@ -1642,8 +1729,35 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         for b in branches[1:]:
             out = out.union(b)
         bound = list(wanted)
-        opt_vars, shared_per_group = [], []
-        anti_shared, semi_shared = [], []
+        # global-scope groups join/filter the unioned solutions below —
+        # join on vars some branch actually BINDS (pattern, BIND alias or
+        # subquery projection), not on reindexed all-null schema columns
+        avail = {v for v in bound
+                 if v in any_branch_var or v in any_alias or v in any_subq}
+        # a var NO branch binds that a global OPTIONAL will bind must not
+        # sit in the union as an all-null column — the left join below
+        # re-introduces it from the optional side (the final projection
+        # restores any still-missing selected columns as unbound)
+        g_opt_only = [v for v in bound if v not in avail
+                      and any(v in {t[1:] for pat in g for t in pat
+                                    if _is_var(t)} for g in q.optionals)]
+        if g_opt_only:
+            bound = [v for v in bound if v not in g_opt_only]
+            out = out.map_batches(
+                lambda df, cols=tuple(bound): df.reindex(
+                    columns=list(cols)),
+                batch_format="pandas")
+        opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat
+                                       if _is_var(t)))
+                    for g in q.optionals]
+        shared_per_group = [[v for v in gv if v in avail]
+                            for gv in opt_vars]
+        anti_shared = [[v for v in dict.fromkeys(
+            t[1:] for pat in g for t in pat if _is_var(t)) if v in avail]
+            for g in q.not_exists]
+        semi_shared = [[v for v in dict.fromkeys(
+            t[1:] for pat in g for t in pat if _is_var(t)) if v in avail]
+            for g in q.exists]
     else:
         req_vars = {t[1:] for pat in q.patterns for t in pat if _is_var(t)}
         opt_vars = [list(dict.fromkeys(t[1:] for pat in g for t in pat

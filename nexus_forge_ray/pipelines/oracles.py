@@ -1574,6 +1574,36 @@ ORACLES: dict[str, str] = {
         qualify row_number() over (partition by doc_id
                                    order by tfidf_raw desc, token) <= 3
     """,
+    # the facade's "similarity": "bm25" match scorer — same Lucene formula
+    # as doc_bm25, reached through the ES-DSL body (page of 15, doc_id
+    # tiebreak; ordering on the unrounded score)
+    "q_es_bm25": """
+        with toks as (select doc_id, unnest(string_split(text, ' ')) as token
+                      from documents),
+             stats as (select (select count(*) from documents)::double as n,
+                              (select count(*) from toks)::double as nt),
+             tf as (select doc_id, token, count(*)::double as tf from toks
+                    where token in ('vector', 'stream', 'query')
+                    group by 1, 2),
+             dl as (select doc_id, count(*)::double as dl
+                    from toks group by 1),
+             dfreq as (select token, count(*)::double as df
+                       from tf group by 1),
+             parts as (select tf.doc_id,
+                              ln((s.n - dfreq.df + 0.5)
+                                 / (dfreq.df + 0.5) + 1)
+                              * tf.tf * (1.2 + 1)
+                              / (tf.tf + 1.2 * (1 - 0.75
+                                                + 0.75 * dl.dl
+                                                  / (s.nt / s.n))) as p
+                       from tf
+                       join dfreq using (token)
+                       join dl using (doc_id)
+                       cross join stats s)
+        select doc_id, round(sum(p), 4) as score
+        from parts group by doc_id
+        order by sum(p) desc, doc_id limit 15
+    """,
     "doc_bm25": """
         with toks as (select doc_id, unnest(string_split(text, ' ')) as token
                       from documents),
@@ -1744,6 +1774,43 @@ ORACLES: dict[str, str] = {
         select subj as d from t
         where pred = 'http://example.org/vocab/mentions'
           and obj = 'http://example.org/entity/query'
+    """,
+    # GLOBAL-scope OPTIONAL + MINUS beside the UNION: the left join and
+    # anti-join apply to the UNIONED rows, not per-branch
+    "kg_bgp_union_global": f"""
+        with {_KG_TRIPLES_CTE},
+        base as (
+          select subj as d from t
+          where pred = 'http://example.org/vocab/lang' and obj = 'fr'
+          union all
+          select subj as d from t
+          where pred = 'http://example.org/vocab/mentions'
+            and obj = 'http://example.org/entity/query')
+        select b.d, coalesce(m.obj, '') as e
+        from base b
+        left join (select subj, obj from t
+                   where pred = 'http://example.org/vocab/mentions'
+                     and obj = 'http://example.org/entity/spark') m
+          on m.subj = b.d
+        where b.d not in (
+          select subj from t
+          where pred = 'http://example.org/vocab/mentions'
+            and obj = 'http://example.org/entity/hash')
+    """,
+    # subquery INSIDE each UNION branch: per-branch aggregate join, then
+    # UNION ALL (zero-mention docs drop — inner-join semantics)
+    "kg_bgp_union_subquery": f"""
+        with {_KG_TRIPLES_CTE},
+        mc as (select subj as d, count(*)::bigint as n from t
+               where pred = 'http://example.org/vocab/mentions'
+               group by subj)
+        select lt.subj as d, mc.n
+        from t lt join mc on mc.d = lt.subj
+        where lt.pred = 'http://example.org/vocab/lang' and lt.obj = 'en'
+        union all
+        select lt.subj as d, mc.n
+        from t lt join mc on mc.d = lt.subj
+        where lt.pred = 'http://example.org/vocab/lang' and lt.obj = 'fr'
     """,
     "kg_pagerank": f"""
         with {_KG_TRIPLES_CTE},

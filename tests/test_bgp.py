@@ -894,13 +894,19 @@ def test_subquery_shares_no_var_raises(ray_session):
         sparql_select(_ds(), q).to_pandas()
 
 
-def test_subquery_in_union_rejected():
+def test_subquery_in_union_parses_branch_scoped():
+    # (formerly rejected) a subquery inside a UNION branch now parses:
+    # it attaches to ITS branch, not the global scope
     from nexus_forge_ray.kg.bgp import parse_sparql
     q = """SELECT ?d WHERE {
       { ?d <a> ?x . { SELECT ?x WHERE { ?x <b> ?c } } }
       UNION { ?d <c> ?x } }"""
-    with pytest.raises(ValueError, match="subquery inside a UNION"):
-        parse_sparql(q)
+    p = parse_sparql(q)
+    assert p.subqueries == []                      # nothing global
+    assert len(p.union_clauses) == 2
+    assert len(p.union_clauses[0][7]) == 1         # branch 1 carries it
+    assert "SELECT" in p.union_clauses[0][7][0].upper()
+    assert p.union_clauses[1][7] == []
 
 
 def test_negated_property_set(ray_session):
@@ -1237,3 +1243,122 @@ def test_minus_inside_union_branch(ray_session):
     out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
         .to_pandas()
     assert sorted(out["d"]) == ["d2", "d3"]
+
+
+def test_global_optional_beside_union(ray_session):
+    # a global-scope OPTIONAL beside a UNION chain left-joins the UNIONED
+    # solutions (SPARQL algebra: the union is one group graph pattern)
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d1", "d3"],
+        "pred": ["lang", "lang", "cites", "mentions", "mentions"],
+        "obj":  ["en",  "fr",  "d1",    "e1",        "e3"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      { ?d lang "en" } UNION { ?d cites ?x }
+      OPTIONAL { ?d mentions ?e }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.e) else r.e) for r in out.itertuples()}
+    # branch 1 -> d1 (mentions e1); branch 2 -> d3 (mentions e3)
+    assert rows == {("d1", "e1"), ("d3", "e3")}
+
+
+def test_global_minus_beside_union(ray_session):
+    # a global MINUS filters rows coming out of EITHER branch
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d1", "d3"],
+        "pred": ["lang", "lang", "cites", "mentions", "mentions"],
+        "obj":  ["en",  "en",  "d1",    "e1",        "e3"],
+    })
+    q = """SELECT ?d WHERE {
+      { ?d lang "en" } UNION { ?d cites ?x }
+      MINUS { ?d mentions ?e }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    # branches yield d1, d2, d3; d1 and d3 have mentions -> only d2
+    assert sorted(out["d"]) == ["d2"]
+
+
+def test_global_exists_beside_union(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d1", "d3"],
+        "pred": ["lang", "lang", "cites", "mentions", "mentions"],
+        "obj":  ["en",  "en",  "d1",    "e1",        "e3"],
+    })
+    q = """SELECT ?d WHERE {
+      { ?d lang "en" } UNION { ?d cites ?x }
+      FILTER EXISTS { ?d mentions ?e }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(out["d"]) == ["d1", "d3"]
+
+
+def test_global_optional_with_branch_clauses(ray_session):
+    # global OPTIONAL composes with branch-scoped FILTERs
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d3", "d2"],
+        "pred": ["score", "score", "score", "mentions"],
+        "obj":  ["5",   "50",  "7",    "e2"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      { ?d score ?s . FILTER(?s > 10) } UNION { ?d score "7" }
+      OPTIONAL { ?d mentions ?e }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.e) else r.e) for r in out.itertuples()}
+    assert rows == {("d2", "e2"), ("d3", None)}
+
+
+def test_subquery_inside_union_branch(ray_session):
+    # { SELECT ... GROUP BY } nested in one UNION branch: the aggregate
+    # joins that branch's solutions BEFORE the union (branch scoping)
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d1", "d1", "d2", "d2", "d3", "d1", "d2"],
+        "pred": ["mentions"] * 6 + ["lang", "lang"],
+        "obj":  ["e1", "e2", "e3", "e1", "e2", "e9", "en", "fr"],
+    })
+    q = """SELECT ?d ?n WHERE {
+      { ?d lang "en" .
+        { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d mentions ?e }
+          GROUP BY ?d } }
+      UNION
+      { ?d lang "fr" .
+        { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d mentions ?e }
+          GROUP BY ?d } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, int(r.n)) for r in out.itertuples()}
+    assert rows == {("d1", 3), ("d2", 2)}
+
+
+def test_subquery_in_one_branch_only(ray_session):
+    # a branch without the subquery leaves the subquery's aggregate alias
+    # unbound in its rows
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d1", "d2", "d1", "d2"],
+        "pred": ["mentions", "mentions", "mentions", "lang", "lang"],
+        "obj":  ["e1", "e2", "e3", "en", "fr"],
+    })
+    q = """SELECT ?d ?n WHERE {
+      { ?d lang "en" .
+        { SELECT ?d (COUNT(?e) AS ?n) WHERE { ?d mentions ?e }
+          GROUP BY ?d } }
+      UNION
+      { ?d lang "fr" }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.n) else int(r.n))
+            for r in out.itertuples()}
+    assert rows == {("d1", 2), ("d2", None)}

@@ -130,3 +130,35 @@ def test_empty_query_is_match_all(ray_session):
         out = _score_page(body)
         assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
         assert out["_score"].tolist() == [1.0] * 5
+
+
+def test_bm25_match_scoring(ray_session):
+    # "similarity": "bm25" ranks match clauses by the Lucene formula
+    # instead of constant-per-term. Hand-computed over DOCS:
+    # N=5, dl=(3,1,2,2,2), avgdl=2; df(vector)=df(stream)=2
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "vector stream"}}}]}},
+        "similarity": "bm25",
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    idf = np.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def s(tf, dl, nterms=1):
+        return nterms * idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2))
+    exp = {1: s(1, 3) * 2, 2: s(1, 1), 4: s(2, 2)}
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out["doc_id"].tolist() == [k for k, _ in want]
+    np.testing.assert_allclose(out["_score"].to_numpy(),
+                               [v for _, v in want], rtol=1e-12)
+
+
+def test_bm25_repeated_token_tf(ray_session):
+    # adjacent repeats must all count (lookahead boundary): doc4 has
+    # tf(stream)=2, not 1
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "stream"}}}]}},
+        "similarity": "bm25",
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    # df(stream)=2 (docs 1 and 4); doc4 (tf=2, dl=2) outranks doc1 (tf=1, dl=3)
+    assert out["doc_id"].tolist() == [4, 1]
