@@ -18,6 +18,11 @@ Semantics matched deliberately:
 - pandas `size`/`count` partials are int64 -> `pl.len()` u32 cast up;
 - `pl.from_pandas` maps object-int columns to exact Int64 (verified to
   2^60+1); anything polars keeps as Object dtype falls back to pandas.
+
+Known benign difference under the flag: list columns (e.g. embeddings)
+round-trip as numpy arrays instead of python lists — every downstream
+consumer `np.stack`s them, and the full oracle sweep is green under the
+flag (205/205, round 5).
 """
 
 from __future__ import annotations
