@@ -965,6 +965,29 @@ def parse_sparql(query: str) -> ParsedQuery:
                              f"group's own variables (got {used})")
         return gp, (gf, grf)
 
+    def _inline_bare_groups(text: str) -> str:
+        """Inline pattern-only nested `{ ... }` groups (SPARQL: a bare
+        group joins with its siblings, so for groups holding only triple
+        patterns inlining is exact). Groups still carrying clause
+        keywords at this point — every supported keyword group was
+        already extracted — are genuinely unsupported shapes and fail
+        loudly."""
+        while True:
+            m = re.search(r"\{([^{}]*)\}", text)
+            if not m:
+                return text
+            inner = m.group(1)
+            if re.search(r"(?is)\b(filter|values|bind|optional|minus|"
+                         r"exists|select|union|graph)\b", inner):
+                raise ValueError(
+                    "nested group with clause keywords is unsupported "
+                    f"here (only pattern-only groups inline): "
+                    f"{{{inner.strip()}}}")
+            text = (text[:m.start()] + " "
+                    + inner.strip(" \t\r\n.")
+                    + (" . " if inner.strip(" \t\r\n.") else " ")
+                    + text[m.end():])
+
     union_groups: list[list[tuple[str, str, str]]] = []
     union_clauses: list[tuple] = []
     global_subqs = subqueries
@@ -997,10 +1020,11 @@ def parse_sparql(query: str) -> ParsedQuery:
         global_text, global_subqs = _take_subqs(global_text)
         gbody, filters, regex_filters, values_clauses, binds_raw = \
             extract_clauses(global_text)
-        if "{" in gbody:
-            raise ValueError("unparsed group at GLOBAL scope alongside "
-                             "UNION (nested groups beside a UNION chain "
-                             "are unsupported)")
+        # pattern-only bare groups inline; any patterns they leave at
+        # global scope trip the leftover check below (the executor joins
+        # only branch patterns — a global BGP beside a UNION chain is
+        # unsupported and must fail loudly, not drop)
+        gbody = _inline_bare_groups(gbody)
         leftover = re.sub(r"(?i)\bunion\b", " ", gbody).strip(" \t\r\n.")
         if leftover:
             raise ValueError(f"unparsed text around UNION branches: "
@@ -1030,9 +1054,11 @@ def parse_sparql(query: str) -> ParsedQuery:
                         lambda mm: (b_opts_raw.append(mm.group(1)),
                                     " ")[1], bt)
             btext, bf, brf, bv, bb_raw = extract_clauses(bt)
-            if "{" in btext:
-                raise ValueError("nested groups inside UNION branches are "
-                                 "unsupported")
+            if re.search(r"(?i)\bunion\b", btext):
+                raise ValueError("a UNION chain nested inside a UNION "
+                                 "branch is unsupported (flatten it into "
+                                 "the outer chain)")
+            btext = _inline_bare_groups(btext)
             pats = patterns_of(btext)
             if not pats:
                 raise ValueError("empty UNION branch")
@@ -1080,6 +1106,7 @@ def parse_sparql(query: str) -> ParsedQuery:
         body, global_subqs = _take_subqs(body)
         body, filters, regex_filters, values_clauses, binds_raw = \
             extract_clauses(body)
+        body = _inline_bare_groups(body)
         patterns = patterns_of(body)
         if not patterns:
             raise ValueError("empty WHERE block")

@@ -1362,3 +1362,46 @@ def test_subquery_in_one_branch_only(ray_session):
     rows = {(r.d, None if pd.isna(r.n) else int(r.n))
             for r in out.itertuples()}
     assert rows == {("d1", 2), ("d2", None)}
+
+
+def test_bare_nested_group_inlines(ray_session):
+    # a pattern-only nested { } group joins with its siblings (SPARQL
+    # group join) — both at top level and spanning multiple patterns
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d2", "d3"],
+        "pred": ["lang", "lang", "mentions", "mentions", "mentions"],
+        "obj":  ["en",  "fr",  "e1",       "e2",       "e3"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      { ?d lang "en" } ?d mentions ?e
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [("d1", "e1")]
+
+
+def test_bare_nested_group_inside_union_branch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d2", "d3"],
+        "pred": ["lang", "lang", "mentions", "mentions", "cites"],
+        "obj":  ["en",  "fr",  "e1",       "e2",       "d1"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      { { ?d lang "en" } ?d mentions ?e }
+      UNION
+      { ?d cites ?x . { ?d cites ?e } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [("d1", "e1"), ("d3", "d1")]
+
+
+def test_nested_union_inside_branch_rejected():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      { { ?d <a> ?x } UNION { ?d <b> ?x } }
+      UNION { ?d <c> ?x } }"""
+    with pytest.raises(ValueError, match="nested inside a UNION"):
+        parse_sparql(q)

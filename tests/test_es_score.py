@@ -162,3 +162,32 @@ def test_bm25_repeated_token_tf(ray_session):
     out = _score_page(body)
     # df(stream)=2 (docs 1 and 4); doc4 (tf=2, dl=2) outranks doc1 (tf=1, dl=3)
     assert out["doc_id"].tolist() == [4, 1]
+
+
+def test_bm25_multi_match(ray_session):
+    # multi_match expands to per-field match scorers; with similarity bm25
+    # each field scores BM25 against its own corpus stats and boosts apply
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "title": ["vector db", "plain", "vector store"],
+        "body": ["a vector", "vector vector here", "nothing"],
+    })
+    body = {"query": {"bool": {"should": [
+        {"multi_match": {"query": "vector",
+                         "fields": ["title^2", "body"]}}]}},
+        "similarity": "bm25",
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = KnowledgeGraphForge().elastic(
+        body, data=ray.data.from_pandas(docs).repartition(2))
+    # title: N=3 df=2 avgdl=5/3; body: N=3 df=2 avgdl=2
+    idf = np.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def bm(tf, dl, avgdl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    exp = {1: 2 * bm(1, 2, 5 / 3) + bm(1, 2, 2.0),
+           2: bm(2, 3, 2.0),
+           3: 2 * bm(1, 2, 5 / 3)}
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out["doc_id"].tolist() == [k for k, _ in want]
+    np.testing.assert_allclose(out["_score"].to_numpy(),
+                               [v for _, v in want], rtol=1e-12)
