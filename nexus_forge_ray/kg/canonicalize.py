@@ -463,9 +463,10 @@ def canonical_map(docs: ray.data.Dataset, *, text_col: str = "text",
 
     verify="minhash" (default): signature-agreement estimate via fully
     distributed bucketed joins — the scale path (nothing O(corpus) on the
-    driver). verify="exact": true n-gram Jaccard; collects candidate docs'
-    shingle sets — keep for small-corpus reports only. verify="none": two-tier
-    blocking only (exact collapse + rep-level LSH).
+    driver). verify="exact": true n-gram Jaccard — adaptive since round 5
+    (small candidate sets broadcast once, bounded; larger sets verify
+    through bucketed (pair, shingle-hash) joins, also nothing driver-side).
+    verify="none": two-tier blocking only (exact collapse + rep-level LSH).
 
     Component path is chosen by measured edge count: the verified candidate
     set is ≪ corpus by construction, so when it fits comfortably on the

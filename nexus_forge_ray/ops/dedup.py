@@ -323,16 +323,29 @@ def minhash_candidate_pairs(ds: ray.data.Dataset | None = None, *,
 def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
                          *, threshold: float = 0.7, shingle_size: int = 3,
                          text_col: str = "text", id_col: str = "doc_id",
-                         ) -> ray.data.Dataset:
-    """Verify candidate pairs with true n-gram Jaccard. The doc text is fetched
-    via a broadcast of the candidate-id subset (candidates ≪ corpus): we
-    semi-join docs to candidate ids, collect that small side once with
-    ray.put, and verify inside map_batches.
+                         broadcast_limit: int = 200_000) -> ray.data.Dataset:
+    """Verify candidate pairs with true n-gram Jaccard — adaptive plan with
+    a HARD driver-memory bound (the smart_join pattern).
+
+    `pairs_ds.count()` <= broadcast_limit: the pair list and the candidate
+    docs' shingle sets collect once and broadcast via `ray.put` — bounded
+    at limit × ~32 B pairs plus the candidate subset's shingles, zero
+    extra all-to-all (the small-corpus report path, optimal when
+    candidates ≪ corpus). Above the limit NOTHING pair- or corpus-sized
+    touches the driver: `_jaccard_verify_distributed` computes the exact
+    intersections through bucketed hash joins of fixed-width
+    (pair, shingle-hash) rows — the same machinery as
+    `ngram_jaccard_pairs`. At web scale the count crosses the cap and the
+    plan switches by itself.
     """
     import ray as _ray
 
     pairs_ds = pairs_ds.materialize()  # read twice below (id set + verify map)
-    id_pairs = pairs_ds.to_pandas()  # candidate pairs are the small output, OK
+    if pairs_ds.count() > broadcast_limit:
+        return _jaccard_verify_distributed(
+            pairs_ds, docs_ds, threshold=threshold, k=shingle_size,
+            text_col=text_col, id_col=id_col)
+    id_pairs = pairs_ds.to_pandas()  # bounded by broadcast_limit
     needed = set(id_pairs["id_a"]).union(id_pairs["id_b"])
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -366,6 +379,114 @@ def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
         return batch[batch["jaccard"] >= threshold]
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+def _jaccard_verify_distributed(pairs_ds: ray.data.Dataset,
+                                docs_ds: ray.data.Dataset, *,
+                                threshold: float, k: int,
+                                text_col: str, id_col: str
+                                ) -> ray.data.Dataset:
+    """Exact Jaccard for an EXPLICIT candidate-pair Dataset, fully
+    distributed — the scale half of `jaccard_verify_pairs`.
+
+    Plan (nothing pair- or corpus-sized on the driver):
+    1. candidate ids  = bucketed distinct of the pair endpoints;
+    2. candidate docs = bucketed semi-join of the corpus to those ids;
+    3. per-doc DISTINCT u64 shingle hashes (`_shingle_hashes`, the shared
+       rolling kernel — value-identical to the broadcast path's string
+       shingles because both equate shingles iff the token windows are
+       equal) + per-doc set sizes;
+    4. each pair joins its two endpoints' shingle rows (two bucketed hash
+       joins keyed by doc id), the intersection is one bucketed join on
+       (pair, shingle) — fixed-width rows, text never ships;
+    5. |A∪B| = |A|+|B|−|A∩B|; vectorized jaccard, round(4), threshold.
+    """
+    from nexus_forge_ray.ops.agg import distinct_rows, hash_groupby_agg
+    from nexus_forge_ray.ops.joins import (partitioned_join,
+                                           partitioned_semi_join)
+    SEP = "\x1f"
+
+    def endpoint(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df[col]})
+        return fn
+
+    cand_ids = distinct_rows(
+        pairs_ds.map_batches(endpoint("id_a"), batch_format="pandas")
+        .union(pairs_ds.map_batches(endpoint("id_b"),
+                                    batch_format="pandas")),
+        [id_col])
+    cdocs = partitioned_semi_join(docs_ds, cand_ids, id_col,
+                                  lcols=[id_col, text_col])
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sh, reps, doc_has = _shingle_hashes(df[text_col].tolist(), k)
+        ids = df[id_col].to_numpy()[doc_has]
+        return pd.DataFrame({id_col: np.repeat(ids, reps),
+                             "sh": sh}).drop_duplicates()
+
+    shingles = distinct_rows(
+        cdocs.map_batches(sh_rows, batch_format="pandas"),
+        [id_col, "sh"]).materialize()          # consumed three times below
+    # one row per candidate id; pairs touching token-less docs drop at the
+    # size joins (candidate generators never emit empty docs)
+    sizes = hash_groupby_agg(shingles, id_col,
+                             {"n": ("sh", "count")}).materialize()
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["id_a", "id_b"]].copy()
+        df["__pk"] = df["id_a"].astype(str) + SEP + df["id_b"].astype(str)
+        return df
+
+    pk = pairs_ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    def side_rows(side: str) -> ray.data.Dataset:
+        ren = shingles.map_batches(
+            lambda df, s=side: df.rename(columns={id_col: s}),
+            batch_format="pandas")
+        return partitioned_join(pk, ren, on=side, how="inner",
+                                lcols=["id_a", "id_b", "__pk"],
+                                rcols=[side, "sh"]) \
+            .map_batches(lambda df: df[["__pk", "sh"]],
+                         batch_format="pandas")
+
+    inter_rows = partitioned_join(side_rows("id_a"), side_rows("id_b"),
+                                  on="__pk", extra_keys=["sh"],
+                                  lcols=["__pk", "sh"],
+                                  rcols=["__pk", "sh"])
+    inter = hash_groupby_agg(inter_rows, "__pk", {"inter": ("sh", "count")})
+
+    # sizes attach via two bucketed joins (sizes has ONE row per candidate
+    # id, so each join is 1:1 on the pair side)
+    with_na = partitioned_join(
+        pk, sizes.map_batches(
+            lambda df: df.rename(columns={id_col: "id_a", "n": "na"}),
+            batch_format="pandas"),
+        on="id_a", how="inner", lcols=["id_a", "id_b", "__pk"],
+        rcols=["id_a", "na"])
+    with_nb = partitioned_join(
+        with_na, sizes.map_batches(
+            lambda df: df.rename(columns={id_col: "id_b", "n": "nb"}),
+            batch_format="pandas"),
+        on="id_b", how="inner", lcols=["id_a", "id_b", "__pk", "na"],
+        rcols=["id_b", "nb"])
+    scored = partitioned_join(with_nb, inter, on="__pk", how="left",
+                              lcols=["id_a", "id_b", "__pk", "na", "nb"],
+                              rcols=["__pk", "inter"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        inter_n = pd.to_numeric(df["inter"], errors="coerce") \
+            .fillna(0).to_numpy(dtype=np.float64)
+        na = df["na"].to_numpy(dtype=np.float64)
+        nb = df["nb"].to_numpy(dtype=np.float64)
+        union = na + nb - inter_n
+        jac = np.divide(inter_n, union, out=np.zeros_like(union),
+                        where=union > 0)
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard"] = np.round(jac, 4)
+        return out[out["jaccard"] >= threshold]
+
+    return scored.map_batches(finish, batch_format="pandas")
 
 
 # fixed hash for the empty document's shingle set ({""} — what a whole-doc

@@ -591,10 +591,13 @@ def doc_top_per_lang(sf_dir: str):
 
 def minhash_near_dup(sf_dir: str):
     """Near-dup pair REPORT with true n-gram Jaccard values. The exact
-    verify (jaccard_verify_pairs) is the deliberate choice here: the oracle
-    checks true Jaccard, and a pair report is a small-corpus product. The
-    scale path for canonicalization is the distributed signature-agreement
-    verify — canonical_map's default (kg/canonicalize.py)."""
+    verify (jaccard_verify_pairs) is adaptive since round 5: candidate
+    sets under the broadcast limit collect once (bounded, optimal for a
+    small report); above it the verification runs entirely through
+    bucketed hash joins of (pair, shingle-hash) rows — nothing pair- or
+    corpus-sized on the driver at any scale. The scale path for
+    canonicalization remains the distributed signature-agreement verify —
+    canonical_map's default (kg/canonicalize.py)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(docs, num_perm=64, num_bands=16,
                                        pair_mode="all")

@@ -259,3 +259,57 @@ def test_dedup_incremental_cross_shard(ray_session, tmp_path):
     assert sb.loc[sb["text"] == "t15", "doc_id"].item() == 15  # min-id wins
     again = dedup_incremental(ray.data.from_pandas(b), idx).to_pandas()
     assert len(again) == 0
+
+
+def test_jaccard_verify_adaptive_paths_agree(ray_session):
+    # the broadcast (small-side) and distributed (bucketed-join) verify
+    # paths must produce identical (pair, jaccard) outputs
+    import numpy as np
+
+    from nexus_forge_ray.ops.dedup import (_jaccard_verify_distributed,
+                                           jaccard_verify_pairs)
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = []
+    for i in range(30):
+        base = [vocab[int(x)] for x in rng.integers(0, len(vocab), 12)]
+        texts.append(" ".join(base))
+        if i % 3 == 0:   # a near-dup neighbor
+            mut = list(base)
+            mut[5] = "mut"
+            texts.append(" ".join(mut))
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ids = docs["doc_id"].to_numpy()
+    pairs = pd.DataFrame({
+        "id_a": ids[:-1:2], "id_b": ids[1::2]})   # arbitrary explicit pairs
+    docs_ds = ray.data.from_pandas(docs).repartition(3)
+    pairs_ds = ray.data.from_pandas(pairs).repartition(2)
+
+    bc = jaccard_verify_pairs(pairs_ds, docs_ds, threshold=0.2,
+                              shingle_size=3).to_pandas()
+    dist = _jaccard_verify_distributed(pairs_ds.materialize(), docs_ds,
+                                       threshold=0.2, k=3,
+                                       text_col="text",
+                                       id_col="doc_id").to_pandas()
+
+    def norm(df):
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)[
+            ["id_a", "id_b", "jaccard"]].astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+    pd.testing.assert_frame_equal(norm(bc), norm(dist))
+    assert len(bc) > 0     # the mutated neighbors must survive
+
+
+def test_jaccard_verify_switches_to_distributed(ray_session):
+    # broadcast_limit=0 forces the distributed plan through the public API
+    from nexus_forge_ray.ops.dedup import jaccard_verify_pairs
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e", "a b c d x", "q r s t u"]})
+    pairs = pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]})
+    out = jaccard_verify_pairs(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(docs),
+        threshold=0.3, shingle_size=3, broadcast_limit=0).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    # shingles of 1: {abc,bcd,cde}; of 2: {abc,bcd,cdx} -> J = 2/4
+    assert out["jaccard"].tolist() == [0.5]
