@@ -421,12 +421,21 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
                     {"match": {field: {"query": qtext, "boost": boost}}}))
             return out
 
-        scorers = [s for c in should for s in expand_clause(c)]
+        # clause index rides along so minimum_should_match counts CLAUSES
+        # (a multi_match expands to several scorers but is one clause)
+        scorers = [(ci, *s) for ci, c in enumerate(should)
+                   for s in expand_clause(c)]
         if need_should and not scorers:
             # ES semantics: an empty/absent query is match_all — every doc
             # matches with _score 1.0, no should-gate
             need_should = False
-            scorers = [(1.0, None, [])]
+            scorers = [(0, 1.0, None, [])]
+        n_clauses = max(1, len(should))
+        # ES bool gating: with no must/filter at least ONE should clause
+        # must match; an explicit minimum_should_match >= 1 raises that
+        # floor (and applies even next to must/filter, per ES)
+        msm = int(b.get("minimum_should_match", 0))
+        min_match = msm if msm > 0 else (1 if need_should else 0)
 
         # similarity "bm25": match clauses rank by true BM25 (Lucene idf,
         # k1=1.2 b=0.75 — the formula corpus.doc_bm25 proves distributed
@@ -442,7 +451,7 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
         K1, B = 1.2, 0.75
         if str(body.get("similarity", "")).lower() == "bm25":
             field_terms: dict[str, list[tuple[str, str]]] = {}
-            for _, ms, _ in scorers:
+            for _, _, ms, _ in scorers:
                 if ms is not None:
                     f, toks, pats = ms
                     cur = field_terms.setdefault(f, [])
@@ -478,8 +487,8 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             if not len(out):
                 return out.assign(_score=np.float64())
             score = np.zeros(len(out))
-            matched = np.zeros(len(out), dtype=bool)
-            for boost, match_spec, filts in scorers:
+            clause_hit = np.zeros((n_clauses, len(out)), dtype=bool)
+            for ci, boost, match_spec, filts in scorers:
                 if match_spec is not None:
                     field, toks, pats = match_spec
                     col = out[field].astype("string")
@@ -497,24 +506,24 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
                                 / (tf + denom)
                             any_hit |= tf > 0
                         score += boost * hits
-                        matched |= any_hit
+                        clause_hit[ci] |= any_hit
                         continue
                     for pat in pats:
                         tm = col.str.contains(pat, regex=True, na=False) \
                             .to_numpy()
                         hits += tm
                     score += boost * hits
-                    matched |= hits > 0
+                    clause_hit[ci] |= hits > 0
                 else:
                     m = pd.Series(True, index=out.index)
                     for f in filts:
                         m &= _mask_of(out, f)
                     mv = m.fillna(False).to_numpy()
                     score += boost * mv
-                    matched |= mv
+                    clause_hit[ci] |= mv
             out = out.assign(_score=score)
-            if need_should:
-                out = out[matched]
+            if min_match:
+                out = out[clause_hit.sum(axis=0) >= min_match]
             return _prune(out)
 
     scored = ds.map_batches(score_batch, batch_format="pandas")

@@ -919,6 +919,12 @@ def parse_sparql(query: str) -> ParsedQuery:
         return out
 
     def patterns_of(text: str) -> list[tuple[str, str, str]]:
+        if "\x00subq" in text:
+            # a subquery placeholder survived into a keyword group (EXISTS
+            # / NOT EXISTS / MINUS body) — not a supported position
+            raise ValueError("a subquery inside EXISTS/NOT EXISTS/MINUS "
+                             "is unsupported (join it beside the group "
+                             "on the shared variables)")
         # tokenize: '.' separates patterns ONLY outside <> / "" / () (IRIs
         # and literals may contain dots); a token is a maximal run of
         # bracketed IRIs, quoted literals, paren groups and plain chars, so
@@ -945,6 +951,10 @@ def parse_sparql(query: str) -> ParsedQuery:
     def _parse_optional_group(g: str) -> tuple[list, tuple]:
         """An OPTIONAL {...} body -> (patterns, (filters, regex_filters)),
         with the group-local FILTER restricted to the group's own vars."""
+        if "\x00subq" in g:
+            raise ValueError("a subquery inside OPTIONAL is unsupported "
+                             "(write it beside the OPTIONAL and join on "
+                             "the shared variables)")
         gclean, gf, grf, gvc, gb = extract_clauses(g)
         if gvc or gb:
             raise ValueError("VALUES/BIND inside OPTIONAL unsupported")

@@ -96,6 +96,21 @@ def pl_groupby_agg(batch: pd.DataFrame, keys: list[str],
     return to_pandas_exact(g.select(keys + [n for n, _, _ in spec]))
 
 
+def pl_unique(batch: pd.DataFrame, keys: list[str]) -> pd.DataFrame | None:
+    """drop_duplicates(subset=keys) on polars: keep="first" with
+    maintain_order=True matches the pandas kernel's first-occurrence,
+    input-order contract. Returns None to request the pandas fallback."""
+    conv = pl_frames(batch)
+    if conv is None:
+        return None
+    (pdf,) = conv
+    try:
+        u = pdf.unique(subset=keys, keep="first", maintain_order=True)
+    except Exception:
+        return None
+    return to_pandas_exact(u.select(list(batch.columns)))
+
+
 _HOW_PL = {"inner": "inner", "left": "left", "right": "right",
            "outer": "full"}
 

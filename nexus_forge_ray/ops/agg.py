@@ -113,9 +113,19 @@ def distinct_rows(ds: ray.data.Dataset, keys: str | list[str],
                   keep_cols: list[str] | None = None) -> ray.data.Dataset:
     """DISTINCT on keys (first occurrence, deterministic only if rows equal)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # polars pilot: same flag/fallback contract as hash_groupby_agg
+    from nexus_forge_ray.ops._polars_shuffle import pl_unique, use_polars
+    pl_on = use_polars()
+
+    def _dedup(b: pd.DataFrame) -> pd.DataFrame:
+        if pl_on:
+            u = pl_unique(b, keys)
+            if u is not None:
+                return u
+        return b.drop_duplicates(subset=keys)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.drop_duplicates(subset=keys)
+        b = _dedup(batch)
         if keep_cols is not None:
             b = b[list(dict.fromkeys(keys + keep_cols))]
         b = b.copy()
@@ -123,7 +133,7 @@ def distinct_rows(ds: ray.data.Dataset, keys: str | list[str],
         return b
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=keys).drop(columns="__bucket")
+        return _dedup(group).drop(columns="__bucket")
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(final, batch_format="pandas")

@@ -1405,3 +1405,21 @@ def test_nested_union_inside_branch_rejected():
       UNION { ?d <c> ?x } }"""
     with pytest.raises(ValueError, match="nested inside a UNION"):
         parse_sparql(q)
+
+
+def test_subquery_in_optional_clear_error():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      ?d <p> ?x .
+      OPTIONAL { ?d <q> ?y . { SELECT ?d WHERE { ?d <r> ?z } } } }"""
+    with pytest.raises(ValueError, match="subquery inside OPTIONAL"):
+        parse_sparql(q)
+
+
+def test_subquery_in_exists_clear_error():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      ?d <p> ?x .
+      FILTER NOT EXISTS { { SELECT ?d WHERE { ?d <r> ?z } } } }"""
+    with pytest.raises(ValueError, match="subquery inside EXISTS"):
+        parse_sparql(q)

@@ -191,3 +191,36 @@ def test_bm25_multi_match(ray_session):
     assert out["doc_id"].tolist() == [k for k, _ in want]
     np.testing.assert_allclose(out["_score"].to_numpy(),
                                [v for _, v in want], rtol=1e-12)
+
+
+def test_minimum_should_match_scoring(ray_session):
+    # msm=2: only docs matching >= 2 SHOULD CLAUSES survive (a multi-term
+    # match is one clause no matter how many of its terms hit)
+    body = {"query": {"bool": {
+        "should": [
+            {"term": {"source": "src1"}},
+            {"range": {"n_chars": {"gte": 400}}},
+            {"match": {"text": {"query": "vector stream"}}},
+        ],
+        "minimum_should_match": 2}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    # doc1: src1+range+match(2 terms) = 3 clauses, score 1+1+2=4
+    # doc2: range+match = 2 clauses, score 1+1=2
+    # doc3: src1 only (1 clause) -> gated out; doc4: match only -> out
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["_score"].tolist() == [4.0, 2.0]
+
+
+def test_minimum_should_match_beside_must(ray_session):
+    # per ES, an explicit msm >= 1 gates even when must/filter is present
+    body = {"query": {"bool": {
+        "must": [{"range": {"n_chars": {"gte": 90}}}],
+        "should": [{"term": {"source": "src1"}},
+                   {"match": {"text": {"query": "stream"}}}],
+        "minimum_should_match": 1}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+    out = _score_page(body)
+    # all docs pass must; src1 -> 1,3; stream -> 1,4 ; docs 2,5 match no
+    # should clause and msm=1 gates them out
+    assert out["doc_id"].tolist() == [1, 3, 4]

@@ -105,3 +105,20 @@ def test_partitioned_join_extra_keys(ray_session, monkeypatch):
 
     base, pilot = _both(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(base), _norm(pilot))
+
+
+def test_distinct_rows_parity(ray_session, monkeypatch):
+    from nexus_forge_ray.ops.agg import distinct_rows
+    df = pd.DataFrame({
+        "k": ["a", "a", None, None, "b", "a"],
+        "v": [1, 1, 2, 2, 3, 9],
+        "x": pd.Series([BIG, BIG, 1, 2, 3, 4], dtype=object),
+    })
+
+    def run():
+        ds = ray.data.from_pandas(df).repartition(2)
+        return distinct_rows(ds, ["k", "v"]).to_pandas()
+
+    base, pilot = _both(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(base), _norm(pilot))
+    assert len(pilot) == 4   # (a,1) (null,2) (b,3) (a,9)
