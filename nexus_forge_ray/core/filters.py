@@ -432,9 +432,26 @@ def elastic_score_page(ds: ray.data.Dataset, body: dict,
             scorers = [(0, 1.0, None, [])]
         n_clauses = max(1, len(should))
         # ES bool gating: with no must/filter at least ONE should clause
-        # must match; an explicit minimum_should_match >= 1 raises that
-        # floor (and applies even next to must/filter, per ES)
-        msm = int(b.get("minimum_should_match", 0))
+        # must match; an explicit minimum_should_match raises that floor
+        # (and applies even next to must/filter, per ES). ES value forms:
+        # int, negative int (total minus), "N%" (percent of clauses,
+        # rounded down), "-N%" (total minus percent); combinator forms
+        # ("2<75%") fail loudly.
+        raw_msm = b.get("minimum_should_match", 0)
+        s_msm = str(raw_msm).strip()
+        try:
+            if s_msm.endswith("%"):
+                p = int(s_msm[:-1])
+                part = (abs(p) * len(should)) // 100
+                msm = part if p >= 0 else len(should) - part
+            else:
+                v = int(s_msm)
+                msm = v if v >= 0 else len(should) + v
+        except ValueError:
+            raise ValueError("unsupported minimum_should_match form: "
+                             f"{raw_msm!r} (int, -int, N% and -N% are "
+                             "supported)") from None
+        msm = max(0, min(msm, len(should)))
         min_match = msm if msm > 0 else (1 if need_should else 0)
 
         # similarity "bm25": match clauses rank by true BM25 (Lucene idf,

@@ -987,15 +987,22 @@ def parse_sparql(query: str) -> ParsedQuery:
             if not m:
                 return text
             inner = m.group(1)
+            # keyword probe must not fire on IRI path segments or literal
+            # text (e.g. <http://x/graph/g1>): blank those spans first
+            probe = re.sub(r'<[^>]*>|"[^"]*"', " ", inner)
             if re.search(r"(?is)\b(filter|values|bind|optional|minus|"
-                         r"exists|select|union|graph)\b", inner):
+                         r"exists|select|union|graph)\b", probe):
                 raise ValueError(
                     "nested group with clause keywords is unsupported "
                     f"here (only pattern-only groups inline): "
                     f"{{{inner.strip()}}}")
-            text = (text[:m.start()] + " "
-                    + inner.strip(" \t\r\n.")
-                    + (" . " if inner.strip(" \t\r\n.") else " ")
+            # ' . ' on BOTH sides: SPARQL lets a triple pattern directly
+            # precede a group with no dot, so the group body must not
+            # merge into the preceding pattern (a leading separator at
+            # text start is harmless — patterns_of skips empty patterns)
+            body_txt = inner.strip(" \t\r\n.")
+            text = (text[:m.start()]
+                    + (" . " + body_txt + " . " if body_txt else " ")
                     + text[m.end():])
 
     union_groups: list[list[tuple[str, str, str]]] = []
@@ -1040,14 +1047,13 @@ def parse_sparql(query: str) -> ParsedQuery:
             raise ValueError(f"unparsed text around UNION branches: "
                              f"{leftover!r}")
         for bt in branch_texts:
-            # a subquery written inside the branch re-attaches here (its
-            # placeholder survived the union split) — it joins the branch
-            # solutions BEFORE the union, preserving branch scoping
-            bt, b_subqs = _take_subqs(bt)
             # branch-scoped OPTIONAL / NOT EXISTS / MINUS / EXISTS groups
-            # pull out first (SPARQL group scoping: the joins happen inside
+            # pull out FIRST (SPARQL group scoping: the joins happen inside
             # the branch, before the union) — same extraction as the
-            # non-union path
+            # non-union path. Subqueries are taken only AFTER this, so a
+            # subquery nested inside one of those groups keeps its
+            # placeholder and trips the loud position guards below instead
+            # of silently joining at branch scope.
             b_anti_raw: list[str] = []
             bt = re.sub(r"(?is)\bfilter\s+not\s+exists\s*\{([^{}]*)\}",
                         lambda mm: (b_anti_raw.append(mm.group(1)),
@@ -1063,6 +1069,9 @@ def parse_sparql(query: str) -> ParsedQuery:
             bt = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
                         lambda mm: (b_opts_raw.append(mm.group(1)),
                                     " ")[1], bt)
+            # a subquery at branch TOP level re-attaches here and joins
+            # the branch solutions BEFORE the union (branch scoping)
+            bt, b_subqs = _take_subqs(bt)
             btext, bf, brf, bv, bb_raw = extract_clauses(bt)
             if re.search(r"(?i)\bunion\b", btext):
                 raise ValueError("a UNION chain nested inside a UNION "
@@ -1630,13 +1639,12 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         # rows simply never match the global join)
         any_branch_var = {t[1:] for g in q.union_groups
                           for pat in g for t in pat if _is_var(t)}
-        g_group_vars = {t[1:]
-                        for grp in (q.optionals + q.not_exists + q.exists)
-                        for pat in grp for t in pat if _is_var(t)}
-        g_shared = [v for v in dict.fromkeys(
+        g_ordered = list(dict.fromkeys(
             t[1:] for grp in (q.optionals + q.not_exists + q.exists)
-            for pat in grp for t in pat if _is_var(t))
-            if v in any_branch_var and v not in wanted]
+            for pat in grp for t in pat if _is_var(t)))
+        g_group_vars = set(g_ordered)
+        g_shared = [v for v in g_ordered
+                    if v in any_branch_var and v not in wanted]
         wanted = wanted + g_shared
         # branch subquery projections (parsed up front so branches know
         # which wanted vars arrive via the subquery join, not the BGP)

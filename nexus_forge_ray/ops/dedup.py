@@ -336,7 +336,11 @@ def jaccard_verify_pairs(pairs_ds: ray.data.Dataset, docs_ds: ray.data.Dataset,
     intersections through bucketed hash joins of fixed-width
     (pair, shingle-hash) rows — the same machinery as
     `ngram_jaccard_pairs`. At web scale the count crosses the cap and the
-    plan switches by itself.
+    plan switches by itself. One contract note: the distributed plan
+    verifies each DISTINCT (id_a, id_b) pair once, while the broadcast
+    plan emits one output row per input row — callers passing duplicate
+    pairs (none in this repo: candidate generators end with a distinct)
+    get a deduped report above the cap.
     """
     import ray as _ray
 
@@ -419,17 +423,29 @@ def _jaccard_verify_distributed(pairs_ds: ray.data.Dataset,
     cdocs = partitioned_semi_join(docs_ds, cand_ids, id_col,
                                   lcols=[id_col, text_col])
 
+    # token-less docs carry ONE sentinel shingle, mirroring the broadcast
+    # path's frozenset({""}) — empty-empty candidate pairs (which minhash
+    # DOES emit: all-zero signatures collide in every band) score J=1.0
+    # on both plans instead of silently dropping here
+    EMPTY_SH = np.uint64(0x9E3779B97F4A7C15)
+
     def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh, reps, doc_has = _shingle_hashes(df[text_col].tolist(), k)
         ids = df[id_col].to_numpy()[doc_has]
-        return pd.DataFrame({id_col: np.repeat(ids, reps),
-                             "sh": sh}).drop_duplicates()
+        out = pd.DataFrame({id_col: np.repeat(ids, reps),
+                            "sh": sh}).drop_duplicates()
+        empty_ids = df[id_col].to_numpy()[~doc_has]
+        if len(empty_ids):
+            out = pd.concat([out, pd.DataFrame(
+                {id_col: empty_ids,
+                 "sh": np.full(len(empty_ids), EMPTY_SH,
+                               dtype=np.uint64)})],
+                ignore_index=True)
+        return out
 
     shingles = distinct_rows(
         cdocs.map_batches(sh_rows, batch_format="pandas"),
         [id_col, "sh"]).materialize()          # consumed three times below
-    # one row per candidate id; pairs touching token-less docs drop at the
-    # size joins (candidate generators never emit empty docs)
     sizes = hash_groupby_agg(shingles, id_col,
                              {"n": ("sh", "count")}).materialize()
 
@@ -438,7 +454,12 @@ def _jaccard_verify_distributed(pairs_ds: ray.data.Dataset,
         df["__pk"] = df["id_a"].astype(str) + SEP + df["id_b"].astype(str)
         return df
 
-    pk = pairs_ds.map_batches(keyed, batch_format="pandas").materialize()
+    # duplicate input pairs share a __pk and would square the intersection
+    # counts — verify each DISTINCT pair once (the broadcast plan verifies
+    # per input row; a duplicated pair simply repeats there)
+    pk = distinct_rows(
+        pairs_ds.map_batches(keyed, batch_format="pandas"),
+        ["__pk"]).materialize()
 
     def side_rows(side: str) -> ray.data.Dataset:
         ren = shingles.map_batches(

@@ -1423,3 +1423,46 @@ def test_subquery_in_exists_clear_error():
       FILTER NOT EXISTS { { SELECT ?d WHERE { ?d <r> ?z } } } }"""
     with pytest.raises(ValueError, match="subquery inside EXISTS"):
         parse_sparql(q)
+
+
+def test_subquery_in_optional_inside_union_branch_rejected():
+    # review finding r5: the guard must hold inside UNION branches too —
+    # previously the subquery silently became a required branch join
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      { ?d <p> ?x .
+        OPTIONAL { ?d <q> ?y . { SELECT ?d WHERE { ?d <r> ?z } } } }
+      UNION { ?d <s> ?x } }"""
+    with pytest.raises(ValueError, match="subquery inside OPTIONAL"):
+        parse_sparql(q)
+
+
+def test_triple_then_bare_group_inlines(ray_session):
+    # review finding r5: SPARQL allows a triple pattern directly followed
+    # by a group with NO dot separator
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1"],
+        "pred": ["mentions", "mentions", "lang"],
+        "obj":  ["e1", "e2", "en"],
+    })
+    q = """SELECT ?d ?e WHERE { ?d mentions ?e { ?d lang "en" } }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [("d1", "e1")]
+
+
+def test_bare_group_iri_with_keyword_segment(ray_session):
+    # review finding r5: 'graph' inside an IRI must not trip the keyword
+    # probe
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["s1", "s1"],
+        "pred": ["p", "q"],
+        "obj":  ["http://example.org/graph/g1", "o1"],
+    })
+    q = """SELECT ?s ?o WHERE {
+      { ?s <p> <http://example.org/graph/g1> } ?s <q> ?o }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert sorted(map(tuple, out.to_numpy())) == [("s1", "o1")]

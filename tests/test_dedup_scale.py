@@ -313,3 +313,29 @@ def test_jaccard_verify_switches_to_distributed(ray_session):
     assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
     # shingles of 1: {abc,bcd,cde}; of 2: {abc,bcd,cdx} -> J = 2/4
     assert out["jaccard"].tolist() == [0.5]
+
+
+def test_jaccard_verify_distributed_empty_docs_and_dup_pairs(ray_session):
+    # review findings r5: (a) empty-empty candidate pairs must score 1.0
+    # on BOTH plans (minhash emits them: all-zero signatures collide);
+    # (b) duplicate input pairs must not square the intersection counts
+    from nexus_forge_ray.ops.dedup import jaccard_verify_pairs
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["", "   ", "a b c d e", "a b c d x"]})
+    pairs = pd.DataFrame({
+        "id_a": [1, 3, 3],            # (3,4) duplicated
+        "id_b": [2, 4, 4]})
+    kw = dict(threshold=0.3, shingle_size=3)
+    bc = jaccard_verify_pairs(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(docs),
+        **kw).to_pandas()
+    dist = jaccard_verify_pairs(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(docs),
+        broadcast_limit=0, **kw).to_pandas()
+    # broadcast: per input row -> (1,2):1.0, (3,4):0.5 twice
+    assert sorted(map(tuple, bc[["id_a", "id_b", "jaccard"]].values)) == \
+        [(1, 2, 1.0), (3, 4, 0.5), (3, 4, 0.5)]
+    # distributed: distinct pairs, same values
+    assert sorted(map(tuple, dist[["id_a", "id_b", "jaccard"]].values)) == \
+        [(1, 2, 1.0), (3, 4, 0.5)]

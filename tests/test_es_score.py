@@ -224,3 +224,32 @@ def test_minimum_should_match_beside_must(ray_session):
     # all docs pass must; src1 -> 1,3; stream -> 1,4 ; docs 2,5 match no
     # should clause and msm=1 gates them out
     assert out["doc_id"].tolist() == [1, 3, 4]
+
+
+def test_minimum_should_match_string_forms(ray_session):
+    # ES value forms: "2", "50%", negative int; combinators fail loudly
+    base = {"query": {"bool": {
+        "should": [
+            {"term": {"source": "src1"}},
+            {"range": {"n_chars": {"gte": 400}}},
+            {"match": {"text": {"query": "stream"}}},
+        ]}},
+        "sort": ["_score", {"doc_id": "asc"}], "size": 10}
+
+    def with_msm(m):
+        import copy
+        b = copy.deepcopy(base)
+        b["query"]["bool"]["minimum_should_match"] = m
+        return _score_page(b)
+
+    # "2" == 2: doc1 matches 3 clauses, doc2 two (range+... src2,450,
+    # 'vector' no stream) -> doc2 matches range only = 1 -> out;
+    # doc4 matches match only = 1 -> out; doc3 matches src1 only -> out
+    assert with_msm("2")["doc_id"].tolist() == [1]
+    # "50%" of 3 clauses -> floor(1.5) = 1
+    assert with_msm("50%")["doc_id"].tolist() == with_msm(1)["doc_id"].tolist()
+    # -1 -> 3-1 = 2
+    assert with_msm(-1)["doc_id"].tolist() == [1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="minimum_should_match"):
+        with_msm("2<75%")
