@@ -949,19 +949,29 @@ def parse_sparql(query: str) -> ParsedQuery:
     # written inside a branch stay branch-scoped (SPARQL group scoping)
     # instead of silently hoisting to global scope
     def _parse_optional_group(g: str) -> tuple[list, tuple]:
-        """An OPTIONAL {...} body -> (patterns, (filters, regex_filters)),
-        with the group-local FILTER restricted to the group's own vars."""
+        """An OPTIONAL {...} body -> (patterns, (filters, regex_filters,
+        values_clauses, binds)). Group-local clauses evaluate on the
+        optional side BEFORE the left join (SPARQL 8.3: a failing match
+        unbinds, it never drops the base row); BIND inputs and FILTER /
+        VALUES vars are restricted to the group's own vars (+ the group's
+        own BIND aliases for the filters)."""
         if "\x00subq" in g:
             raise ValueError("a subquery inside OPTIONAL is unsupported "
                              "(write it beside the OPTIONAL and join on "
                              "the shared variables)")
-        gclean, gf, grf, gvc, gb = extract_clauses(g)
-        if gvc or gb:
-            raise ValueError("VALUES/BIND inside OPTIONAL unsupported")
+        gclean, gf, grf, gvc, gb_raw = extract_clauses(g)
         gp = patterns_of(gclean)
         if not gp:
             raise ValueError("empty OPTIONAL block")
         gvars = {t[1:] for pat in gp for t in pat if _is_var(t)}
+        gbinds = _parse_binds(gb_raw)
+        bind_ins = {a[1:] for _, args, _ in gbinds
+                    for a in args
+                    if isinstance(a, str) and a.startswith("?")}
+        if not bind_ins <= gvars:
+            raise ValueError("BIND inside OPTIONAL may only read the "
+                             f"group's own variables (got {bind_ins})")
+        gvars = gvars | {a for _, _, a in gbinds}
         used = set(
             [f[0] for f in gf if f[0] is not None]
             + [f[2] for f in gf if f[3]]
@@ -969,11 +979,12 @@ def parse_sparql(query: str) -> ParsedQuery:
                for br in f[2] for a in br]
             + [a[2] for f in gf if f[1] == "__or__"
                for br in f[2] for a in br if a[3]]
-            + [r[0] for r in grf])
+            + [r[0] for r in grf]
+            + [v for v, _ in gvc])
         if not used <= gvars:
-            raise ValueError("FILTER inside OPTIONAL may only use the "
-                             f"group's own variables (got {used})")
-        return gp, (gf, grf)
+            raise ValueError("FILTER/VALUES inside OPTIONAL may only use "
+                             f"the group's own variables (got {used})")
+        return gp, (gf, grf, gvc, gbinds)
 
     def _inline_bare_groups(text: str) -> str:
         """Inline pattern-only nested `{ ... }` groups (SPARQL: a bare
@@ -1031,7 +1042,7 @@ def parse_sparql(query: str) -> ParsedQuery:
             global_text)
         g_opts_raw: list[str] = []
         global_text = re.sub(
-            r"(?is)\boptional\b\s*\{([^{}]*)\}",
+            r"(?is)\boptional\b\s*\{((?:[^{}]|\{[^{}]*\})*)\}",
             lambda mm: (g_opts_raw.append(mm.group(1)), " ")[1],
             global_text)
         global_text, global_subqs = _take_subqs(global_text)
@@ -1066,7 +1077,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                         lambda mm: (b_semi_raw.append(mm.group(1)),
                                     " ")[1], bt)
             b_opts_raw: list[str] = []
-            bt = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
+            bt = re.sub(r"(?is)\boptional\b\s*\{((?:[^{}]|\{[^{}]*\})*)\}",
                         lambda mm: (b_opts_raw.append(mm.group(1)),
                                     " ")[1], bt)
             # a subquery at branch TOP level re-attaches here and joins
@@ -1119,7 +1130,7 @@ def parse_sparql(query: str) -> ParsedQuery:
                       lambda mm: (exists_raw.append(mm.group(1)), " ")[1],
                       body)
         optionals_raw: list[str] = []
-        body = re.sub(r"(?is)\boptional\b\s*\{([^{}]*)\}",
+        body = re.sub(r"(?is)\boptional\b\s*\{((?:[^{}]|\{[^{}]*\})*)\}",
                       lambda mm: (optionals_raw.append(mm.group(1)),
                                   " ")[1], body)
         body, global_subqs = _take_subqs(body)
@@ -1661,6 +1672,9 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         any_opt = {t[1:] for _, _, _, _, bo, _, _, _ in clauses
                    for gp, _ in bo for pat in gp
                    for t in pat if _is_var(t)} | \
+            {a for _, _, _, _, bo, _, _, _ in clauses
+             for _, gff in bo if len(gff) > 3
+             for _, _, a in gff[3]} | \
             {v for v in g_group_vars if v not in any_branch_var}
         for bi, (g, (bf, brf, bv, bb, bo, banti, bsemi, bsubq)) in \
                 enumerate(zip(q.union_groups, clauses)):
@@ -1744,7 +1758,8 @@ def sparql_select(triples: ray.data.Dataset, query: str,
             # branch-scoped OPTIONAL groups: left-join inside the branch
             # BEFORE clause application, so branch FILTERs see the
             # optional bindings (SPARQL group join semantics)
-            for gp, (gf, grf) in bo:
+            for gp, gff in bo:
+                gf, grf, gvc, gbinds = (*gff, *([()] * (4 - len(gff))))
                 gv = list(dict.fromkeys(t[1:] for pat in gp
                                         for t in pat if _is_var(t)))
                 shared = [v for v in gv if v in b_cols]
@@ -1753,8 +1768,13 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                      "shares no variable with the branch "
                                      "patterns")
                 opt_ds = bgp_select(triples, gp, gv, **kw)
-                if gf or grf:
-                    opt_ds = _apply_filters(opt_ds, list(gf), list(grf), [])
+                if gbinds:
+                    opt_ds = _apply_binds(opt_ds, list(gbinds))
+                    gv = list(dict.fromkeys(
+                        gv + [a for _, _, a in gbinds]))
+                if gf or grf or gvc:
+                    opt_ds = _apply_filters(opt_ds, list(gf), list(grf),
+                                            list(gvc))
                 b = partitioned_join(b, opt_ds, on=shared[0],
                                      extra_keys=shared[1:], how="left",
                                      lcols=b_cols, rcols=gv)
@@ -1783,9 +1803,12 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         # sit in the union as an all-null column — the left join below
         # re-introduces it from the optional side (the final projection
         # restores any still-missing selected columns as unbound)
-        g_opt_only = [v for v in bound if v not in avail
-                      and any(v in {t[1:] for pat in g for t in pat
-                                    if _is_var(t)} for g in q.optionals)]
+        g_opt_bound = {t[1:] for g in q.optionals for pat in g
+                       for t in pat if _is_var(t)} | \
+            {a for gff in (q.optional_filters or ()) if len(gff) > 3
+             for _, _, a in gff[3]}
+        g_opt_only = [v for v in bound
+                      if v not in avail and v in g_opt_bound]
         if g_opt_only:
             bound = [v for v in bound if v not in g_opt_only]
             out = out.map_batches(
@@ -1869,17 +1892,23 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                 on="__nk", lcols=bound + ["__nk"]) \
                 .map_batches(lambda df: df.drop(columns="__nk"),
                              batch_format="pandas")
-    opt_filts = q.optional_filters or [((), ())] * len(q.optionals)
-    for gpats, gv, shared, (gf, grf) in zip(q.optionals, opt_vars,
-                                            shared_per_group, opt_filts):
+    opt_filts = q.optional_filters or [((), (), (), ())] * len(q.optionals)
+    opt_filts = [(*t, *([()] * (4 - len(t)))) for t in opt_filts]
+    for gpats, gv, shared, (gf, grf, gvc, gbinds) in zip(
+            q.optionals, opt_vars, shared_per_group, opt_filts):
         if not shared:
             raise ValueError(f"OPTIONAL {gpats} shares no variable with the "
                              "required patterns")
         opt_ds = bgp_select(triples, gpats, gv, **kw)
-        if gf or grf:
-            # group-local FILTER: constrain the optional side BEFORE the
-            # left join (failing rows unbind, they don't drop the base)
-            opt_ds = _apply_filters(opt_ds, list(gf), list(grf), [])
+        if gbinds:
+            # group-local BIND: computed on the optional side, its alias
+            # joins the optional bindings (unbound when the match fails)
+            opt_ds = _apply_binds(opt_ds, list(gbinds))
+            gv = list(dict.fromkeys(gv + [a for _, _, a in gbinds]))
+        if gf or grf or gvc:
+            # group-local FILTER/VALUES: constrain the optional side BEFORE
+            # the left join (failing rows unbind, they don't drop the base)
+            opt_ds = _apply_filters(opt_ds, list(gf), list(grf), list(gvc))
         out = partitioned_join(out, opt_ds, on=shared[0],
                                extra_keys=shared[1:], how="left",
                                lcols=bound, rcols=gv)

@@ -1466,3 +1466,67 @@ def test_bare_group_iri_with_keyword_segment(ray_session):
     out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
         .to_pandas()
     assert sorted(map(tuple, out.to_numpy())) == [("s1", "o1")]
+
+
+def test_bind_inside_optional(ray_session):
+    # BIND inside OPTIONAL computes on the optional side; its alias stays
+    # unbound when the optional match fails (SPARQL 8.3)
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1"],
+        "pred": ["lang", "lang", "mentions"],
+        "obj":  ["en",  "fr",  "e1"],
+    })
+    q = """SELECT ?d ?u WHERE {
+      ?d lang ?l .
+      OPTIONAL { ?d mentions ?e . BIND(UCASE(?e) AS ?u) }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.u) else r.u) for r in out.itertuples()}
+    assert rows == {("d1", "E1"), ("d2", None)}
+
+
+def test_values_inside_optional(ray_session):
+    # VALUES inside OPTIONAL constrains the optional side pre-join
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d2"],
+        "pred": ["lang", "lang", "mentions", "mentions"],
+        "obj":  ["en",  "fr",  "e1",       "e2"],
+    })
+    q = """SELECT ?d ?e WHERE {
+      ?d lang ?l .
+      OPTIONAL { ?d mentions ?e VALUES ?e { "e1" } }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.e) else r.e) for r in out.itertuples()}
+    # d1's mention survives the VALUES cut; d2's e2 fails it -> unbound
+    assert rows == {("d1", "e1"), ("d2", None)}
+
+
+def test_bind_inside_optional_in_union_branch(ray_session):
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d2", "d1", "d2"],
+        "pred": ["lang", "cites", "mentions", "mentions"],
+        "obj":  ["en",  "d1",   "e1",        "e2"],
+    })
+    q = """SELECT ?d ?u WHERE {
+      { ?d lang ?l . OPTIONAL { ?d mentions ?e . BIND(UCASE(?e) AS ?u) } }
+      UNION
+      { ?d cites ?x }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    rows = {(r.d, None if pd.isna(r.u) else r.u) for r in out.itertuples()}
+    assert rows == {("d1", "E1"), ("d2", None)}
+
+
+def test_bind_in_optional_reads_only_group_vars():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      ?d <p> ?x . OPTIONAL { ?d <q> ?y . BIND(UCASE(?x) AS ?u) } }"""
+    with pytest.raises(ValueError, match="BIND inside OPTIONAL"):
+        parse_sparql(q)
