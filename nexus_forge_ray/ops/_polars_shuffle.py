@@ -111,6 +111,29 @@ def pl_unique(batch: pd.DataFrame, keys: list[str]) -> pd.DataFrame | None:
     return to_pandas_exact(u.select(list(batch.columns)))
 
 
+def pl_grouped_head(batch: pd.DataFrame, keys: list[str], by: list[str],
+                    asc: list[bool], k: int) -> pd.DataFrame | None:
+    """Per-group top-k matching the pandas kernel: stable sort by
+    (order, tiebreak) then the first k rows of each group, rows returned
+    in sorted order. Returns None to request the pandas fallback."""
+    import polars as pl
+    conv = pl_frames(batch)
+    if conv is None:
+        return None
+    (pdf,) = conv
+    try:
+        s = pdf.sort(by, descending=[not a for a in asc],
+                     maintain_order=True, nulls_last=True)
+        # the pandas kernel's groupby(dropna=True) default drops null-key
+        # rows — match it
+        s = s.filter(~pl.any_horizontal(
+            [pl.col(c).is_null() for c in keys]))
+        out = s.filter(pl.int_range(0, pl.len()).over(keys) < k)
+    except Exception:
+        return None
+    return to_pandas_exact(out.select(list(batch.columns)))
+
+
 _HOW_PL = {"inner": "inner", "left": "left", "right": "right",
            "outer": "full"}
 

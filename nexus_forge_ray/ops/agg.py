@@ -151,16 +151,26 @@ def grouped_topk(ds: ray.data.Dataset, keys: str | list[str], order_col: str,
     keys = [keys] if isinstance(keys, str) else list(keys)
     by = [order_col] + list(tiebreak or [])
     asc = [ascending] + [True] * len(tiebreak or [])
+    # polars pilot: same flag/fallback contract as the other kernels
+    from nexus_forge_ray.ops._polars_shuffle import (pl_grouped_head,
+                                                     use_polars)
+    pl_on = use_polars()
+
+    def _head(b: pd.DataFrame) -> pd.DataFrame:
+        if pl_on:
+            h = pl_grouped_head(b, keys, by, asc, k)
+            if h is not None:
+                return h
+        return b.sort_values(by, ascending=asc, kind="mergesort") \
+            .groupby(keys, sort=False).head(k)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.sort_values(by, ascending=asc, kind="mergesort")
-        b = b.groupby(keys, sort=False).head(k).copy()
+        b = _head(batch).copy()
         b["__bucket"] = _bucket_of(b, keys, num_buckets)
         return b
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(by, ascending=asc, kind="mergesort")
-        return g.groupby(keys, sort=False).head(k).drop(columns="__bucket")
+        return _head(group).drop(columns="__bucket")
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("__bucket").map_groups(final, batch_format="pandas")

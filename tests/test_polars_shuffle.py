@@ -122,3 +122,23 @@ def test_distinct_rows_parity(ray_session, monkeypatch):
     base, pilot = _both(monkeypatch, run)
     pd.testing.assert_frame_equal(_norm(base), _norm(pilot))
     assert len(pilot) == 4   # (a,1) (null,2) (b,3) (a,9)
+
+
+def test_grouped_topk_parity(ray_session, monkeypatch):
+    from nexus_forge_ray.ops.agg import grouped_topk
+    df = pd.DataFrame({
+        "lang": ["en", "en", "en", "fr", "fr", None, "en"],
+        "score": [3.0, 9.0, 9.0, 1.0, 2.0, 5.0, np.nan],
+        "doc": ["a", "b", "c", "d", "e", "f", "g"],
+    })
+
+    def run():
+        ds = ray.data.from_pandas(df).repartition(3)
+        return grouped_topk(ds, "lang", "score", k=2, ascending=False,
+                            tiebreak=["doc"]).to_pandas()
+
+    base, pilot = _both(monkeypatch, run)
+    pd.testing.assert_frame_equal(_norm(base), _norm(pilot))
+    # ties break on doc asc: en -> b, c ; fr -> e, d ; None key drops
+    top = pilot.sort_values(["lang", "doc"]).reset_index(drop=True)
+    assert top["doc"].tolist() == ["b", "c", "d", "e"]
