@@ -959,18 +959,38 @@ def parse_sparql(query: str) -> ParsedQuery:
             raise ValueError("a subquery inside OPTIONAL is unsupported "
                              "(write it beside the OPTIONAL and join on "
                              "the shared variables)")
+        # the widened extraction admits one brace level (VALUES payloads);
+        # a NESTED keyword group that rode along is unsupported — say so
+        # instead of letting the tokenizer produce a confusing error
+        g_probe = re.sub(r'<[^>]*>|"[^"]*"', " ", g)
+        if re.search(r"(?is)\b(optional|minus|exists|union|graph)\b",
+                     g_probe):
+            raise ValueError("a nested OPTIONAL/MINUS/EXISTS/UNION/GRAPH "
+                             "group inside OPTIONAL is unsupported")
         gclean, gf, grf, gvc, gb_raw = extract_clauses(g)
         gp = patterns_of(gclean)
         if not gp:
             raise ValueError("empty OPTIONAL block")
         gvars = {t[1:] for pat in gp for t in pat if _is_var(t)}
         gbinds = _parse_binds(gb_raw)
-        bind_ins = {a[1:] for _, args, _ in gbinds
-                    for a in args
-                    if isinstance(a, str) and a.startswith("?")}
-        if not bind_ins <= gvars:
-            raise ValueError("BIND inside OPTIONAL may only read the "
-                             f"group's own variables (got {bind_ins})")
+        # validate binds IN ORDER: each may read pattern vars plus earlier
+        # aliases (_apply_binds evaluates sequentially); SPARQL forbids
+        # re-binding an in-scope var, so an alias colliding with a pattern
+        # var or earlier alias fails loudly
+        seen = set(gvars)
+        for _, args, alias in gbinds:
+            ins = {a[1:] for a in args
+                   if isinstance(a, str) and a.startswith("?")}
+            if not ins <= seen:
+                raise ValueError(
+                    "BIND inside OPTIONAL may only read the group's own "
+                    f"variables or earlier aliases (unknown: "
+                    f"{sorted(ins - seen)})")
+            if alias in seen:
+                raise ValueError(
+                    f"BIND inside OPTIONAL re-binds in-scope variable "
+                    f"?{alias} (SPARQL forbids re-binding)")
+            seen.add(alias)
         gvars = gvars | {a for _, _, a in gbinds}
         used = set(
             [f[0] for f in gf if f[0] is not None]
@@ -1769,6 +1789,13 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                                      "patterns")
                 opt_ds = bgp_select(triples, gp, gv, **kw)
                 if gbinds:
+                    clash = {a for _, _, a in gbinds} \
+                        & (set(b_cols) - set(gv))
+                    if clash:
+                        raise ValueError(
+                            "BIND alias inside OPTIONAL collides with a "
+                            f"variable bound outside the group: {clash} "
+                            "(rename the alias)")
                     opt_ds = _apply_binds(opt_ds, list(gbinds))
                     gv = list(dict.fromkeys(
                         gv + [a for _, _, a in gbinds]))
@@ -1902,7 +1929,15 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         opt_ds = bgp_select(triples, gpats, gv, **kw)
         if gbinds:
             # group-local BIND: computed on the optional side, its alias
-            # joins the optional bindings (unbound when the match fails)
+            # joins the optional bindings (unbound when the match fails).
+            # An alias shadowing a var already bound OUTSIDE the group
+            # would collide in the left join (pandas suffixes, the final
+            # projection would fabricate nulls) — reject loudly.
+            clash = {a for _, _, a in gbinds} & (set(bound) - set(gv))
+            if clash:
+                raise ValueError(
+                    "BIND alias inside OPTIONAL collides with a variable "
+                    f"bound outside the group: {clash} (rename the alias)")
             opt_ds = _apply_binds(opt_ds, list(gbinds))
             gv = list(dict.fromkeys(gv + [a for _, _, a in gbinds]))
         if gf or grf or gvc:

@@ -1530,3 +1530,57 @@ def test_bind_in_optional_reads_only_group_vars():
       ?d <p> ?x . OPTIONAL { ?d <q> ?y . BIND(UCASE(?x) AS ?u) } }"""
     with pytest.raises(ValueError, match="BIND inside OPTIONAL"):
         parse_sparql(q)
+
+
+def test_chained_bind_inside_optional(ray_session):
+    # review finding r5b: a later BIND may read an earlier alias
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d1"],
+        "pred": ["lang", "mentions"],
+        "obj":  ["en",  "e1"],
+    })
+    q = """SELECT ?d ?n WHERE {
+      ?d lang ?l .
+      OPTIONAL { ?d mentions ?e .
+                 BIND(UCASE(?e) AS ?u) BIND(STRLEN(?u) AS ?n) }
+    }"""
+    out = KnowledgeGraphForge().sparql(q, ray.data.from_pandas(t)) \
+        .to_pandas()
+    assert out["d"].tolist() == ["d1"]
+    assert int(out["n"].iloc[0]) == 2
+
+
+def test_optional_bind_alias_collision_rejected(ray_session):
+    # review finding r5b: an alias shadowing an OUTER-bound var must fail
+    # loudly instead of silently nulling the outer binding
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    t = pd.DataFrame({
+        "subj": ["d1", "d1"],
+        "pred": ["lang", "mentions"],
+        "obj":  ["en",  "e1"],
+    })
+    q = """SELECT ?d ?l WHERE {
+      ?d lang ?l .
+      OPTIONAL { ?d mentions ?e . BIND(UCASE(?e) AS ?l) }
+    }"""
+    with pytest.raises(ValueError, match="collides with a variable"):
+        KnowledgeGraphForge().sparql(
+            q, ray.data.from_pandas(t)).to_pandas()
+
+
+def test_optional_bind_rebinding_group_var_rejected():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?d WHERE {
+      ?d <p> ?x . OPTIONAL { ?d <q> ?e . BIND(UCASE(?e) AS ?e) } }"""
+    with pytest.raises(ValueError, match="re-binds in-scope"):
+        parse_sparql(q)
+
+
+def test_nested_optional_inside_optional_clear_error():
+    from nexus_forge_ray.kg.bgp import parse_sparql
+    q = """SELECT ?a WHERE {
+      ?a <p> ?b .
+      OPTIONAL { ?b <q> ?c OPTIONAL { ?c <r> ?d } } }"""
+    with pytest.raises(ValueError, match="nested OPTIONAL"):
+        parse_sparql(q)
