@@ -1584,3 +1584,49 @@ def test_nested_optional_inside_optional_clear_error():
       OPTIONAL { ?b <q> ?c OPTIONAL { ?c <r> ?d } } }"""
     with pytest.raises(ValueError, match="nested OPTIONAL"):
         parse_sparql(q)
+
+
+def test_global_groups_distribute_over_union(ray_session):
+    # algebraic identity (bag semantics): LeftJoin(Union(A,B), C) ==
+    # Union(LeftJoin(A,C), LeftJoin(B,C)), and likewise for MINUS — the
+    # engine's global-scope path must agree with the branch-scoped
+    # rewrite on randomized graphs
+    import numpy as np
+
+    from nexus_forge_ray.forge import KnowledgeGraphForge
+    rng = np.random.default_rng(42)
+    subs = [f"d{i}" for i in range(8)]
+    objs = [f"e{i}" for i in range(4)]
+    for trial in range(4):
+        rows = []
+        for s in subs:
+            if rng.random() < 0.6:
+                rows.append((s, "lang", rng.choice(["en", "fr"])))
+            if rng.random() < 0.5:
+                rows.append((s, "cites", rng.choice(subs)))
+            for _ in range(rng.integers(0, 3)):
+                rows.append((s, "mentions", rng.choice(objs)))
+            if rng.random() < 0.4:
+                rows.append((s, "flag", "x"))
+        t = pd.DataFrame(rows, columns=["subj", "pred", "obj"]) \
+            .drop_duplicates()
+        q_global = """SELECT ?d ?e WHERE {
+          { ?d lang "en" } UNION { ?d cites ?x }
+          OPTIONAL { ?d mentions ?e }
+          MINUS { ?d flag ?f }
+        }"""
+        q_scoped = """SELECT ?d ?e WHERE {
+          { ?d lang "en" . OPTIONAL { ?d mentions ?e }
+            MINUS { ?d flag ?f } }
+          UNION
+          { ?d cites ?x . OPTIONAL { ?d mentions ?e }
+            MINUS { ?d flag ?f } }
+        }"""
+        f = KnowledgeGraphForge()
+        a = f.sparql(q_global, ray.data.from_pandas(t)).to_pandas()
+        b = f.sparql(q_scoped, ray.data.from_pandas(t)).to_pandas()
+
+        def canon(df):
+            return sorted((r.d, None if pd.isna(r.e) else r.e)
+                          for r in df.itertuples())
+        assert canon(a) == canon(b), f"trial {trial} diverged"
