@@ -1693,8 +1693,7 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                    for gp, _ in bo for pat in gp
                    for t in pat if _is_var(t)} | \
             {a for _, _, _, _, bo, _, _, _ in clauses
-             for _, gff in bo if len(gff) > 3
-             for _, _, a in gff[3]} | \
+             for _, (_, _, _, gb) in bo for _, _, a in gb} | \
             {v for v in g_group_vars if v not in any_branch_var}
         for bi, (g, (bf, brf, bv, bb, bo, banti, bsemi, bsubq)) in \
                 enumerate(zip(q.union_groups, clauses)):
@@ -1778,8 +1777,7 @@ def sparql_select(triples: ray.data.Dataset, query: str,
             # branch-scoped OPTIONAL groups: left-join inside the branch
             # BEFORE clause application, so branch FILTERs see the
             # optional bindings (SPARQL group join semantics)
-            for gp, gff in bo:
-                gf, grf, gvc, gbinds = (*gff, *([()] * (4 - len(gff))))
+            for gp, (gf, grf, gvc, gbinds) in bo:
                 gv = list(dict.fromkeys(t[1:] for pat in gp
                                         for t in pat if _is_var(t)))
                 shared = [v for v in gv if v in b_cols]
@@ -1832,8 +1830,8 @@ def sparql_select(triples: ray.data.Dataset, query: str,
         # restores any still-missing selected columns as unbound)
         g_opt_bound = {t[1:] for g in q.optionals for pat in g
                        for t in pat if _is_var(t)} | \
-            {a for gff in (q.optional_filters or ()) if len(gff) > 3
-             for _, _, a in gff[3]}
+            {a for _, _, _, gb in (q.optional_filters or ())
+             for _, _, a in gb}
         g_opt_only = [v for v in bound
                       if v not in avail and v in g_opt_bound]
         if g_opt_only:
@@ -1919,8 +1917,10 @@ def sparql_select(triples: ray.data.Dataset, query: str,
                 on="__nk", lcols=bound + ["__nk"]) \
                 .map_batches(lambda df: df.drop(columns="__nk"),
                              batch_format="pandas")
+    # parse_sparql always emits 4-tuples (filters, regex_filters,
+    # values_clauses, binds); the default covers ParsedQuery built by
+    # other callers with optionals but no clause info
     opt_filts = q.optional_filters or [((), (), (), ())] * len(q.optionals)
-    opt_filts = [(*t, *([()] * (4 - len(t)))) for t in opt_filts]
     for gpats, gv, shared, (gf, grf, gvc, gbinds) in zip(
             q.optionals, opt_vars, shared_per_group, opt_filts):
         if not shared:
